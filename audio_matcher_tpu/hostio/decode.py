@@ -1,0 +1,225 @@
+"""Host decode frontend: media files → f32 mono PCM numpy arrays.
+
+Parity: reference src/matcher/mp3_reader.rs ``read_mp3`` (mono downmix
+``(l+r)*0.5*PCM_FACTOR``, ``PCM_FACTOR = 1/(2^16-1)``, constant-sample-rate
+assertion) — here backed by the C++ runtime ``_am_native.so`` (mpg123/opus
+via dlopen, see native/am_native.cpp) with a pure-Python WAV path so the
+framework degrades gracefully without the native lib. Opus decoding is a
+capability the reference *lacks* (it only tags opus) — SURVEY.md §2.18.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import logging
+import subprocess
+import wave
+from pathlib import Path
+
+import numpy as np
+
+log = logging.getLogger("audio_matcher.decode")
+
+PCM_FACTOR = np.float32(1.0 / ((1 << 16) - 1))  # parity: mp3_reader.rs:12
+
+_NATIVE_PATH = Path(__file__).parent / "_am_native.so"
+_SRC_PATH = Path(__file__).parent.parent.parent / "native" / "am_native.cpp"
+
+
+class DecodeError(RuntimeError):
+    pass
+
+
+def _build_native() -> bool:
+    if not _SRC_PATH.exists():
+        return False
+    try:
+        subprocess.run(
+            [
+                "g++", "-O2", "-std=c++17", "-shared", "-fPIC",
+                "-o", str(_NATIVE_PATH), str(_SRC_PATH), "-ldl",
+            ],
+            check=True, capture_output=True, timeout=120,
+        )
+        return True
+    except Exception as exc:  # pragma: no cover - depends on toolchain
+        log.warning("couldn't build native decoder: %s", exc)
+        return False
+
+
+_lib = None
+
+
+def _native():
+    """Load (building on first use) the C++ host-IO runtime, or None."""
+    global _lib
+    if _lib is not None:
+        return _lib or None
+    if not _NATIVE_PATH.exists() and not _build_native():
+        _lib = False
+        return None
+    try:
+        lib = ctypes.CDLL(str(_NATIVE_PATH))
+    except OSError as exc:  # pragma: no cover
+        log.warning("couldn't load native decoder: %s", exc)
+        _lib = False
+        return None
+    lib.am_last_error.restype = ctypes.c_char_p
+    for fn in ("am_decode_mp3", "am_decode_opus"):
+        getattr(lib, fn).argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int32),
+        ]
+    for fn in ("am_encode_mp3", "am_encode_opus"):
+        getattr(lib, fn).argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int64,
+            ctypes.c_int32,
+        ]
+    lib.am_free.argtypes = [ctypes.POINTER(ctypes.c_float)]
+    _lib = lib
+    return lib
+
+
+def native_available(what: str = "mp3") -> bool:
+    lib = _native()
+    if lib is None:
+        return False
+    probe = {
+        "mp3": lib.am_has_mp3_decode,
+        "opus": lib.am_has_opus,
+        "mp3_encode": lib.am_has_mp3_encode,
+    }[what]
+    return bool(probe())
+
+
+def _native_decode(fn_name: str, path: Path) -> tuple[int, np.ndarray]:
+    lib = _native()
+    if lib is None:
+        raise DecodeError(
+            f"native decoder unavailable; can't decode {path} "
+            "(build native/am_native.cpp or use .wav)"
+        )
+    out = ctypes.POINTER(ctypes.c_float)()
+    n = ctypes.c_int64()
+    sr = ctypes.c_int32()
+    rc = getattr(lib, fn_name)(
+        str(path).encode(), ctypes.byref(out), ctypes.byref(n), ctypes.byref(sr)
+    )
+    if rc != 0:
+        raise DecodeError(lib.am_last_error().decode())
+    try:
+        arr = np.ctypeslib.as_array(out, shape=(n.value,)).copy()
+    finally:
+        lib.am_free(out)
+    return int(sr.value), arr
+
+
+def read_wav(path: Path) -> tuple[int, np.ndarray]:
+    """16-bit PCM WAV → mono f32 with the reference's downmix scaling."""
+    with wave.open(str(path), "rb") as w:
+        sr = w.getframerate()
+        ch = w.getnchannels()
+        width = w.getsampwidth()
+        raw = w.readframes(w.getnframes())
+    if width != 2:
+        raise DecodeError(f"only 16-bit WAV supported, got {8 * width}-bit")
+    data = np.frombuffer(raw, dtype="<i2").astype(np.float32)
+    if ch == 2:
+        mono = (data[0::2] + data[1::2]) * np.float32(0.5) * PCM_FACTOR
+    elif ch == 1:
+        mono = data * PCM_FACTOR
+    else:
+        raise DecodeError(f"unsupported channel count {ch}")
+    return sr, mono
+
+
+def write_wav(path: Path, sr: int, mono: np.ndarray) -> None:
+    """Inverse of read_wav, duplicating mono to stereo (fixture helper)."""
+    i16 = np.clip(
+        np.asarray(mono, np.float32) / PCM_FACTOR, -32768, 32767
+    ).astype("<i2")
+    inter = np.repeat(i16, 2)
+    with wave.open(str(path), "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(inter.tobytes())
+
+
+def read_audio(path: str | Path) -> tuple[int, np.ndarray]:
+    """Decode any supported file → (sample_rate, f32 mono samples).
+
+    Role parity with ``read_mp3`` (mp3_reader.rs:13-41), widened to opus and
+    wav. The whole stream is materialized — the matcher windows it on the
+    way to the device (the reference's lazy iterator exists to bound RAM in
+    a streaming Rust pipeline; here the array feeds batched device slabs).
+    """
+    path = Path(path)
+    ext = path.suffix.lower()
+    if not path.exists():
+        raise FileNotFoundError(f"couldn't open file at path {path}")
+    if ext == ".wav":
+        return read_wav(path)
+    if ext == ".mp3":
+        return _native_decode("am_decode_mp3", path)
+    if ext in (".opus", ".ogg"):
+        return _native_decode("am_decode_opus", path)
+    raise DecodeError(f"unsupported audio format {ext!r} for {path}")
+
+
+def encode_audio(path: str | Path, sr: int, mono: np.ndarray) -> None:
+    """Encode mono f32 (reference scale) to wav/mp3/opus — fixture + test
+    generator (the reference's res/local assets are private and must be
+    regenerated; SURVEY.md §6)."""
+    path = Path(path)
+    ext = path.suffix.lower()
+    if ext == ".wav":
+        write_wav(path, sr, mono)
+        return
+    lib = _native()
+    if lib is None:
+        raise DecodeError("native encoder unavailable")
+    data = np.ascontiguousarray(mono, np.float32)
+    ptr = data.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+    if ext == ".mp3":
+        rc = lib.am_encode_mp3(str(path).encode(), ptr, len(data), sr)
+    elif ext in (".opus", ".ogg"):
+        rc = lib.am_encode_opus(str(path).encode(), ptr, len(data), sr)
+    else:
+        raise DecodeError(f"unsupported encode format {ext!r}")
+    if rc != 0:
+        raise DecodeError(lib.am_last_error().decode())
+
+
+def audio_duration(path: str | Path, use_parallel: bool = False) -> float:
+    """Duration probe with tag cache (seconds).
+
+    Parity: mp3_reader.rs:68-108 ``mp3_duration``: try the tag ``Length``
+    field first, else decode and *write the result back into the file's
+    tag* as a cache. ``use_parallel`` is accepted for API parity (decode
+    here is native and already fast).
+    """
+    del use_parallel
+    path = Path(path)
+    from ..meta.tagger import Length, TaggedFile
+
+    try:
+        tag = TaggedFile.from_path(path, default_empty=False)
+        cached = tag.get(Length)
+        if cached is not None:
+            return float(cached)
+    except Exception:
+        tag = None
+    sr, samples = read_audio(path)
+    duration = len(samples) / sr
+    try:
+        tag = TaggedFile.from_path(path, default_empty=True)
+        tag.set(Length, duration)
+        tag.save_changes()
+    except Exception as exc:
+        log.debug("couldn't cache duration into %s: %s", path, exc)
+    return duration

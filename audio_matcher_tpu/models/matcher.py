@@ -1,0 +1,254 @@
+"""The snippet matcher: overlap-save chunked scan + global peak dedup.
+
+TPU-native redesign of the reference's ``calc_chunks`` hot path
+(reference src/matcher/audio_matcher.rs:88-141): instead of a rayon thread
+pool pulling overlapping windows off a lazy decoder iterator and running one
+rFFT per chunk, windows are batched into slabs and processed by a single
+jitted device program (batched rFFT → conj-multiply → irFFT → on-device
+peak picking); slabs are dispatched asynchronously so host windowing,
+device compute and result readback pipeline.
+
+Preserved reference semantics (SURVEY.md §2 "correctness-critical"):
+  * window = chunk + overlap, hop = chunk, overlap = snippet duration × sr
+    (audio_matcher.rs:99-105); short tail windows are processed with their
+    true length, windows shorter than the snippet yield nothing.
+  * Valid-mode correlation, peak positions rebased by chunk_size·chunk_index
+    (audio_matcher.rs:119,126 + lib.rs:8-10).
+  * per-chunk peak picking with min_prominence = CLI value / 100
+    (audio_matcher.rs:44) and min_distance = whole-seconds(distance) × sr
+    (audio_matcher.rs:228 — note the deliberate seconds truncation).
+  * prominence is window-local; cross-chunk dedup is the sort + "overshadow"
+    pass: a peak is dropped iff an immediate neighbour (in position order)
+    lies within `distance` and has strictly greater prominence
+    (audio_matcher.rs:133-160).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+from functools import partial
+from typing import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.correlate import PreparedSnippet, fft_length, prepare_snippet
+from ..ops.peaks import Peak, pick_peaks_batch
+
+log = logging.getLogger("audio_matcher.matcher")
+
+DEFAULT_CHUNK_SECS = 60.0  # parity: matcher/args.rs:68-72
+DEFAULT_DISTANCE_SECS = 8 * 60.0  # parity: matcher/args.rs:73-77
+DEFAULT_PROMINENCE = 13.0  # parity: matcher/args.rs:16-22
+
+
+@dataclasses.dataclass(frozen=True)
+class MatchConfig:
+    """Parity with ``Config``/``PeakConfig`` (audio_matcher.rs:24-53) plus
+    TPU batching knobs."""
+
+    chunk_secs: float = DEFAULT_CHUNK_SECS
+    distance_secs: float = DEFAULT_DISTANCE_SECS
+    prominence: float = DEFAULT_PROMINENCE  # CLI units; /100 applied internally
+    overlap_secs: float | None = None  # None → snippet duration
+    # TPU batching
+    slab: int = 8  # windows per device dispatch
+    block: int = 2048  # prominence pyramid block size
+    max_peaks_per_chunk: int = 64  # cap on distance-suppression rounds
+
+    @property
+    def min_prominence(self) -> float:
+        return self.prominence / 100.0
+
+
+@partial(
+    jax.jit,
+    static_argnames=("fft_len", "valid_max", "distance", "n_peaks", "block"),
+)
+def _match_slab(
+    windows,  # [B, W] f32
+    sample_f,  # [F] complex64 — rfft of snippet at fft_len
+    inv_ac,  # scalar f32 (1.0 when unscaled)
+    valid_out_len,  # [B] int32
+    fft_len: int,
+    valid_max: int,
+    distance: int,
+    n_peaks: int,
+    block: int,
+):
+    """One fused device step: correlate a slab of windows and pick peaks."""
+    x = jnp.fft.rfft(windows, n=fft_len)
+    c = jnp.fft.irfft(x * jnp.conj(sample_f), n=fft_len)[..., :valid_max]
+    c = c * inv_ac
+    return pick_peaks_batch(
+        c, valid_out_len, distance=distance, n_peaks=n_peaks, block=block
+    )
+
+
+def overshadow_filter(
+    peaks: Sequence[Peak], sr: int, distance_secs: float
+) -> list[Peak]:
+    """Drop peaks overshadowed by a strictly-more-prominent original
+    neighbour within ``distance``. Parity: audio_matcher.rs:136-160."""
+    peaks = sorted(peaks, key=lambda p: p.position)
+    out = []
+    for i, p in enumerate(peaks):
+        shadowed = False
+        for j in (i - 1, i + 1):
+            if 0 <= j < len(peaks):
+                q = peaks[j]
+                if (
+                    abs(p.position - q.position) / sr < distance_secs
+                    and q.prominence > p.prominence
+                ):
+                    shadowed = True
+        if not shadowed:
+            out.append(p)
+    return out
+
+
+class SnippetMatcher:
+    """Pre-plans device programs for one snippet; reusable across episodes.
+
+    Role parity: ``LibConvolve`` + ``calc_chunks`` (the algo object is built
+    once per snippet and reused for every ``within`` file,
+    matcher/mod.rs:34,81).
+    """
+
+    def __init__(
+        self,
+        snippet: np.ndarray,
+        sr: int,
+        config: MatchConfig | None = None,
+    ):
+        self.sr = int(sr)
+        self.config = config or MatchConfig()
+        self.snippet: PreparedSnippet = prepare_snippet(snippet)
+        cfg = self.config
+        overlap_secs = (
+            cfg.overlap_secs
+            if cfg.overlap_secs is not None
+            else self.snippet.m / self.sr
+        )
+        # +2 safety samples: a peak on the exact hop boundary would otherwise
+        # sit on the excluded edge column of BOTH adjacent windows (latent
+        # edge case in the reference's chunk+overlap decomposition, where
+        # window-edge samples can never be local maxima). Positions, scores
+        # and hop are unchanged.
+        self.overlap = int(round(overlap_secs * self.sr)) + 2
+        self.chunk = int(round(cfg.chunk_secs * self.sr))
+        self.window = self.chunk + self.overlap
+        if self.window < self.snippet.m:
+            self.window = self.snippet.m
+        self.valid = self.window - self.snippet.m + 1
+        self.fft_len = fft_length(self.window + self.snippet.m - 1)
+        # whole-second truncation parity (audio_matcher.rs:228)
+        self.distance_samples = int(cfg.distance_secs) * self.sr
+        per_chunk = self.valid // max(self.distance_samples, 1) + 2
+        self.n_peaks = min(per_chunk, cfg.max_peaks_per_chunk)
+        if per_chunk > cfg.max_peaks_per_chunk:
+            log.warning(
+                "distance %.1fs allows %d peaks/chunk; capping at %d",
+                cfg.distance_secs, per_chunk, cfg.max_peaks_per_chunk,
+            )
+        self._sample_f = jnp.fft.rfft(
+            jnp.asarray(self.snippet.data), n=self.fft_len
+        )
+
+    def match(
+        self,
+        samples: np.ndarray,
+        scale: bool = True,
+        n_samples: int | None = None,
+        progress: Callable[[str, int], None] | None = None,
+    ) -> list[Peak]:
+        """Scan an episode; returns deduped peaks sorted by position.
+
+        ``n_samples`` resizes the stream (truncate / zero-extend) like the
+        reference's duration-estimate ``with_size`` (matcher/mod.rs:78-81).
+        ``progress`` receives ("start"|"finish", chunk_index) callbacks —
+        the 2-phase per-chunk reporting of SURVEY.md §2.16.
+        """
+        samples = np.ascontiguousarray(samples, dtype=np.float32)
+        if n_samples is not None:
+            if n_samples <= len(samples):
+                samples = samples[:n_samples]
+            else:
+                samples = np.concatenate(
+                    [samples, np.zeros(n_samples - len(samples), np.float32)]
+                )
+        n = len(samples)
+        if n == 0:
+            return []
+        cfg = self.config
+        m = self.snippet.m
+        n_windows = max(-(-n // self.chunk), 1)
+        inv_ac = np.float32(self.snippet.inv_autocorr if scale else 1.0)
+        B = cfg.slab
+
+        pending = []  # (chunk_index_base, device result) — async pipeline
+        buf = np.zeros((B, self.window), np.float32)
+        valid = np.zeros(B, np.int32)
+        for base in range(0, n_windows, B):
+            buf[:] = 0.0
+            valid[:] = 0
+            for r in range(min(B, n_windows - base)):
+                k = base + r
+                win = samples[k * self.chunk : k * self.chunk + self.window]
+                buf[r, : len(win)] = win
+                valid[r] = max(len(win) - m + 1, 0)
+                if progress:
+                    progress("start", k)
+            res = _match_slab(
+                jnp.asarray(buf),
+                self._sample_f,
+                inv_ac,
+                jnp.asarray(valid),
+                fft_len=self.fft_len,
+                valid_max=self.valid,
+                distance=self.distance_samples,
+                n_peaks=self.n_peaks,
+                block=cfg.block,
+            )
+            pending.append((base, valid.copy(), res))
+
+        candidates: list[Peak] = []
+        for base, valid_host, (pos, h, prom) in pending:
+            pos = np.asarray(pos)
+            h = np.asarray(h)
+            prom = np.asarray(prom)
+            for r in range(pos.shape[0]):
+                k = base + r
+                if valid_host[r] <= 0:
+                    continue
+                for s in range(pos.shape[1]):
+                    if np.isfinite(h[r, s]) and prom[r, s] >= cfg.min_prominence:
+                        candidates.append(
+                            Peak(
+                                position=int(pos[r, s]) + self.chunk * k,
+                                height=float(h[r, s]),
+                                prominence=float(prom[r, s]),
+                            )
+                        )
+                if progress:
+                    progress("finish", k)
+
+        return overshadow_filter(candidates, self.sr, cfg.distance_secs)
+
+
+def calc_chunks(
+    sr: int,
+    samples: np.ndarray,
+    snippet: np.ndarray,
+    scale: bool = True,
+    config: MatchConfig | None = None,
+    n_samples: int | None = None,
+    progress: Callable[[str, int], None] | None = None,
+) -> list[Peak]:
+    """Functional entry point mirroring ``calc_chunks``
+    (audio_matcher.rs:88-141)."""
+    return SnippetMatcher(snippet, sr, config).match(
+        samples, scale=scale, n_samples=n_samples, progress=progress
+    )

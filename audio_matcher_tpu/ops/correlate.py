@@ -1,0 +1,138 @@
+"""FFT cross-correlation on device (the L2 signal-engine core).
+
+TPU-native equivalent of the reference's ``CorrelateAlgo`` implementations
+(reference src/matcher/audio_matcher.rs:65-76 trait; :282-344 ``LibConvolve``;
+:379-479 ``MyConvolve``): batched real-FFT cross-correlation
+``irfft(rfft(within) * conj(rfft(sample)))`` with Full/Same/Valid cropping and
+optional normalization by the snippet's inverse autocorrelation so a perfect
+match scores ≈ 1.0.
+
+Design differences from the reference (deliberate, TPU-first):
+  * FFT length is padded to a power of two ≥ n+m-1 instead of exactly n+m-1 —
+    XLA's TPU FFT (decomposed onto the MXU) strongly prefers pow2 sizes. Linear
+    correlation through zero-padded circular FFT is exact for any length
+    ≥ n+m-1, so match offsets and scores are unchanged.
+  * Whole batches of overlap-save windows go through ONE batched rfft/irfft
+    instead of per-chunk FFTs on a thread pool (reference rayon par_bridge,
+    audio_matcher.rs:114).
+  * Normalization follows the production path (``LibConvolve``): scores are
+    ``corr * inv_autocorr`` with ``inv_autocorr = 1/Σ s²`` — the value the
+    reference computes lazily via a Valid-mode self-correlation
+    (audio_matcher.rs:321-329).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Mode = str  # "full" | "same" | "valid"
+
+
+def fft_length(min_len: int) -> int:
+    """Smallest power of two ≥ min_len (TPU-friendly FFT size)."""
+    n = 1
+    while n < min_len:
+        n <<= 1
+    return n
+
+
+@dataclasses.dataclass(frozen=True)
+class PreparedSnippet:
+    """A query snippet preprocessed for repeated correlation.
+
+    Mirrors the role of ``LibConvolve``'s lazily cached sample array +
+    inverse autocorrelation (audio_matcher.rs:282-344), but precomputed
+    eagerly and kept host-side; the rfft is taken per fft-length on device.
+    """
+
+    data: np.ndarray  # f32 [m]
+    inv_autocorr: float  # 1 / Σ s²  (scores scale to ≈[-1, 1])
+
+    @property
+    def m(self) -> int:
+        return int(self.data.shape[-1])
+
+
+def prepare_snippet(sample: np.ndarray) -> PreparedSnippet:
+    sample = np.asarray(sample, dtype=np.float32)
+    ac = float(np.sum(sample.astype(np.float64) ** 2))
+    inv = 1.0 / ac if ac != 0.0 else 0.0
+    return PreparedSnippet(data=sample, inv_autocorr=inv)
+
+
+@partial(jax.jit, static_argnames=("fft_len", "valid_len"))
+def _corr_valid(windows, sample, fft_len: int, valid_len: int):
+    x = jnp.fft.rfft(windows, n=fft_len)
+    s = jnp.fft.rfft(sample, n=fft_len)
+    c = jnp.fft.irfft(x * jnp.conj(s), n=fft_len)
+    return c[..., :valid_len]
+
+
+def correlate_valid_batch(
+    windows: jax.Array,
+    sample: jax.Array,
+    scale: float | None = None,
+) -> jax.Array:
+    """Valid-mode cross-correlation of a batch of windows against one snippet.
+
+    windows: [..., n] real; sample: [m]. Returns [..., n-m+1] where output j =
+    Σ_i windows[j+i]·sample[i], optionally multiplied by ``scale``
+    (pass ``PreparedSnippet.inv_autocorr`` for normalized scores).
+    """
+    n = windows.shape[-1]
+    m = sample.shape[-1]
+    if n < m:
+        raise ValueError(f"window ({n}) shorter than sample ({m})")
+    L = fft_length(n + m - 1)
+    out = _corr_valid(windows, sample, fft_len=L, valid_len=n - m + 1)
+    if scale is not None:
+        out = out * jnp.asarray(scale, out.dtype)
+    return out
+
+
+def _centered(arr: jax.Array, length: int) -> jax.Array:
+    # parity: audio_matcher.rs:460-464
+    start = (arr.shape[-1] - length) // 2
+    return arr[..., start : start + length]
+
+
+def correlate(
+    within,
+    sample,
+    mode: Mode = "valid",
+    scale: bool = False,
+) -> jax.Array:
+    """Scipy-compatible 1D cross-correlation with the reference's modes.
+
+    Parity: ``CorrelateAlgo::correlate_with_sample`` (audio_matcher.rs:65-76)
+    — Full = lags -(m-1)..n-1, Same = centered n, Valid = centered n-m+1
+    (audio_matcher.rs:450-456). ``scale`` multiplies by the snippet's inverse
+    autocorrelation (the production ``LibConvolve`` chain).
+    """
+    within = jnp.asarray(within, jnp.float32)
+    sample = jnp.asarray(sample, jnp.float32)
+    n, m = within.shape[-1], sample.shape[-1]
+    L = fft_length(n + m - 1)
+    x = jnp.fft.rfft(within, n=L)
+    s = jnp.fft.rfft(sample, n=L)
+    c = jnp.fft.irfft(x * jnp.conj(s), n=L)
+    # circular index k holds lag k (k ≥ 0) and lag k-L (k > L-m): rotate so
+    # the full output starts at lag -(m-1).
+    full = jnp.roll(c, m - 1, axis=-1)[..., : n + m - 1]
+    if mode == "full":
+        out = full
+    elif mode == "same":
+        out = _centered(full, n)
+    elif mode == "valid":
+        # saturating_sub parity for the degenerate n < m case
+        out = _centered(full, max(n - m, 0) + 1)
+    else:
+        raise ValueError(f"unknown mode {mode!r}")
+    if scale:
+        out = out / jnp.sum(sample * sample)
+    return out

@@ -1,0 +1,291 @@
+"""On-device peak picking: local maxima, distance suppression, prominence.
+
+TPU-native re-design of the reference's per-chunk ``find_peaks`` call
+(reference src/matcher/audio_matcher.rs:221-230: the ``find_peaks`` crate with
+``min_prominence`` + ``min_distance``, scipy-compatible semantics):
+
+  * local maxima           — vectorized strict-neighbor compare on the VPU
+  * min-distance filter    — iterated masked argmax: each round keeps the
+    highest remaining peak and suppresses everything within ``distance``
+    samples; this reproduces scipy's sort-by-height greedy exactly, because
+    the next argmax is precisely "the highest not-yet-deleted peak", and
+    runs as ``lax.scan`` over a small static number of rounds (there can be
+    at most ceil(window/distance)+1 survivors).
+  * topographic prominence — blockwise two-level search: per-block max/min
+    pyramids locate the nearest strictly-higher sample on each side and the
+    minimum of the spanned range without any sequential scan over the signal.
+
+Everything is batched over windows ([B, V]) so one jitted call handles a
+whole overlap-save slab. Prominence is window-local, like the reference
+(which computes prominence per chunk, then dedups across chunks —
+SURVEY.md §7 "hard parts (a)": preserved, not "fixed").
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_NEG = jnp.float32(-jnp.inf)
+_POS = jnp.float32(jnp.inf)
+
+
+@dataclasses.dataclass(frozen=True)
+class Peak:
+    """A match peak. ``position`` is the sample index where the snippet
+    starts; parity with ``find_peaks::Peak`` (position.start / prominence)."""
+
+    position: int
+    height: float
+    prominence: float
+
+    def start_secs(self, sr: int) -> float:
+        # parity: matcher/mod.rs:127-129 (start_as_duration)
+        return self.position / sr
+
+
+def _masked_rows(x: jax.Array, valid_len: jax.Array):
+    """Return (x_for_min [+inf pad], x_for_max [-inf pad], colvalid mask)."""
+    V = x.shape[-1]
+    cols = jnp.arange(V, dtype=jnp.int32)
+    colvalid = cols[None, :] < valid_len[:, None]
+    return (
+        jnp.where(colvalid, x, _POS),
+        jnp.where(colvalid, x, _NEG),
+        colvalid,
+    )
+
+
+def _local_max_heights(x: jax.Array, valid_len: jax.Array) -> jax.Array:
+    """Heights at strict local maxima, -inf elsewhere.
+
+    A peak needs two real neighbors inside the window's valid range (scipy
+    excludes signal edges; the reference inherits that per chunk).
+    """
+    B, V = x.shape
+    cols = jnp.arange(V, dtype=jnp.int32)
+    interior = (cols[None, :] >= 1) & (cols[None, :] <= valid_len[:, None] - 2)
+    up = jnp.concatenate(
+        [jnp.zeros((B, 1), bool), x[:, 1:] > x[:, :-1]], axis=1
+    )
+    down = jnp.concatenate(
+        [x[:, :-1] > x[:, 1:], jnp.zeros((B, 1), bool)], axis=1
+    )
+    return jnp.where(up & down & interior, x, _NEG)
+
+
+def _distance_suppress(y: jax.Array, distance: int, n_peaks: int):
+    """Iterated masked argmax = scipy's greedy-by-height distance filter.
+
+    Suppression removes peaks with |Δpos| < distance (strict, matching
+    scipy's ``_select_by_peak_distance``). Returns ([B,S] pos, [B,S] height);
+    exhausted slots have height -inf.
+    """
+    V = y.shape[-1]
+    cols = jnp.arange(V, dtype=jnp.int32)
+    d = max(int(distance), 1)
+
+    def body(y, _):
+        idx = jnp.argmax(y, axis=-1).astype(jnp.int32)
+        h = jnp.take_along_axis(y, idx[:, None], axis=-1)[:, 0]
+        supp = jnp.abs(cols[None, :] - idx[:, None]) < d
+        return jnp.where(supp, _NEG, y), (idx, h)
+
+    _, (pos, height) = jax.lax.scan(body, y, None, length=n_peaks)
+    return pos.T, height.T  # [B, S]
+
+
+def _prominences(x_min, x_max, pos, h, valid_len, block: int):
+    """Prominence for candidate peaks. x_min/x_max: [B, V] (+inf/-inf masked),
+    pos/h: [B, S]."""
+    B, V = x_min.shape
+    S = pos.shape[1]
+    NB = -(-V // block)
+    pad = NB * block - V
+    x3_min = jnp.pad(x_min, ((0, 0), (0, pad)), constant_values=np.inf).reshape(
+        B, NB, block
+    )
+    x3_max = jnp.pad(x_max, ((0, 0), (0, pad)), constant_values=-np.inf).reshape(
+        B, NB, block
+    )
+    block_min = x3_min.min(-1)  # [B, NB]
+    block_max = x3_max.max(-1)
+
+    pb = pos // block  # [B, S]
+    r = pos % block
+    batch_ix = jnp.arange(B)[:, None]
+    own_min = x3_min[batch_ix, pb]  # [B, S, block]
+    own_max = x3_max[batch_ix, pb]
+    bcols = jnp.arange(block, dtype=jnp.int32)
+    bidx = jnp.arange(NB, dtype=jnp.int32)
+
+    def side(left: bool):
+        if left:
+            in_sel = bcols[None, None, :] < r[..., None]
+            blk_sel = bidx[None, None, :] < pb[..., None]
+            nearest = lambda m, v, fill: jnp.max(
+                jnp.where(m, v, fill), axis=-1
+            )
+            in_fill, blk_fill = -1, -1
+        else:
+            in_sel = bcols[None, None, :] > r[..., None]
+            blk_sel = bidx[None, None, :] > pb[..., None]
+            nearest = lambda m, v, fill: jnp.min(
+                jnp.where(m, v, fill), axis=-1
+            )
+            in_fill, blk_fill = block, NB
+
+        hx = h[..., None]
+        # nearest strictly-higher sample within the peak's own block
+        in_mask = in_sel & (own_max > hx)
+        found_in = jnp.any(in_mask, axis=-1)
+        j_in = nearest(in_mask, bcols[None, None, :], in_fill)
+        # nearest block (beyond the own block) containing a higher sample
+        blk_mask = blk_sel & (block_max[:, None, :] > hx)
+        found_blk = jnp.any(blk_mask, axis=-1)
+        j_blk = nearest(blk_mask, bidx[None, None, :], blk_fill)
+        j_blk_c = jnp.clip(j_blk, 0, NB - 1)
+        far_min = x3_min[batch_ix, j_blk_c]  # [B, S, block]
+        far_max = x3_max[batch_ix, j_blk_c]
+        # position of the higher sample inside the far block
+        far_mask = far_max > hx
+        j_far = nearest(far_mask, bcols[None, None, :], in_fill)
+
+        if left:
+            # min over (j, pos] assembled from up to three pieces
+            minA = jnp.min(
+                jnp.where(
+                    (bcols[None, None, :] > j_in[..., None]) & (bcols[None, None, :] <= r[..., None]),
+                    own_min, _POS,
+                ), axis=-1,
+            )
+            part_far = jnp.min(
+                jnp.where(bcols[None, None, :] > j_far[..., None], far_min, _POS),
+                axis=-1,
+            )
+            between = (bidx[None, None, :] > j_blk[..., None]) & (
+                bidx[None, None, :] < pb[..., None]
+            )
+            part_mid = jnp.min(
+                jnp.where(between, block_min[:, None, :], _POS), axis=-1
+            )
+            part_own = jnp.min(
+                jnp.where(bcols[None, None, :] <= r[..., None], own_min, _POS),
+                axis=-1,
+            )
+            edge_mid = jnp.min(
+                jnp.where(bidx[None, None, :] < pb[..., None], block_min[:, None, :], _POS),
+                axis=-1,
+            )
+            minB = jnp.minimum(jnp.minimum(part_far, part_mid), part_own)
+            minC = jnp.minimum(edge_mid, part_own)
+        else:
+            minA = jnp.min(
+                jnp.where(
+                    (bcols[None, None, :] < j_in[..., None]) & (bcols[None, None, :] >= r[..., None]),
+                    own_min, _POS,
+                ), axis=-1,
+            )
+            part_far = jnp.min(
+                jnp.where(bcols[None, None, :] < j_far[..., None], far_min, _POS),
+                axis=-1,
+            )
+            between = (bidx[None, None, :] < j_blk[..., None]) & (
+                bidx[None, None, :] > pb[..., None]
+            )
+            part_mid = jnp.min(
+                jnp.where(between, block_min[:, None, :], _POS), axis=-1
+            )
+            part_own = jnp.min(
+                jnp.where(bcols[None, None, :] >= r[..., None], own_min, _POS),
+                axis=-1,
+            )
+            edge_mid = jnp.min(
+                jnp.where(bidx[None, None, :] > pb[..., None], block_min[:, None, :], _POS),
+                axis=-1,
+            )
+            minB = jnp.minimum(jnp.minimum(part_far, part_mid), part_own)
+            minC = jnp.minimum(edge_mid, part_own)
+
+        return jnp.where(found_in, minA, jnp.where(found_blk, minB, minC))
+
+    left_base = side(left=True)
+    right_base = side(left=False)
+    return h - jnp.maximum(left_base, right_base)
+
+
+@partial(jax.jit, static_argnames=("distance", "n_peaks", "block"))
+def pick_peaks_batch(
+    x: jax.Array,
+    valid_len: jax.Array,
+    distance: int,
+    n_peaks: int,
+    block: int = 1024,
+):
+    """Find up to ``n_peaks`` distance-filtered peaks per window row.
+
+    x: [B, V] correlation scores; valid_len: [B] number of real columns.
+    Returns (pos [B,S] int32, height [B,S] f32, prominence [B,S] f32);
+    exhausted slots have height == -inf (drop them host-side). Prominence of
+    ALL returned candidates is computed (the min-prominence filter is applied
+    by the caller, preserving scipy's distance-then-prominence order).
+    """
+    x = x.astype(jnp.float32)
+    x_min, x_max, _ = _masked_rows(x, valid_len)
+    y = _local_max_heights(x_max, valid_len)
+    pos, height = _distance_suppress(y, distance, n_peaks)
+    prom = _prominences(x_min, x_max, jnp.clip(pos, 0), height, valid_len, block)
+    return pos, height, prom
+
+
+def find_peaks_device(
+    x: np.ndarray,
+    distance: int = 1,
+    min_prominence: float = 0.0,
+    n_peaks: int | None = None,
+    block: int = 1024,
+) -> list[Peak]:
+    """Single-signal convenience wrapper (used by tests and the library API).
+
+    Semantics follow scipy.signal.find_peaks(distance=, prominence=):
+    strict local maxima, greedy-by-height distance suppression, prominence
+    threshold applied last.
+    """
+    x = np.asarray(x, np.float32)
+    V = x.shape[-1]
+    if n_peaks is None:
+        # at most ceil(V/distance)+1 peaks can survive distance suppression
+        n_peaks = min(V // max(int(distance), 1) + 2, max(V // 2, 2))
+    if n_peaks > 256:
+        # dense-peak regime (tiny min-distance): the iterated-argmax device
+        # path would need thousands of rounds; scipy implements exactly the
+        # semantics we emulate, so use it host-side for this cold path.
+        import scipy.signal
+
+        kwargs = {"distance": distance} if distance and distance > 1 else {}
+        idx, props = scipy.signal.find_peaks(
+            x.astype(np.float64), prominence=(float(min_prominence), None), **kwargs
+        )
+        return [
+            Peak(int(p), float(x[p]), float(pr))
+            for p, pr in zip(idx, props["prominences"])
+        ]
+    pos, h, prom = pick_peaks_batch(
+        jnp.asarray(x)[None, :],
+        jnp.asarray([V], jnp.int32),
+        distance=int(distance),
+        n_peaks=int(n_peaks),
+        block=block,
+    )
+    pos, h, prom = np.asarray(pos[0]), np.asarray(h[0]), np.asarray(prom[0])
+    out = [
+        Peak(int(p), float(hh), float(pr))
+        for p, hh, pr in zip(pos, h, prom)
+        if np.isfinite(hh) and pr >= min_prominence
+    ]
+    out.sort(key=lambda pk: pk.position)
+    return out

@@ -1,0 +1,117 @@
+"""End-to-end snippet-matching tests on synthetic audio.
+
+Mirrors the reference's ``short_calc_peaks`` end-to-end test
+(audio_matcher.rs:528-577: known snippet found at fixed offsets) but on
+generated fixtures, since the reference's res/local assets are private
+(SURVEY.md §4 fixture tiers).
+"""
+
+import numpy as np
+import pytest
+
+from audio_matcher_tpu.models import MatchConfig, SnippetMatcher, calc_chunks
+from audio_matcher_tpu.models.matcher import overshadow_filter
+from audio_matcher_tpu.ops.peaks import Peak
+
+SR = 8000
+
+
+def make_episode(rng, secs, snippet, offsets_secs, gains=None):
+    episode = (rng.standard_normal(int(secs * SR)) * 0.05).astype(np.float32)
+    gains = gains or [1.0] * len(offsets_secs)
+    for off, g in zip(offsets_secs, gains):
+        i = int(off * SR)
+        episode[i : i + len(snippet)] = g * snippet
+    return episode
+
+
+@pytest.fixture
+def snippet(rng):
+    # band-limited noise snippet, 4 s
+    x = rng.standard_normal(4 * SR)
+    k = np.hanning(9)
+    return np.convolve(x, k / k.sum(), mode="same").astype(np.float32) * 0.2
+
+
+def test_finds_embedded_snippet_exact_offsets(rng, snippet):
+    episode = make_episode(rng, 130, snippet, [21, 100])
+    cfg = MatchConfig(chunk_secs=10, distance_secs=30, slab=4)
+    peaks = calc_chunks(SR, episode, snippet, scale=True, config=cfg)
+    assert [p.position for p in peaks] == [21 * SR, 100 * SR]
+    for p in peaks:
+        assert p.height == pytest.approx(1.0, abs=0.05)
+        assert p.prominence > cfg.min_prominence
+    # 21 s is chunk-interior → full prominence; 100 s sits exactly on a hop
+    # boundary, where window-local prominence is edge-squashed (preserved
+    # reference behavior, SURVEY.md §7 hard part (a))
+    assert peaks[0].prominence > 0.5
+
+
+def test_overlap_region_peak_found_once(rng, snippet):
+    # place the match right at a chunk boundary (chunk=10 s → boundary 30 s)
+    episode = make_episode(rng, 70, snippet, [29.5])
+    cfg = MatchConfig(chunk_secs=10, distance_secs=30, slab=4)
+    peaks = calc_chunks(SR, episode, snippet, scale=True, config=cfg)
+    assert len(peaks) == 1
+    assert peaks[0].position == int(29.5 * SR)
+
+
+def test_tail_window_shorter_than_chunk(rng, snippet):
+    # episode length not a multiple of chunk; match sits in the short tail
+    episode = make_episode(rng, 47.3, snippet, [41])
+    cfg = MatchConfig(chunk_secs=10, distance_secs=30, slab=4)
+    peaks = calc_chunks(SR, episode, snippet, scale=True, config=cfg)
+    assert [p.position for p in peaks] == [41 * SR]
+
+
+def test_n_samples_resize_truncates(rng, snippet):
+    episode = make_episode(rng, 60, snippet, [10, 50])
+    cfg = MatchConfig(chunk_secs=10, distance_secs=30, slab=4)
+    peaks = calc_chunks(
+        SR, episode, snippet, config=cfg, n_samples=int(30 * SR)
+    )
+    # the 50 s match lies beyond the resized stream
+    assert [p.position for p in peaks] == [10 * SR]
+
+
+def test_quieter_copy_overshadowed_within_distance(rng, snippet):
+    # two copies 20 s apart with distance 30 s: the louder one wins
+    episode = make_episode(rng, 60, snippet, [15, 35], gains=[1.0, 0.4])
+    cfg = MatchConfig(chunk_secs=10, distance_secs=30, slab=4)
+    peaks = calc_chunks(SR, episode, snippet, config=cfg)
+    assert [p.position for p in peaks] == [15 * SR]
+
+
+def test_both_kept_beyond_distance(rng, snippet):
+    episode = make_episode(rng, 90, snippet, [15, 70], gains=[1.0, 0.4])
+    cfg = MatchConfig(chunk_secs=10, distance_secs=30, slab=4)
+    peaks = calc_chunks(SR, episode, snippet, config=cfg)
+    assert [p.position for p in peaks] == [15 * SR, 70 * SR]
+
+
+def test_overshadow_filter_semantics():
+    # parity: the reference's overshadow unit tests (audio_matcher.rs:187-218)
+    p_low = Peak(position=1, height=0.7, prominence=0.2)
+    p_big = Peak(position=3, height=1.0, prominence=1.0)
+    p_mid = Peak(position=5, height=0.8, prominence=0.3)
+    sr = 1
+    # distance 3 s: both neighbours die; distance 2 s: all survive
+    assert overshadow_filter([p_low, p_big, p_mid], sr, 3.0) == [p_big]
+    assert overshadow_filter([p_low, p_big, p_mid], sr, 2.0) == [
+        p_low, p_big, p_mid,
+    ]
+    # nothing overshadows the most prominent peak
+    assert p_big in overshadow_filter([p_low, p_big, p_mid], sr, 6.0)
+    # equal prominence does NOT overshadow (strict comparison)
+    q1 = Peak(position=1, height=0.5, prominence=0.5)
+    q2 = Peak(position=2, height=0.5, prominence=0.5)
+    assert overshadow_filter([q1, q2], sr, 6.0) == [q1, q2]
+
+
+def test_matcher_object_reusable_across_episodes(rng, snippet):
+    cfg = MatchConfig(chunk_secs=10, distance_secs=30, slab=4)
+    matcher = SnippetMatcher(snippet, SR, cfg)
+    for offs in ([7], [13, 44]):
+        episode = make_episode(rng, 60, snippet, offs)
+        got = [p.position for p in matcher.match(episode)]
+        assert got == [int(o * SR) for o in offs]
