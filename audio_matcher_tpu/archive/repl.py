@@ -1,0 +1,104 @@
+"""Archive REPL + command loop (L5/L7).
+
+Parity: reference src/archive/mod.rs — non-interactive default prints the
+whole archive (``List`` with tab indent, chapters on, missing off); ``-i``
+starts a ``$>`` loop whose commands are parsed shell-words-style by the
+same parser that defines the CLI (``exit``, ``reload [path]``,
+``list [indent] [-c] [-m]``, ``rename`` stub).
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import shlex
+from pathlib import Path
+
+from .data import Archive
+
+log = logging.getLogger("audio_matcher.archive")
+
+
+class CommandError(ValueError):
+    pass
+
+
+class _Parser(argparse.ArgumentParser):
+    def error(self, message):  # don't sys.exit inside the REPL
+        raise CommandError(message)
+
+
+def command_parser() -> argparse.ArgumentParser:
+    p = _Parser(prog="", add_help=True, exit_on_error=False)
+    sub = p.add_subparsers(dest="command", required=True)
+    sub.add_parser("exit")
+    reload_p = sub.add_parser("reload")
+    reload_p.add_argument("path", nargs="?", type=Path)
+    list_p = sub.add_parser("list")
+    list_p.add_argument("indent", nargs="?", default="\t")
+    list_p.add_argument(
+        "-c", "--print-chapters", dest="print_all", action="store_true"
+    )
+    list_p.add_argument(
+        "-m", "--print-missing", dest="print_missing", action="store_true"
+    )
+    sub.add_parser("rename")
+    return p
+
+
+def parse_command(line: str) -> argparse.Namespace:
+    words = shlex.split(line)
+    try:
+        return command_parser().parse_args(words)
+    except SystemExit as exc:  # argparse help paths
+        raise CommandError(str(exc)) from exc
+
+
+class Holder:
+    """Archive + path pair driving the command loop (archive/mod.rs:30-64)."""
+
+    def __init__(self, path: Path):
+        self.path = Path(path)
+        self.archive = Archive.read(self.path)
+
+    def work_command(self, ns: argparse.Namespace) -> bool:
+        """Execute one command; returns False when the loop should stop."""
+        if ns.command == "exit":
+            return False
+        if ns.command == "reload":
+            self.archive = Archive.read(ns.path or self.path)
+        elif ns.command == "list":
+            print(
+                self.archive.display(
+                    indent=ns.indent,
+                    print_index=False,
+                    print_all=ns.print_all,
+                    print_missing=ns.print_missing,
+                )
+            )
+        elif ns.command == "rename":
+            print("coming soon")
+        return True
+
+    def repl(self) -> None:
+        while True:
+            try:
+                line = input("$> ")
+            except EOFError:
+                return
+            if not line.strip():
+                continue
+            try:
+                ns = parse_command(line)
+            except CommandError as exc:
+                log.warning("%s", exc)
+                continue
+            if not self.work_command(ns):
+                return
+
+    def list_all(self) -> None:
+        self.work_command(
+            argparse.Namespace(
+                command="list", indent="\t", print_all=True, print_missing=False
+            )
+        )

@@ -1,0 +1,166 @@
+"""``audio-matcher`` — batch snippet-matching CLI (L3/L7).
+
+Parity: reference src/matcher/mod.rs (``run``) + src/matcher/args.rs
+(flag surface): scan ``within`` files for a ``--snippet``, log offsets as
+``Offset i: hh:mm:ss with prominence p`` and write an Audacity label track
+(`Segment #i`, +7 s start delay) next to each input.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+from pathlib import Path
+
+from ..hostio.decode import audio_duration, read_audio
+from ..hostio.labels import timelabel_from_peaks, write_labels
+from ..models.matcher import (
+    DEFAULT_CHUNK_SECS,
+    DEFAULT_DISTANCE_SECS,
+    DEFAULT_PROMINENCE,
+    MatchConfig,
+    SnippetMatcher,
+)
+from ..utils.durations import fmt_hms, parse_duration
+from ..utils.progressbar import Progress
+from . import common
+
+log = logging.getLogger("audio_matcher.cli")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="audio-matcher",
+        description="find snippets (intros/outros/jingles) inside recordings "
+        "via TPU-accelerated FFT cross-correlation",
+    )
+    p.add_argument(
+        "within", nargs="*", type=Path, metavar="FILE",
+        help="file in which samples are searched",
+    )
+    p.add_argument(
+        "--snippet", type=Path, required=True, metavar="FILE",
+        help="snippet to be found in file",
+    )
+    p.add_argument(
+        "-p", "--prominence", type=float, default=DEFAULT_PROMINENCE,
+        help="minimum prominence of the peaks (scored /100)",
+    )
+    p.add_argument(
+        "--distance", type=parse_duration, default=DEFAULT_DISTANCE_SECS,
+        metavar="SECONDS", help="minimum distance between matches in seconds",
+    )
+    p.add_argument(
+        "--chunk-size", type=parse_duration, default=DEFAULT_CHUNK_SECS,
+        metavar="SECONDS", help="length in seconds of chunks to be processed",
+    )
+    p.add_argument("--fancy-bar", action="store_true", help="use fancy bar")
+    p.add_argument("--dry-run", action="store_true")
+    p.add_argument("--skip-existing", action="store_true")
+    out = p.add_mutually_exclusive_group()
+    out.add_argument(
+        "--no-out", action="store_true", help="generates no file with times"
+    )
+    out.add_argument(
+        "-o", "--out", type=Path, metavar="FILE",
+        help="file to save a text track",
+    )
+    common.add_inputs_args(p)
+    common.add_output_level_args(p)
+    return p
+
+
+def print_offsets(peaks, sr: int) -> None:
+    # parity: matcher/mod.rs:110-125
+    if not peaks:
+        log.info("no offsets found")
+    for i, peak in enumerate(peaks, start=1):
+        log.info(
+            "Offset %d: %s with prominence %s",
+            i, fmt_hms(peak.start_secs(sr)), peak.prominence,
+        )
+
+
+def run(args: argparse.Namespace) -> int:
+    inputs = common.Inputs.from_args(args)
+    if args.out is not None and len(args.within) != 1:
+        log.error("provided outfile only compatible with one main file")
+        return 1
+
+    log.debug("collecting snippet data")
+    sr, s_samples = read_audio(args.snippet)
+    s_duration = audio_duration(args.snippet)
+    config = MatchConfig(
+        chunk_secs=float(args.chunk_size),
+        distance_secs=float(args.distance),
+        prominence=args.prominence,
+        overlap_secs=s_duration,
+    )
+    matcher = SnippetMatcher(s_samples, sr, config)
+
+    level = logging.DEBUG if len(args.within) == 1 else logging.INFO
+
+    for main_file in args.within:
+        out_path = args.out
+        if out_path is None and not args.no_out:
+            out_path = main_file.with_suffix(".txt")
+        if out_path is not None and out_path.exists():
+            if args.skip_existing or inputs.ask_consent(
+                f"output file {out_path.name!r} already exists, skip this file?"
+            ):
+                continue
+            if not inputs.ask_consent("overwrite the existing file?"):
+                out_path = None
+
+        log.log(level, "preparing data of '%s'", main_file)
+        m_sr, m_samples = read_audio(main_file)
+        if sr != m_sr:
+            log.error(
+                "files have different samplerates (%s, %s); "
+                "use --chunk-size matched inputs or resample first",
+                sr, m_sr,
+            )
+            return 1
+
+        m_duration = audio_duration(main_file)
+        est_samples = int(m_duration * sr)
+        log.debug(
+            "duration is %ss with sr %s implying #%s samples",
+            m_duration, sr, est_samples,
+        )
+
+        n_windows = max(-(-est_samples // matcher.chunk), 1)
+        bar = Progress(n_windows, fancy=args.fancy_bar)
+
+        def progress(phase: str, _k: int) -> None:
+            (bar.start if phase == "start" else bar.finish)()
+
+        peaks = matcher.match(
+            m_samples, scale=True, n_samples=est_samples, progress=progress
+        )
+        print_offsets(peaks, sr)
+        log.debug("found peaks %s", peaks)
+
+        if out_path is not None:
+            log.debug("writing result to '%s'", out_path)
+            write_labels(
+                timelabel_from_peaks(peaks, sr, 7.0, "Segment #"),
+                out_path,
+                dry_run=args.dry_run,
+            )
+    return 0
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    common.init_logger(args)
+    try:
+        return run(args)
+    except Exception as exc:  # noqa: BLE001 — CLI boundary
+        log.error("Program error :'%s'", exc)
+        return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,659 @@
+"""Unified mp3(ID3v2) / opus(VorbisComment) tag layer (L1).
+
+Parity: reference src/worker/tagger.rs — a format-erased ``TaggedFile`` with
+typed field markers (Title/Artist/Album/Genre/Year/Track/TotalTracks/Disk/
+TotalDisks/Length), dirty tracking, ``save_changes``/``reload_empty``/
+``fill_all_from``, chapter comments for opus (``CHAPTERxxx`` +
+``CHAPTERxxxNAME``, hh:mm:ss.mmm), and Vorbis multi-key aliases
+(ARTIST/AUTHOR etc., tagger.rs:262-338). Both codecs are implemented here
+natively (no mutagen in the image): an ID3v2.3/2.4 reader + v2.4 writer,
+and an Ogg re-paginator that rewrites the OpusTags packet with correct page
+CRCs and sequence renumbering.
+
+Reference quirk preserved for file-format interop: the ``Length`` field is
+stored in WHOLE SECONDS in the mp3 TLEN frame (the reference writes
+``duration.as_secs()`` into the id3 duration field, tagger.rs:193) and in
+the opus DURATIONHINT comment.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import re
+import struct
+from pathlib import Path
+
+from ..utils.durations import fmt_hmsm
+
+log = logging.getLogger("audio_matcher.tagger")
+
+
+class TagError(RuntimeError):
+    pass
+
+
+class UnsupportedFormat(TagError):
+    def __init__(self, ext):
+        super().__init__(f"extension {ext!r} not supported")
+
+
+# ---------------------------------------------------------------- fields
+@dataclasses.dataclass(frozen=True)
+class Field:
+    key: str
+    pytype: type
+
+
+Title = Field("title", str)
+Artist = Field("artist", str)
+Album = Field("album", str)
+Genre = Field("genre", str)
+Year = Field("year", int)
+Track = Field("track", int)
+TotalTracks = Field("total_tracks", int)
+Disk = Field("disk", int)
+TotalDisks = Field("total_disks", int)
+Length = Field("length", float)  # seconds
+
+ALL_FIELDS = [
+    Title, Artist, Album, Genre, Year, Track,
+    TotalTracks, Disk, TotalDisks, Length,
+]
+
+
+# ---------------------------------------------------------------- ID3v2
+def _syncsafe(n: int) -> bytes:
+    return bytes(
+        [(n >> 21) & 0x7F, (n >> 14) & 0x7F, (n >> 7) & 0x7F, n & 0x7F]
+    )
+
+
+def _unsyncsafe(b: bytes) -> int:
+    return (b[0] << 21) | (b[1] << 14) | (b[2] << 7) | b[3]
+
+
+def _decode_text(data: bytes) -> str:
+    if not data:
+        return ""
+    enc, body = data[0], data[1:]
+    try:
+        if enc == 0:
+            text = body.decode("latin-1")
+        elif enc == 1:
+            text = body.decode("utf-16")
+        elif enc == 2:
+            text = body.decode("utf-16-be")
+        else:
+            text = body.decode("utf-8")
+    except UnicodeDecodeError:
+        text = body.decode("latin-1", errors="replace")
+    return text.rstrip("\x00")
+
+
+class Id3Tag:
+    """In-memory map of text frames; enough surface for the field layer."""
+
+    FRAME_BY_FIELD = {
+        "title": "TIT2",
+        "artist": "TPE1",
+        "album": "TALB",
+        "genre": "TCON",
+    }
+
+    def __init__(self):
+        self.frames: dict[str, str] = {}
+
+    # -- parsing ---------------------------------------------------------
+    @classmethod
+    def read(cls, path: Path) -> "Id3Tag":
+        data = path.read_bytes()
+        tag = cls()
+        if len(data) < 10 or data[:3] != b"ID3":
+            raise TagError("file has no Tag info")
+        major = data[3]
+        flags = data[5]
+        size = _unsyncsafe(data[6:10])
+        body = data[10 : 10 + size]
+        pos = 0
+        if flags & 0x40:  # extended header
+            if major == 4:
+                pos += _unsyncsafe(body[0:4])
+            else:
+                pos += 4 + struct.unpack(">I", body[0:4])[0]
+        while pos + 10 <= len(body):
+            fid = body[pos : pos + 4]
+            if fid == b"\x00\x00\x00\x00" or not fid.isalnum():
+                break
+            if major == 4:
+                fsize = _unsyncsafe(body[pos + 4 : pos + 8])
+            else:
+                fsize = struct.unpack(">I", body[pos + 4 : pos + 8])[0]
+            payload = body[pos + 10 : pos + 10 + fsize]
+            pos += 10 + fsize
+            fid_s = fid.decode("latin-1")
+            if fid_s.startswith("T"):
+                tag.frames[fid_s] = _decode_text(payload)
+        return tag
+
+    @staticmethod
+    def strip_tag(data: bytes) -> bytes:
+        """Remove a leading ID3v2 tag from raw file bytes."""
+        if len(data) >= 10 and data[:3] == b"ID3":
+            size = _unsyncsafe(data[6:10])
+            footer = 10 if data[5] & 0x10 else 0
+            return data[10 + size + footer :]
+        return data
+
+    def render(self) -> bytes:
+        """Serialize as ID3v2.4 with UTF-8 text frames."""
+        frames = b""
+        for fid, text in sorted(self.frames.items()):
+            if text is None or text == "":
+                continue
+            payload = b"\x03" + text.encode("utf-8")
+            frames += (
+                fid.encode("latin-1")
+                + _syncsafe(len(payload))
+                + b"\x00\x00"
+                + payload
+            )
+        return b"ID3\x04\x00\x00" + _syncsafe(len(frames)) + frames
+
+    # -- field access ----------------------------------------------------
+    def _pair(self, frame: str) -> tuple[int | None, int | None]:
+        raw = self.frames.get(frame, "")
+        if not raw:
+            return None, None
+        head, _, tail = raw.partition("/")
+        try:
+            first = int(head) if head else None
+        except ValueError:
+            first = None
+        try:
+            second = int(tail) if tail else None
+        except ValueError:
+            second = None
+        return first, second
+
+    def _set_pair(self, frame: str, first, second) -> None:
+        if first is None and second is None:
+            self.frames.pop(frame, None)
+        elif second is None:
+            self.frames[frame] = str(first)
+        else:
+            self.frames[frame] = f"{first if first is not None else ''}/{second}"
+
+    def get_field(self, field: Field):
+        k = field.key
+        if k in self.FRAME_BY_FIELD:
+            return self.frames.get(self.FRAME_BY_FIELD[k]) or None
+        if k == "year":
+            raw = self.frames.get("TDRC") or self.frames.get("TYER")
+            if raw:
+                m = re.match(r"-?\d+", raw)
+                return int(m.group()) if m else None
+            return None
+        if k == "track":
+            return self._pair("TRCK")[0]
+        if k == "total_tracks":
+            return self._pair("TRCK")[1]
+        if k == "disk":
+            return self._pair("TPOS")[0]
+        if k == "total_disks":
+            return self._pair("TPOS")[1]
+        if k == "length":
+            raw = self.frames.get("TLEN")
+            try:
+                return float(int(raw)) if raw else None
+            except ValueError:
+                return None
+        raise KeyError(k)
+
+    def set_field(self, field: Field, value) -> None:
+        k = field.key
+        if k in self.FRAME_BY_FIELD:
+            frame = self.FRAME_BY_FIELD[k]
+            if value is None:
+                self.frames.pop(frame, None)
+            else:
+                self.frames[frame] = str(value)
+        elif k == "year":
+            if value is None:
+                self.frames.pop("TDRC", None)
+                self.frames.pop("TYER", None)
+            else:
+                self.frames["TDRC"] = str(int(value))
+                self.frames["TYER"] = str(int(value))
+        elif k == "track":
+            self._set_pair("TRCK", value, self._pair("TRCK")[1])
+        elif k == "total_tracks":
+            self._set_pair("TRCK", self._pair("TRCK")[0], value)
+        elif k == "disk":
+            self._set_pair("TPOS", value, self._pair("TPOS")[1])
+        elif k == "total_disks":
+            self._set_pair("TPOS", self._pair("TPOS")[0], value)
+        elif k == "length":
+            if value is None:
+                self.frames.pop("TLEN", None)
+            else:
+                # reference interop: whole seconds (tagger.rs:193)
+                self.frames["TLEN"] = str(int(value))
+        else:
+            raise KeyError(k)
+
+    def set_chapter(self, index, time_secs, name=None):
+        # parity: the reference panics here too (tagger.rs:207-209)
+        raise NotImplementedError("chapters are not supported on mp3 tags")
+
+    def write(self, path: Path) -> None:
+        audio = Id3Tag.strip_tag(path.read_bytes())
+        path.write_bytes(self.render() + audio)
+
+    ext = "mp3"
+
+
+# ----------------------------------------------------------- Ogg / opus
+_OGG_CRC_TABLE = []
+
+
+def _ogg_crc(data: bytes) -> int:
+    if not _OGG_CRC_TABLE:
+        for i in range(256):
+            r = i << 24
+            for _ in range(8):
+                r = ((r << 1) ^ 0x04C11DB7 if r & 0x80000000 else r << 1) & 0xFFFFFFFF
+            _OGG_CRC_TABLE.append(r)
+    crc = 0
+    for b in data:
+        crc = ((crc << 8) & 0xFFFFFFFF) ^ _OGG_CRC_TABLE[((crc >> 24) & 0xFF) ^ b]
+    return crc
+
+
+@dataclasses.dataclass
+class _OggPage:
+    header_type: int
+    granule: int
+    serial: int
+    seq: int
+    segments: list[bytes]
+    lacing: list[int]
+
+    def render(self, seq: int | None = None) -> bytes:
+        seq = self.seq if seq is None else seq
+        body = b"".join(self.segments)
+        page = bytearray()
+        page += b"OggS\x00"
+        page.append(self.header_type)
+        page += struct.pack("<q", self.granule)
+        page += struct.pack("<I", self.serial)
+        page += struct.pack("<I", seq)
+        page += b"\x00\x00\x00\x00"
+        page.append(len(self.lacing))
+        page += bytes(self.lacing)
+        page += body
+        crc = _ogg_crc(bytes(page))
+        page[22:26] = struct.pack("<I", crc)
+        return bytes(page)
+
+
+def _ogg_parse_pages(data: bytes) -> list[_OggPage]:
+    pages = []
+    off = 0
+    while off + 27 <= len(data):
+        if data[off : off + 4] != b"OggS":
+            off += 1
+            continue
+        header_type = data[off + 5]
+        granule = struct.unpack("<q", data[off + 6 : off + 14])[0]
+        serial = struct.unpack("<I", data[off + 14 : off + 18])[0]
+        seq = struct.unpack("<I", data[off + 18 : off + 22])[0]
+        nsegs = data[off + 26]
+        lacing = list(data[off + 27 : off + 27 + nsegs])
+        body_off = off + 27 + nsegs
+        segs = []
+        p = body_off
+        for l in lacing:
+            segs.append(data[p : p + l])
+            p += l
+        pages.append(_OggPage(header_type, granule, serial, seq, segs, lacing))
+        off = p
+    return pages
+
+
+def _pages_to_packets(pages: list[_OggPage]) -> list[bytes]:
+    packets = []
+    cur = b""
+    for page in pages:
+        for seg, l in zip(page.segments, page.lacing):
+            cur += seg
+            if l < 255:
+                packets.append(cur)
+                cur = b""
+    if cur:
+        packets.append(cur)
+    return packets
+
+
+def _make_pages_for_packet(
+    packet: bytes, serial: int, seq_start: int
+) -> list[_OggPage]:
+    """Paginate one packet (no BOS/EOS, granule 0 — header packet rules)."""
+    lacing = [255] * (len(packet) // 255) + [len(packet) % 255]
+    pages = []
+    # max 255 lacing values per page
+    pos = 0
+    li = 0
+    seq = seq_start
+    while li < len(lacing):
+        chunk = lacing[li : li + 255]
+        length = sum(chunk)
+        segs = []
+        p = pos
+        for l in chunk:
+            segs.append(packet[p : p + l])
+            p += l
+        header_type = 0x01 if li > 0 else 0x00  # continuation flag
+        pages.append(_OggPage(header_type, 0, serial, seq, segs, chunk))
+        pos = p
+        li += 255
+        seq += 1
+    return pages
+
+
+class OpusTag:
+    """VorbisComment access over an Ogg/Opus file.
+
+    Key aliases follow the reference's table (tagger.rs:262-277): reads try
+    each alias in order; writes replace the first existing alias occurrence
+    or add under the primary key; removes drop all aliases.
+    """
+
+    KEYS = {
+        "title": ["TITLE"],
+        "artist": ["ARTIST", "AUTHOR"],
+        "album": ["ALBUM"],
+        "genre": ["GENRE"],
+        "disk": ["DISKNUMBER"],
+        "track": ["TRACKNUMBER"],
+        "year": ["YEAR"],
+        "total_disks": ["TOTALDISCS", "DISCTOTAL"],
+        "total_tracks": ["TOTALTRACKS", "TRACKTOTAL"],
+        "length": ["DURATIONHINT", "DURATION"],
+    }
+
+    def __init__(self, vendor: str = "audio_matcher_tpu"):
+        self.vendor = vendor
+        self.comments: list[tuple[str, str]] = []
+
+    # -- packet codec ----------------------------------------------------
+    @classmethod
+    def from_packet(cls, packet: bytes) -> "OpusTag":
+        if packet[:8] != b"OpusTags":
+            raise TagError("not an OpusTags packet")
+        tag = cls.__new__(cls)
+        pos = 8
+        (vlen,) = struct.unpack_from("<I", packet, pos)
+        pos += 4
+        tag.vendor = packet[pos : pos + vlen].decode("utf-8", "replace")
+        pos += vlen
+        (n,) = struct.unpack_from("<I", packet, pos)
+        pos += 4
+        tag.comments = []
+        for _ in range(n):
+            (clen,) = struct.unpack_from("<I", packet, pos)
+            pos += 4
+            raw = packet[pos : pos + clen].decode("utf-8", "replace")
+            pos += clen
+            key, _, value = raw.partition("=")
+            tag.comments.append((key, value))
+        return tag
+
+    def to_packet(self) -> bytes:
+        out = b"OpusTags"
+        vend = self.vendor.encode("utf-8")
+        out += struct.pack("<I", len(vend)) + vend
+        out += struct.pack("<I", len(self.comments))
+        for key, value in self.comments:
+            raw = f"{key}={value}".encode("utf-8")
+            out += struct.pack("<I", len(raw)) + raw
+        return out
+
+    # -- comment access --------------------------------------------------
+    def find_all(self, keys: list[str]) -> list[str]:
+        keyset = {k.upper() for k in keys}
+        return [v for k, v in self.comments if k.upper() in keyset]
+
+    def get_first(self, field_key: str) -> str | None:
+        values = self.find_all(self.KEYS[field_key])
+        if len(values) >= 2:
+            log.warning("more than one comment for %s: %s", field_key, values)
+        return values[0] if values else None
+
+    def set_first(self, field_key: str, value: str) -> None:
+        keys = self.KEYS[field_key]
+        keyset = {k.upper() for k in keys}
+        existing = [i for i, (k, _) in enumerate(self.comments) if k.upper() in keyset]
+        if len(existing) == 1:
+            del self.comments[existing[0]]
+        elif len(existing) > 1:
+            log.warning("multiple comments for %s, appending", field_key)
+        self.comments.append((keys[0], str(value)))
+
+    def remove_all(self, field_key: str) -> None:
+        keyset = {k.upper() for k in self.KEYS[field_key]}
+        self.comments = [
+            (k, v) for k, v in self.comments if k.upper() not in keyset
+        ]
+
+    # -- field layer -----------------------------------------------------
+    def get_field(self, field: Field):
+        k = field.key
+        raw = self.get_first(k)
+        if raw is None:
+            return None
+        if k == "track":
+            head = raw.split("/")[0]
+            try:
+                return int(head)
+            except ValueError:
+                return None
+        if k == "total_tracks":
+            try:
+                return int(raw)
+            except ValueError:
+                return None
+        if k in ("year", "disk", "total_disks"):
+            try:
+                return int(raw)
+            except ValueError:
+                return None
+        if k == "length":
+            try:
+                return float(int(raw))
+            except ValueError:
+                return None
+        return raw
+
+    def get_field_fallback(self, field: Field):
+        # TRACKNUMBER "n/total" fallback for total_tracks (tagger.rs:367-375)
+        if field.key == "total_tracks":
+            raw = self.get_first("track")
+            if raw and "/" in raw:
+                try:
+                    return int(raw.split("/")[1])
+                except ValueError:
+                    return None
+        return None
+
+    def set_field(self, field: Field, value) -> None:
+        k = field.key
+        if value is None:
+            self.remove_all(k)
+            return
+        if k == "length":
+            value = int(value)  # whole seconds, reference interop
+        self.set_first(k, str(value))
+
+    def set_chapter(self, index: int, time_secs: float, name: str | None) -> None:
+        self.comments.append((f"CHAPTER{index:03}", fmt_hmsm(time_secs)))
+        if name is not None:
+            self.comments.append((f"CHAPTER{index:03}NAME", name))
+
+    def get_chapters(self) -> list[tuple[int, str, str | None]]:
+        chapters = []
+        names = {}
+        for k, v in self.comments:
+            m = re.fullmatch(r"CHAPTER(\d{3})NAME", k.upper())
+            if m:
+                names[int(m.group(1))] = v
+        for k, v in self.comments:
+            m = re.fullmatch(r"CHAPTER(\d{3})", k.upper())
+            if m:
+                idx = int(m.group(1))
+                chapters.append((idx, v, names.get(idx)))
+        return chapters
+
+    # -- file io ---------------------------------------------------------
+    @classmethod
+    def read(cls, path: Path) -> "OpusTag":
+        pages = _ogg_parse_pages(path.read_bytes())
+        packets = _pages_to_packets(pages)
+        if len(packets) < 2 or packets[0][:8] != b"OpusHead":
+            raise TagError(f"{path} is not an opus stream")
+        return cls.from_packet(packets[1])
+
+    def write(self, path: Path) -> None:
+        data = path.read_bytes()
+        pages = _ogg_parse_pages(data)
+        if not pages:
+            raise TagError(f"{path} has no ogg pages")
+        serial = pages[0].serial
+        # pages holding the OpusTags packet: from page 1 until the packet
+        # terminates (a lacing value < 255)
+        tags_end = 1
+        for i, page in enumerate(pages[1:], start=1):
+            tags_end = i + 1
+            if page.lacing and page.lacing[-1] < 255:
+                break
+        new_tag_pages = _make_pages_for_packet(self.to_packet(), serial, 1)
+        out = bytearray()
+        out += pages[0].render()
+        seq = 1
+        for page in new_tag_pages:
+            out += page.render(seq)
+            seq += 1
+        for page in pages[tags_end:]:
+            out += page.render(seq)
+            seq += 1
+        path.write_bytes(bytes(out))
+
+    ext = "opus"
+
+
+# ------------------------------------------------------------ TaggedFile
+def _format_for(path: Path):
+    ext = path.suffix.lower().lstrip(".")
+    if ext == "mp3":
+        return Id3Tag
+    if ext == "opus":
+        return OpusTag
+    raise UnsupportedFormat(ext or None)
+
+
+class TaggedFile:
+    """Format-erased tag handle with dirty tracking.
+
+    Parity: tagger.rs:505-673 (``TaggedFile``). ``save_changes`` persists
+    only when dirty (or forced); ``reload_empty`` re-reads the file and
+    fills currently-empty fields; ``fill_all_from`` copies missing fields
+    from another handle.
+    """
+
+    def __init__(self, inner, path: Path):
+        self._inner = inner
+        self.path = Path(path)
+        self.was_changed = False
+
+    # -- constructors ----------------------------------------------------
+    @classmethod
+    def from_path(cls, path, default_empty: bool = False) -> "TaggedFile":
+        path = Path(path)
+        fmt = _format_for(path)
+        try:
+            inner = fmt.read(path)
+        except TagError:
+            if not default_empty:
+                raise
+            log.debug("file %s didn't have tags, using empty", path)
+            inner = fmt()
+        except FileNotFoundError:
+            if not default_empty:
+                raise
+            inner = fmt()
+        return cls(inner, path)
+
+    @classmethod
+    def new_empty(cls, path) -> "TaggedFile":
+        path = Path(path)
+        return cls(_format_for(path)(), path)
+
+    # -- accessors -------------------------------------------------------
+    def get(self, field: Field):
+        value = self._inner.get_field(field)
+        if value is None and hasattr(self._inner, "get_field_fallback"):
+            value = self._inner.get_field_fallback(field)
+        return value
+
+    def set(self, field: Field, value) -> None:
+        if self.get(field) == value:
+            return
+        self._inner.set_field(field, value)
+        self.was_changed = True
+
+    def set_chapter(self, index: int, time_secs: float, name=None) -> None:
+        self._inner.set_chapter(index, time_secs, name)
+        self.was_changed = True
+
+    def fill_from(self, field: Field, other: "TaggedFile") -> None:
+        if self.get(field) is not None:
+            return
+        val = other.get(field)
+        if val is not None:
+            self.set(field, val)
+
+    def fill_all_from(self, other: "TaggedFile") -> None:
+        for field in ALL_FIELDS:
+            self.fill_from(field, other)
+
+    @property
+    def ext(self) -> str:
+        return self._inner.ext
+
+    # -- persistence -----------------------------------------------------
+    def save_changes(self, force_save: bool = False) -> bool:
+        if not (force_save or self.was_changed):
+            return False
+        self._inner.write(self.path)
+        self.was_changed = False
+        return True
+
+    def reload(self, default_empty: bool = False) -> None:
+        self.was_changed = False
+        self._inner = TaggedFile.from_path(self.path, default_empty)._inner
+
+    def reload_empty(self) -> None:
+        self.fill_all_from(TaggedFile.from_path(self.path, default_empty=True))
+
+    def drop_changes(self) -> None:
+        self.was_changed = False
+
+    def file_moved(self, new_path) -> None:
+        self.path = Path(new_path)
+
+    def __del__(self):  # save-on-drop parity (tagger.rs:675-683)
+        try:
+            if self.save_changes(False):
+                log.debug("saved tags for %s", self.path)
+        except Exception as exc:  # noqa: BLE001
+            log.error("failed to save %s with %s", self.path, exc)

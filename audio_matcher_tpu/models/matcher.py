@@ -35,7 +35,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.correlate import PreparedSnippet, fft_length, prepare_snippet
-from ..ops.peaks import Peak, pick_peaks_batch
+from ..ops.peaks import Peak, pick_peaks_batch, pick_peaks_core
 
 log = logging.getLogger("audio_matcher.matcher")
 
@@ -84,6 +84,50 @@ def _match_slab(
     c = c * inv_ac
     return pick_peaks_batch(
         c, valid_out_len, distance=distance, n_peaks=n_peaks, block=block
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "chunk", "window", "m", "fft_len", "valid_max",
+        "distance", "n_peaks", "block", "slab",
+    ),
+)
+def _match_slab_resident(
+    episode,  # [Npad] f32 — device-resident, transferred once per episode
+    n,  # scalar i32 — true stream length
+    base,  # scalar i32 — first window index of this slab (traced: no recompile)
+    sample_f,  # [F] complex64
+    inv_ac,  # scalar f32
+    chunk: int,
+    window: int,
+    m: int,
+    fft_len: int,
+    valid_max: int,
+    distance: int,
+    n_peaks: int,
+    block: int,
+    slab: int,
+):
+    """Device-side overlap-save windowing + correlate + peak pick.
+
+    The episode lives in HBM; each slab gathers its windows with
+    ``dynamic_slice`` instead of shipping overlapped copies from the host
+    (HBM-bandwidth-friendly: the host→device link only ever sees the flat
+    stream once).
+    """
+    starts = (base + jnp.arange(slab, dtype=jnp.int32)) * chunk
+    windows = jax.vmap(
+        lambda s: jax.lax.dynamic_slice(episode, (s,), (window,))
+    )(starts)
+    win_len = jnp.clip(n - starts, 0, window)
+    valid = jnp.maximum(win_len - m + 1, 0).astype(jnp.int32)
+    x = jnp.fft.rfft(windows, n=fft_len)
+    c = jnp.fft.irfft(x * jnp.conj(sample_f), n=fft_len)[..., :valid_max]
+    c = c * inv_ac
+    return pick_peaks_core(
+        c, valid, distance=distance, n_peaks=n_peaks, block=block
     )
 
 
@@ -188,40 +232,45 @@ class SnippetMatcher:
         inv_ac = np.float32(self.snippet.inv_autocorr if scale else 1.0)
         B = cfg.slab
 
-        pending = []  # (chunk_index_base, device result) — async pipeline
-        buf = np.zeros((B, self.window), np.float32)
-        valid = np.zeros(B, np.int32)
-        for base in range(0, n_windows, B):
-            buf[:] = 0.0
-            valid[:] = 0
-            for r in range(min(B, n_windows - base)):
-                k = base + r
-                win = samples[k * self.chunk : k * self.chunk + self.window]
-                buf[r, : len(win)] = win
-                valid[r] = max(len(win) - m + 1, 0)
-                if progress:
-                    progress("start", k)
-            res = _match_slab(
-                jnp.asarray(buf),
+        # bucket the padded window count so compiled program shapes are
+        # reused across similarly-sized episodes
+        n_windows_pad = -(-n_windows // B) * B
+        n_pad = n_windows_pad * self.chunk + self.overlap
+        padded = np.zeros(n_pad, np.float32)
+        padded[:n] = samples
+        episode_dev = jax.device_put(padded)
+
+        pending = []  # (window_index_base, device result) — async pipeline
+        for base in range(0, n_windows_pad, B):
+            if progress:
+                for r in range(min(B, n_windows - base)):
+                    progress("start", base + r)
+            res = _match_slab_resident(
+                episode_dev,
+                np.int32(n),
+                np.int32(base),
                 self._sample_f,
                 inv_ac,
-                jnp.asarray(valid),
+                chunk=self.chunk,
+                window=self.window,
+                m=m,
                 fft_len=self.fft_len,
                 valid_max=self.valid,
                 distance=self.distance_samples,
                 n_peaks=self.n_peaks,
                 block=cfg.block,
+                slab=B,
             )
-            pending.append((base, valid.copy(), res))
+            pending.append((base, res))
 
         candidates: list[Peak] = []
-        for base, valid_host, (pos, h, prom) in pending:
+        for base, (pos, h, prom) in pending:
             pos = np.asarray(pos)
             h = np.asarray(h)
             prom = np.asarray(prom)
             for r in range(pos.shape[0]):
                 k = base + r
-                if valid_host[r] <= 0:
+                if k >= n_windows:
                     continue
                 for s in range(pos.shape[1]):
                     if np.isfinite(h[r, s]) and prom[r, s] >= cfg.min_prominence:

@@ -218,6 +218,22 @@ def _prominences(x_min, x_max, pos, h, valid_len, block: int):
     return h - jnp.maximum(left_base, right_base)
 
 
+def pick_peaks_core(
+    x: jax.Array,
+    valid_len: jax.Array,
+    distance: int,
+    n_peaks: int,
+    block: int = 1024,
+):
+    """Un-jitted core of :func:`pick_peaks_batch` (vmap/shard_map friendly)."""
+    x = x.astype(jnp.float32)
+    x_min, x_max, _ = _masked_rows(x, valid_len)
+    y = _local_max_heights(x_max, valid_len)
+    pos, height = _distance_suppress(y, distance, n_peaks)
+    prom = _prominences(x_min, x_max, jnp.clip(pos, 0), height, valid_len, block)
+    return pos, height, prom
+
+
 @partial(jax.jit, static_argnames=("distance", "n_peaks", "block"))
 def pick_peaks_batch(
     x: jax.Array,
@@ -234,12 +250,7 @@ def pick_peaks_batch(
     ALL returned candidates is computed (the min-prominence filter is applied
     by the caller, preserving scipy's distance-then-prominence order).
     """
-    x = x.astype(jnp.float32)
-    x_min, x_max, _ = _masked_rows(x, valid_len)
-    y = _local_max_heights(x_max, valid_len)
-    pos, height = _distance_suppress(y, distance, n_peaks)
-    prom = _prominences(x_min, x_max, jnp.clip(pos, 0), height, valid_len, block)
-    return pos, height, prom
+    return pick_peaks_core(x, valid_len, distance, n_peaks, block)
 
 
 def find_peaks_device(

@@ -1,0 +1,198 @@
+"""Sharded batch scanning: many (episode, snippet) pairs over a chip mesh.
+
+TPU-native counterpart of the reference's rayon chunk fan-out
+(audio_matcher.rs:114) scaled to a device mesh: overlap-save windows of a
+group of episodes form a [E, C, W] tensor sharded (data, seq) over the
+mesh; one jitted SPMD program runs batched rFFT → conj-multiply → irFFT →
+on-device peak picking per shard, and the (tiny) candidate lists are
+replicated back (XLA inserts the all-gather — the only collective; episode
+assignment is static, SURVEY.md §5).
+
+The forward FFT of each episode window is amortized across all query
+snippets in the multi-query path — a batching win the streaming reference
+cannot express.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models.matcher import MatchConfig, overshadow_filter
+from ..ops.correlate import fft_length, prepare_snippet
+from ..ops.peaks import Peak, pick_peaks_core
+
+
+def sharded_match_step(
+    mesh: Mesh,
+    fft_len: int,
+    valid_max: int,
+    distance: int,
+    n_peaks: int,
+    block: int = 2048,
+):
+    """Compile a sharded multi-query match step.
+
+    Returned fn: (windows [E,C,W], sample_f [Q,F], inv_ac [Q],
+    valid [E,C], m [Q]) → (pos, height, prom) each [E, Q, C, S], replicated.
+    """
+    data_sh = NamedSharding(mesh, P("data", "seq", None))
+    valid_sh = NamedSharding(mesh, P("data", "seq"))
+    rep = NamedSharding(mesh, P())
+
+    def step(windows, sample_f, inv_ac, valid, m):
+        x = jnp.fft.rfft(windows, n=fft_len)  # [E, C, F]
+        spec = x[:, :, None, :] * jnp.conj(sample_f)[None, None, :, :]
+        c = jnp.fft.irfft(spec, n=fft_len)[..., :valid_max]  # [E, C, Q, V]
+        c = c * inv_ac[None, None, :, None]
+        c = jnp.swapaxes(c, 1, 2)  # [E, Q, C, V]
+        # valid holds raw window lengths; each query's valid output length is
+        # window_len - m_q + 1
+        vq = jnp.maximum(valid[:, None, :] - m[None, :, None] + 1, 0)
+
+        def per_pair(cc, vl):
+            return pick_peaks_core(cc, vl, distance, n_peaks, block)
+
+        pick = jax.vmap(jax.vmap(per_pair))
+        return pick(c, vq)
+
+    return jax.jit(
+        step,
+        in_shardings=(data_sh, rep, rep, valid_sh, rep),
+        out_shardings=rep,
+    )
+
+
+@dataclasses.dataclass
+class _Query:
+    m: int
+    inv_autocorr: float
+
+
+class ShardedScanner:
+    """Scan groups of episodes against one or more query snippets.
+
+    Batch layout parity with BASELINE.json config #3 (64 episodes × 4 query
+    snippets on one chip) and #5 (archive sweep over a mesh).
+    Snippets are zero-padded to a common length; per-query valid ranges are
+    masked on device.
+    """
+
+    def __init__(
+        self,
+        snippets: Sequence[np.ndarray],
+        sr: int,
+        config: MatchConfig | None = None,
+        mesh: Mesh | None = None,
+    ):
+        from .mesh import make_mesh
+
+        self.sr = int(sr)
+        self.config = config or MatchConfig()
+        self.mesh = mesh or make_mesh()
+        preps = [prepare_snippet(s) for s in snippets]
+        self.queries = [_Query(p.m, p.inv_autocorr) for p in preps]
+        self.m_max = max(q.m for q in self.queries)
+        self.m_min = min(q.m for q in self.queries)
+        cfg = self.config
+        self.chunk = int(round(cfg.chunk_secs * self.sr))
+        self.overlap = self.m_max + 2  # see SnippetMatcher edge note
+        self.window = self.chunk + self.overlap
+        self.valid = self.window - self.m_min + 1
+        self.fft_len = fft_length(self.window + self.m_max - 1)
+        self.distance_samples = int(cfg.distance_secs) * self.sr
+        self.n_peaks = min(
+            self.valid // max(self.distance_samples, 1) + 2,
+            cfg.max_peaks_per_chunk,
+        )
+        padded = np.zeros((len(preps), self.m_max), np.float32)
+        for i, p in enumerate(preps):
+            padded[i, : p.m] = p.data
+        self._sample_f = jnp.fft.rfft(jnp.asarray(padded), n=self.fft_len)
+        self._inv_ac = jnp.asarray(
+            [q.inv_autocorr for q in self.queries], jnp.float32
+        )
+        self._m = jnp.asarray([q.m for q in self.queries], jnp.int32)
+        self._step_cache: dict[tuple, callable] = {}
+
+    def _step(self, shape_key):
+        if shape_key not in self._step_cache:
+            self._step_cache[shape_key] = sharded_match_step(
+                self.mesh,
+                self.fft_len,
+                self.valid,
+                self.distance_samples,
+                self.n_peaks,
+                self.config.block,
+            )
+        return self._step_cache[shape_key]
+
+    def _windows(self, episodes: Sequence[np.ndarray], c_windows: int):
+        E = len(episodes)
+        buf = np.zeros((E, c_windows, self.window), np.float32)
+        valid = np.zeros((E, c_windows), np.int32)
+        for e, ep in enumerate(episodes):
+            ep = np.asarray(ep, np.float32)
+            for k in range(c_windows):
+                win = ep[k * self.chunk : k * self.chunk + self.window]
+                if len(win) == 0:
+                    break
+                buf[e, k, : len(win)] = win
+                valid[e, k] = len(win)  # raw length; per-query crop on device
+        return buf, valid
+
+    def scan(
+        self, episodes: Sequence[np.ndarray], scale: bool = True
+    ) -> list[list[list[Peak]]]:
+        """→ peaks[episode][query], deduped & sorted (reference semantics)."""
+        cfg = self.config
+        n_max = max(len(e) for e in episodes)
+        C = max(-(-n_max // self.chunk), 1)
+        # pad episode count to a multiple of the data×seq mesh extent so the
+        # (data, seq) sharding divides evenly
+        mesh_rows = self.mesh.devices.shape[0]
+        E = len(episodes)
+        E_pad = -(-E // mesh_rows) * mesh_rows
+        eps = list(episodes) + [np.zeros(1, np.float32)] * (E_pad - E)
+        seq = self.mesh.devices.shape[1]
+        C_pad = -(-C // seq) * seq
+        windows, valid = self._windows(eps, C_pad)
+
+        step = self._step((E_pad, C_pad))
+        inv_ac = self._inv_ac if scale else jnp.ones_like(self._inv_ac)
+        pos, h, prom = step(
+            jnp.asarray(windows), self._sample_f, inv_ac,
+            jnp.asarray(valid), self._m,
+        )
+        pos = np.asarray(pos)
+        h = np.asarray(h)
+        prom = np.asarray(prom)
+
+        out: list[list[list[Peak]]] = []
+        for e in range(E):
+            per_query = []
+            for q in range(len(self.queries)):
+                cands = []
+                for k in range(C_pad):
+                    for s in range(pos.shape[-1]):
+                        if (
+                            np.isfinite(h[e, q, k, s])
+                            and prom[e, q, k, s] >= cfg.min_prominence
+                        ):
+                            cands.append(
+                                Peak(
+                                    int(pos[e, q, k, s]) + self.chunk * k,
+                                    float(h[e, q, k, s]),
+                                    float(prom[e, q, k, s]),
+                                )
+                            )
+                per_query.append(
+                    overshadow_filter(cands, self.sr, cfg.distance_secs)
+                )
+            out.append(per_query)
+        return out

@@ -1,0 +1,281 @@
+"""Audacity mod-script-pipe client (L4 external-process boundary).
+
+Parity: the reference's first-party ``audacity`` crate surface actually used
+by the worker (SURVEY.md §2.12): launch/connect, raw menu commands
+(New/Close/Exit/Delete/SplitDelete/RemoveTracks/SelAllTracks), audio/label
+import-export, track/label queries, label edits, selection and zoom.
+
+Protocol: Audacity's mod-script-pipe exposes two FIFOs
+(``audacity_script_pipe.to.{uid}`` / ``.from.{uid}``); commands are single
+text lines, responses end with ``BatchCommand finished: OK`` (or
+``... Failed!``). The pipe directory is overridable via
+``AUDACITY_PIPE_DIR`` so tests can run against the bundled fake server —
+coverage the reference never had (its Audacity layer tests are all
+``#[ignore]``d interactive ones, SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import logging
+import os
+import shutil
+import subprocess
+import time
+from pathlib import Path
+
+log = logging.getLogger("audio_matcher.audacity")
+
+
+class AudacityError(RuntimeError):
+    pass
+
+
+class LaunchError(AudacityError):
+    pass
+
+
+class ConnectionTimeout(AudacityError):
+    pass
+
+
+def pipe_paths() -> tuple[Path, Path]:
+    base = Path(os.environ.get("AUDACITY_PIPE_DIR", "/tmp"))
+    uid = os.getuid()
+    return (
+        base / f"audacity_script_pipe.to.{uid}",
+        base / f"audacity_script_pipe.from.{uid}",
+    )
+
+
+@dataclasses.dataclass
+class TrackInfo:
+    kind: str
+    name: str
+    focused: bool = False
+    selected: bool = False
+
+
+class RelativeTo:
+    PROJECT_START = "ProjectStart"
+    PROJECT = "Project"
+    PROJECT_END = "ProjectEnd"
+    SELECTION_START = "SelectionStart"
+
+
+class AudacityApi:
+    """Synchronous scripting-pipe session."""
+
+    def __init__(self, timeout: float | None = None):
+        self.timeout = timeout if timeout is not None else 10.0
+        to_path, from_path = pipe_paths()
+        deadline = time.monotonic() + self.timeout
+        while not (to_path.exists() and from_path.exists()):
+            if time.monotonic() > deadline:
+                raise ConnectionTimeout(
+                    f"scripting pipes not found at {to_path}"
+                )
+            time.sleep(0.1)
+        # opening FIFOs can block until the peer opens its end
+        self._to = open(to_path, "w")
+        self._from = open(from_path, "r")
+
+    @staticmethod
+    def launch(executable: str | None = None) -> subprocess.Popen:
+        """Start an Audacity instance (parity: AudacityApiGeneric::launch)."""
+        exe = executable or shutil.which("audacity")
+        if exe is None:
+            raise LaunchError("audacity executable not found on PATH")
+        return subprocess.Popen(
+            [exe], stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL
+        )
+
+    def close(self) -> None:
+        try:
+            self._to.close()
+            self._from.close()
+        except OSError:
+            pass
+
+    # -- protocol core ---------------------------------------------------
+    def do(self, command: str) -> str:
+        """Send one scripting command, return its response payload."""
+        log.log(5, "-> %s", command)
+        self._to.write(command + "\n")
+        self._to.flush()
+        lines: list[str] = []
+        while True:
+            line = self._from.readline()
+            if line == "":
+                raise AudacityError("pipe closed while awaiting response")
+            line = line.rstrip("\n")
+            if line.startswith("BatchCommand finished:"):
+                status = line.split(":", 1)[1].strip()
+                payload = "\n".join(lines).strip()
+                log.log(5, "<- %s (%s)", payload[:200], status)
+                if status.startswith("OK"):
+                    return payload
+                raise AudacityError(
+                    f"command {command!r} failed: {payload or status}"
+                )
+            if line:
+                lines.append(line)
+
+    def write_assume_empty(self, command: str) -> None:
+        payload = self.do(command)
+        if payload:
+            log.debug("expected empty response for %r, got %r", command, payload)
+
+    # -- queries ---------------------------------------------------------
+    def get_track_info(self) -> list[TrackInfo]:
+        raw = self.do("GetInfo: Type=Tracks Format=JSON")
+        tracks = json.loads(raw) if raw else []
+        return [
+            TrackInfo(
+                kind=t.get("kind", ""),
+                name=t.get("name", ""),
+                focused=bool(t.get("focused", 0)),
+                selected=bool(t.get("selected", 0)),
+            )
+            for t in tracks
+        ]
+
+    def get_label_info(self) -> dict[int, list]:
+        """→ {label_track_nr: [TimeLabel, ...]} (crate: get_label_info)."""
+        from ..hostio.labels import TimeLabel
+
+        raw = self.do("GetInfo: Type=Labels Format=JSON")
+        data = json.loads(raw) if raw else []
+        out: dict[int, list[TimeLabel]] = {}
+        for track_nr, labels in data:
+            out[int(track_nr)] = [
+                TimeLabel(start=lb[0], end=lb[1], name=lb[2] or None)
+                for lb in labels
+            ]
+        return out
+
+    def get_first_label_track_nr(self) -> int | None:
+        info = self.get_label_info()
+        return min(info.keys()) if info else None
+
+    # -- edits -----------------------------------------------------------
+    def import_audio(self, path) -> None:
+        self.write_assume_empty(f'Import2: Filename="{Path(path).absolute()}"')
+
+    def import_labels_from(self, path, track_name=None) -> None:
+        """Create a label track populated from an Audacity label file."""
+        from ..hostio.labels import read_labels
+
+        labels = read_labels(path)
+        self.write_assume_empty("NewLabelTrack:")
+        for lb in labels:
+            self.select_time(lb.start, lb.end)
+            self.write_assume_empty("AddLabel:")
+        info = self.get_label_info()
+        track_nr = max(info.keys()) if info else 0
+        for i, lb in enumerate(labels):
+            self.set_label(i, lb.name, selected=False)
+        del track_nr, track_name
+
+    def export_all_labels_to(self, path, dry_run: bool = False) -> None:
+        from ..hostio.labels import write_labels
+
+        labels = [
+            lb for track in sorted(self.get_label_info())
+            for lb in self.get_label_info()[track]
+        ]
+        write_labels(labels, path, dry_run=dry_run)
+
+    def set_label(
+        self, i: int, text=None, start=None, end=None, selected=None
+    ) -> None:
+        parts = [f"SetLabel: Label={i}"]
+        if text is not None:
+            parts.append(f'Text="{text}"')
+        if start is not None:
+            parts.append(f"Start={start}")
+        if end is not None:
+            parts.append(f"End={end}")
+        if selected is not None:
+            parts.append(f"Selected={1 if selected else 0}")
+        self.write_assume_empty(" ".join(parts))
+
+    def add_label(self, label, track_hint: int | None = None) -> int:
+        """Add a label on the (hinted) label track; returns its index."""
+        if track_hint is not None:
+            self.select_tracks([track_hint])
+        self.select_time(label.start, label.end)
+        self.write_assume_empty("AddLabel:")
+        info = self.get_label_info()
+        track_nr = (
+            track_hint
+            if track_hint is not None and track_hint in info
+            else (max(info.keys()) if info else 0)
+        )
+        labels = info.get(track_nr, [])
+        idx = next(
+            (
+                j
+                for j, lb in enumerate(labels)
+                if lb.start == label.start and lb.name is None
+            ),
+            len(labels) - 1,
+        )
+        # index is global across label tracks in SetLabel terms
+        offset = sum(
+            len(info[t]) for t in sorted(info) if t < track_nr
+        )
+        if label.name:
+            self.set_label(offset + idx, label.name)
+        return offset + idx
+
+    def add_label_track(self, name: str | None = None) -> int:
+        self.write_assume_empty("NewLabelTrack:")
+        tracks = self.get_track_info()
+        nr = len(tracks) - 1
+        if name is not None:
+            self.write_assume_empty(f'SetTrackStatus: Name="{name}"')
+        return nr
+
+    # -- selection / view ------------------------------------------------
+    def select_all(self) -> None:
+        self.write_assume_empty("SelectAll:")
+
+    def select_time(
+        self, start: float, end: float, relative_to: str = RelativeTo.PROJECT_START
+    ) -> None:
+        self.write_assume_empty(
+            f"Select: Start={start} End={end} RelativeTo={relative_to}"
+        )
+
+    def select_tracks(self, tracks) -> None:
+        first = True
+        for t in tracks:
+            mode = "Set" if first else "Add"
+            self.write_assume_empty(f"SelectTracks: Track={t} Mode={mode}")
+            first = False
+
+    def zoom_to(self, start=None, end=None) -> None:
+        """Zoom the view to a time range (or everything)."""
+        if start is None:
+            self.select_all()
+        else:
+            self.select_time(start, end)
+        self.write_assume_empty("ZoomSel:")
+
+
+class LazyApi:
+    """Launch-and-connect on first use (parity: worker/mod.rs LazyApi)."""
+
+    def __init__(self, timeout: float | None = None):
+        self.timeout = timeout
+        self._api: AudacityApi | None = None
+
+    def get(self) -> AudacityApi:
+        if self._api is None:
+            to_path, _ = pipe_paths()
+            if not to_path.exists():
+                AudacityApi.launch()
+            self._api = AudacityApi(self.timeout)
+        return self._api

@@ -1,0 +1,143 @@
+"""Benchmark: audio-hours scanned per second per chip.
+
+Headline config = BASELINE.json #2: a 44.1 kHz episode scanned for a 10 s
+intro snippet via overlap-save chunked correlation with the reference's
+defaults (chunk 60 s, min-distance 480 s, prominence 13). The baseline is
+the measured single-core CPU throughput of the same pipeline semantics
+(scipy rFFT + scipy find_peaks, single thread) — a stand-in for the Rust
+reference's single-core realfft path, which publishes no numbers and can't
+be built here (no cargo; BASELINE.md).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+SR = 44100
+EPISODE_SECS = int(os.environ.get("BENCH_EPISODE_SECS", "1800"))
+SNIPPET_SECS = 10.0
+BASELINE_WINDOWS = 3  # windows to time for the CPU extrapolation
+
+
+def make_audio(rng, secs, snippet, offsets):
+    x = (rng.standard_normal(int(secs * SR)) * 0.05).astype(np.float32)
+    for off in offsets:
+        i = int(off * SR)
+        x[i : i + len(snippet)] = snippet
+    return x
+
+
+def _enable_compile_cache():
+    import jax
+
+    cache = os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp_cache"
+    )
+    try:
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
+
+
+def measure_tpu(episode, snippet, config):
+    import jax
+
+    _enable_compile_cache()
+
+    from audio_matcher_tpu.models.matcher import SnippetMatcher
+
+    matcher = SnippetMatcher(snippet, SR, config)
+    # warmup at full size: compiles the exact program bucket used below
+    matcher.match(episode, scale=True)
+    jax.effects_barrier()
+
+    t0 = time.perf_counter()
+    peaks = matcher.match(episode, scale=True)
+    elapsed = time.perf_counter() - t0
+    return elapsed, peaks
+
+
+def measure_cpu_baseline(episode, snippet, config):
+    """Single-core scipy pipeline: per-window rfft→conj-mult→irfft→find_peaks."""
+    import scipy.fft
+    import scipy.signal
+
+    m = len(snippet)
+    chunk = int(config.chunk_secs * SR)
+    window = chunk + m
+    L = scipy.fft.next_fast_len(window + m - 1, real=True)
+    sf = np.conj(scipy.fft.rfft(snippet, L, workers=1))
+    inv_ac = 1.0 / float(np.sum(snippet.astype(np.float64) ** 2))
+    distance = int(config.distance_secs) * SR
+
+    t0 = time.perf_counter()
+    for k in range(BASELINE_WINDOWS):
+        win = episode[k * chunk : k * chunk + window]
+        x = scipy.fft.rfft(win, L, workers=1)
+        c = scipy.fft.irfft(x * sf, L, workers=1)[: len(win) - m + 1]
+        c *= inv_ac
+        scipy.signal.find_peaks(
+            c, distance=min(distance, len(c) - 1), prominence=(0.13, None)
+        )
+    per_window = (time.perf_counter() - t0) / BASELINE_WINDOWS
+    windows_per_hour = 3600.0 / config.chunk_secs
+    return 1.0 / (per_window * windows_per_hour)  # audio-hours/sec
+
+
+def main() -> int:
+    os.environ.setdefault("OMP_NUM_THREADS", "8")
+    rng = np.random.default_rng(42)
+    snippet = (rng.standard_normal(int(SNIPPET_SECS * SR)) * 0.2).astype(
+        np.float32
+    )
+    offsets = [21.0, EPISODE_SECS * 0.55]
+    episode = make_audio(rng, EPISODE_SECS, snippet, offsets)
+
+    from audio_matcher_tpu.models.matcher import MatchConfig
+
+    config = MatchConfig(slab=int(os.environ.get("BENCH_SLAB", "8")))
+
+    elapsed, peaks = measure_tpu(episode, snippet, config)
+    hours = EPISODE_SECS / 3600.0
+    value = hours / elapsed
+
+    got = sorted(p.position for p in peaks)
+    want = sorted(int(o * SR) for o in offsets)
+    ok = len(got) == len(want) and all(abs(a - b) <= 1 for a, b in zip(got, want))
+    if not ok:
+        print(
+            f"bench correctness check failed: got {got}, want {want}",
+            file=sys.stderr,
+        )
+
+    baseline = measure_cpu_baseline(episode, snippet, config)
+    print(
+        f"[bench] scanned {hours:.2f} audio-hours in {elapsed:.2f}s "
+        f"({value:.3f} h/s); cpu single-core baseline {baseline:.4f} h/s; "
+        f"matches {'OK' if ok else 'WRONG'}",
+        file=sys.stderr,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "audio-hours scanned/sec/chip (1h-class episode vs 10s snippet, 44.1kHz)",
+                "value": round(value, 4),
+                "unit": "audio_hours/s",
+                "vs_baseline": round(value / baseline, 2),
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
