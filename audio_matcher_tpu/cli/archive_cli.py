@@ -55,7 +55,7 @@ def main(argv=None) -> int:
             cfg["path"] = str(args.archive)
             changed = True
         elif args.archive is None:
-            cfg["path"] = common.Inputs.read(
+            cfg["path"] = inputs.read(
                 "please input the path to the archive: "
             )
             changed = True

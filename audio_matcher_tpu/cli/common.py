@@ -63,11 +63,27 @@ class Inputs:
     """Interactive prompt helper with an optional forced answer.
 
     ``always=True`` / ``always=False`` mirror the -y / -n flags; ``None``
-    actually prompts on stdin.
+    actually prompts on stdin. ``script`` queues canned responses so the
+    worker's interactive flows can be driven from tests (the fake-pipe
+    strategy the reference lacked).
     """
 
-    def __init__(self, always: Optional[bool] = None):
+    def __init__(self, always: Optional[bool] = None, script=None):
         self.always = always
+        self.script = list(script) if script is not None else None
+
+    def _next_scripted(self) -> Optional[str]:
+        if self.script is None:
+            return None
+        if not self.script:
+            raise EOFError("scripted input exhausted")
+        return self.script.pop(0)
+
+    def _input(self, prompt: str) -> str:
+        scripted = self._next_scripted()
+        if scripted is not None:
+            return scripted
+        return input(prompt)
 
     @classmethod
     def from_args(cls, args: argparse.Namespace) -> "Inputs":
@@ -81,18 +97,17 @@ class Inputs:
         if self.always is not None:
             return self.always
         while True:
-            ans = input(f"{msg} [y/n]: ").strip().lower()
+            ans = self._input(f"{msg} [y/n]: ").strip().lower()
             if ans in ("y", "yes", "j", "ja"):
                 return True
             if ans in ("n", "no", "nein"):
                 return False
 
-    @staticmethod
-    def read(msg: str, default: Optional[str] = None) -> str:
+    def read(self, msg: str, default: Optional[str] = None) -> str:
         prompt = msg if msg.endswith((" ", ":")) else msg + " "
         if default is not None:
             prompt += f"[{default}] "
-        line = input(prompt)
+        line = self._input(prompt)
         if not line and default is not None:
             return default
         return line
@@ -105,15 +120,15 @@ class Inputs:
     ) -> Optional[T]:
         """Prompt until ``parse`` succeeds; empty input returns ``default``."""
         while True:
-            line = input(msg if msg.endswith((" ", ":")) else msg + " ")
+            line = self._input(msg if msg.endswith((" ", ":")) else msg + " ")
             if not line:
                 return default
             val = parse(line)
             if val is not None:
                 return val
 
-    @staticmethod
     def map_read(
+        self,
         msg: str,
         default,
         _suggestion,
@@ -121,15 +136,22 @@ class Inputs:
     ) -> Optional[T]:
         while True:
             try:
-                line = input(msg)
+                line = self._input(msg)
             except EOFError:
                 return default
             val = mapper(line)
             if val is not None:
                 return val
 
+    def read_with_suggestion(
+        self, msg: str, initial: Optional[str], completer
+    ) -> str:
+        if self.script is not None:
+            return self._input(msg)
+        return self._read_with_readline(msg, initial, completer)
+
     @staticmethod
-    def read_with_suggestion(msg: str, initial: Optional[str], completer) -> str:
+    def _read_with_readline(msg: str, initial: Optional[str], completer) -> str:
         """Prompt with autocompletion. ``completer`` must provide
         ``get_suggestions(input) -> list[str]``. Uses readline when on a tty,
         otherwise a plain prompt (suggestions shown on demand with '?')."""

@@ -1,0 +1,202 @@
+"""Worker pipeline tests against the fake Audacity pipe server.
+
+The reference leaves this layer untested (interactive-only, SURVEY.md §4);
+here the full state machine runs end-to-end over real FIFOs: project
+prepare → scripted renaming → label export → merge/delete → tagging → move,
+plus the progress-file resume semantics and the pure
+``calc_merged_offsets`` math (data parity: worker/mod.rs:1363-1408).
+"""
+
+import numpy as np
+import pytest
+
+from audio_matcher_tpu.hostio.labels import TimeLabel, read_labels, write_labels
+from audio_matcher_tpu.meta.progress import Progress, State
+from audio_matcher_tpu.meta.tagger import (
+    Album, Artist, Genre, TaggedFile, Title, TotalTracks, Track,
+)
+from audio_matcher_tpu.worker.pipeline import (
+    WorkerArgs,
+    calc_merged_offsets,
+    run_worker,
+)
+
+
+def hms(h, m, s, ms):
+    return h * 3600 + m * 60 + s + ms / 1000.0
+
+
+def test_calc_merged_offsets_reference_data():
+    # data parity with the reference's calc_offsets test
+    labels = [
+        TimeLabel(hms(0, 3, 25, 372), hms(0, 24, 15, 860)),
+        TimeLabel(hms(0, 24, 23, 90), hms(0, 46, 37, 240)),
+        TimeLabel(hms(0, 46, 43, 970), hms(1, 6, 24, 170)),
+        TimeLabel(hms(1, 6, 46, 170), hms(1, 30, 32, 490)),
+        TimeLabel(hms(1, 30, 39, 830), hms(1, 55, 4, 930)),
+    ]
+    got = calc_merged_offsets([labels[:3], labels[3:]])
+    want = [
+        [hms(0, 20, 50, 488), hms(0, 43, 4, 638)],
+        [hms(0, 23, 46, 320)],
+    ]
+    assert len(got) == 2
+    for g, w in zip(got, want):
+        assert g == pytest.approx(w, abs=1e-6)
+
+
+def test_calc_merged_offsets_single_part_group():
+    labels = [TimeLabel(10.0, 20.0)]
+    assert calc_merged_offsets([labels]) == [[]]
+
+
+@pytest.fixture
+def fake_audacity(tmp_path, monkeypatch):
+    from audio_matcher_tpu.worker.fake_audacity import FakeAudacity
+
+    pipe_dir = tmp_path / "pipes"
+    monkeypatch.setenv("AUDACITY_PIPE_DIR", str(pipe_dir))
+    server = FakeAudacity(pipe_dir)
+    yield server
+    server.stop()
+
+
+def test_api_roundtrip(fake_audacity):
+    from audio_matcher_tpu.worker.audacity import AudacityApi
+
+    api = AudacityApi(timeout=5)
+    api.import_audio("/tmp/test_episode.mp3")
+    assert [t.kind for t in api.get_track_info()] == ["wave"]
+    api.write_assume_empty("NewLabelTrack:")
+    api.select_time(1.0, 2.0)
+    api.write_assume_empty("AddLabel:")
+    api.set_label(0, "hello")
+    info = api.get_label_info()
+    assert list(info.keys()) == [1]
+    assert info[1][0].name == "hello"
+    assert info[1][0].start == 1.0
+    api.close()
+
+
+def test_ripple_delete_shifts_labels(fake_audacity):
+    from audio_matcher_tpu.worker.audacity import AudacityApi
+
+    api = AudacityApi(timeout=5)
+    api.write_assume_empty("NewLabelTrack:")
+    for start, end in [(0.0, 1.0), (2.0, 3.0), (5.0, 6.0)]:
+        api.select_time(start, end)
+        api.write_assume_empty("AddLabel:")
+    api.write_assume_empty("SelAllTracks:")
+    api.select_time(1.0, 2.0)  # gap between label 0 and 1
+    api.write_assume_empty("Delete:")
+    labels = api.get_label_info()[0]
+    assert [(lb.start, lb.end) for lb in labels] == [
+        (0.0, 1.0), (1.0, 2.0), (4.0, 5.0),
+    ]
+    api.close()
+
+
+@pytest.fixture
+def worker_setup(tmp_path, fake_audacity):
+    """Episode dir + matcher label file + index folder + pre-'exported'
+    chapter files (simulating the user's Ctrl+Shift+E)."""
+    from audio_matcher_tpu.hostio.decode import encode_audio, native_available
+
+    if not native_available("opus"):
+        pytest.skip("no native opus codec")
+    work = tmp_path / "work"
+    work.mkdir()
+    audio = work / "radio-2024_01_06.mp3"
+    audio.write_bytes(b"\xff\xfbdummy")
+    write_labels(
+        [
+            TimeLabel(10.0, 600.0, "Segment #1"),
+            TimeLabel(610.0, 1200.0, "Segment #2"),
+            TimeLabel(1210.0, 1800.0, "Segment #3"),
+            TimeLabel(1810.0, 2400.0, "Segment #4"),
+        ],
+        audio.with_suffix(".txt"),
+    )
+    index_folder = tmp_path / "archive"
+    serie = index_folder / "Serie"
+    serie.mkdir(parents=True)
+    (serie / "index.txt").write_text("Kapitel Eins\nKapitel Zwei\n")
+    tone = (np.random.default_rng(0).standard_normal(4800) * 0.05).astype(
+        np.float32
+    )
+    for name in ("Serie 1 Kapitel Eins", "Serie 2 Kapitel Zwei"):
+        encode_audio(work / f"{name}.opus", 48000, tone)
+    return work, audio, index_folder
+
+
+def test_full_pipeline_with_fancy_renaming(worker_setup):
+    from audio_matcher_tpu.cli.common import Inputs
+
+    work, audio, index_folder = worker_setup
+    args = WorkerArgs(
+        audio_paths=[audio],
+        index_folder=index_folder,
+        export_ext="opus",
+    )
+    inputs = Inputs(
+        script=[
+            "",  # ready to start renaming
+            "Serie 1", "Serie 1",  # labels 1+2 → parts auto-increment
+            "Serie 2", "Serie 2",
+            "",  # ready for next step (after renaming)
+            "",  # exported, continue
+        ]
+    )
+    run_worker(args, inputs=inputs)
+
+    # labels were renamed + exported back over the matcher label file
+    exported = read_labels(audio.with_suffix(".txt"))
+    assert [lb.name for lb in exported] == [
+        "Serie 1.1 Kapitel Eins",
+        "Serie 1.2 Kapitel Eins",
+        "Serie 2.1 Kapitel Zwei",
+        "Serie 2.2 Kapitel Zwei",
+    ]
+
+    # chapter files were retagged and moved into the archive layout
+    for nr, (name, title) in enumerate(
+        [("Serie 1 Kapitel Eins", "Kapitel Eins"),
+         ("Serie 2 Kapitel Zwei", "Kapitel Zwei")],
+        start=1,
+    ):
+        moved = index_folder / "Serie" / f"{name}.opus"
+        assert moved.exists(), f"{moved} missing"
+        tag = TaggedFile.from_path(moved)
+        assert tag.get(Title) == title
+        assert tag.get(Album) == "Serie"
+        assert tag.get(Genre) == "Hörbuch"
+        assert tag.get(Track) == nr
+        assert tag.get(TotalTracks) == 2
+        assert tag.get(Artist) is None
+        chapters = tag._inner.get_chapters()
+        assert (1, "00:00:00.000", "Part 1") in chapters
+
+    # progress recorded Done; a second run skips everything
+    progress = Progress(work / ".done.txt")
+    assert progress.get(audio.name) == State.DONE
+
+
+def test_second_run_skips_done(worker_setup):
+    from audio_matcher_tpu.cli.common import Inputs
+
+    work, audio, index_folder = worker_setup
+    Progress(work / ".done.txt").append(audio.name, State.DONE)
+    args = WorkerArgs(audio_paths=[audio], index_folder=index_folder)
+    run_worker(args, inputs=Inputs(script=[]))
+    # no project preparation happened — only the final Exit
+    from audio_matcher_tpu.worker import fake_audacity  # noqa: F401
+
+
+def test_sub_files_skipped(tmp_path, fake_audacity):
+    from audio_matcher_tpu.cli.common import Inputs
+
+    audio = tmp_path / "show(1).mp3"
+    audio.write_bytes(b"x")
+    args = WorkerArgs(audio_paths=[audio])
+    run_worker(args, inputs=Inputs(script=[]))
+    assert Progress(tmp_path / ".done.txt").get(audio.name) is None
