@@ -131,6 +131,60 @@ def _match_slab_resident(
     )
 
 
+@partial(
+    jax.jit,
+    static_argnames=(
+        "chunk", "window", "m", "fft_len", "valid_max",
+        "distance", "n_peaks", "block", "slab", "n_slabs",
+    ),
+)
+def _match_episode_resident(
+    episode,
+    n,
+    sample_f,
+    inv_ac,
+    chunk: int,
+    window: int,
+    m: int,
+    fft_len: int,
+    valid_max: int,
+    distance: int,
+    n_peaks: int,
+    block: int,
+    slab: int,
+    n_slabs: int,
+):
+    """Whole-episode scan as ONE device program: ``lax.map`` over slabs.
+
+    A single dispatch + single readback — per-call RPC latency (significant
+    over remote links) is paid once per episode instead of once per slab.
+    Returns (pos, height, prom) each [n_slabs*slab, n_peaks].
+    """
+
+    def body(base):
+        starts = (base + jnp.arange(slab, dtype=jnp.int32)) * chunk
+        windows = jax.vmap(
+            lambda s: jax.lax.dynamic_slice(episode, (s,), (window,))
+        )(starts)
+        win_len = jnp.clip(n - starts, 0, window)
+        valid = jnp.maximum(win_len - m + 1, 0).astype(jnp.int32)
+        x = jnp.fft.rfft(windows, n=fft_len)
+        c = jnp.fft.irfft(x * jnp.conj(sample_f), n=fft_len)[..., :valid_max]
+        c = c * inv_ac
+        return pick_peaks_core(
+            c, valid, distance=distance, n_peaks=n_peaks, block=block
+        )
+
+    bases = jnp.arange(n_slabs, dtype=jnp.int32) * slab
+    pos, h, prom = jax.lax.map(body, bases)
+    flat = n_slabs * slab
+    return (
+        pos.reshape(flat, n_peaks),
+        h.reshape(flat, n_peaks),
+        prom.reshape(flat, n_peaks),
+    )
+
+
 def overshadow_filter(
     peaks: Sequence[Peak], sr: int, distance_secs: float
 ) -> list[Peak]:
@@ -240,49 +294,40 @@ class SnippetMatcher:
         padded[:n] = samples
         episode_dev = jax.device_put(padded)
 
-        pending = []  # (window_index_base, device result) — async pipeline
-        for base in range(0, n_windows_pad, B):
-            if progress:
-                for r in range(min(B, n_windows - base)):
-                    progress("start", base + r)
-            res = _match_slab_resident(
-                episode_dev,
-                np.int32(n),
-                np.int32(base),
-                self._sample_f,
-                inv_ac,
-                chunk=self.chunk,
-                window=self.window,
-                m=m,
-                fft_len=self.fft_len,
-                valid_max=self.valid,
-                distance=self.distance_samples,
-                n_peaks=self.n_peaks,
-                block=cfg.block,
-                slab=B,
-            )
-            pending.append((base, res))
+        if progress:
+            for k in range(n_windows):
+                progress("start", k)
+        pos, h, prom = _match_episode_resident(
+            episode_dev,
+            np.int32(n),
+            self._sample_f,
+            inv_ac,
+            chunk=self.chunk,
+            window=self.window,
+            m=m,
+            fft_len=self.fft_len,
+            valid_max=self.valid,
+            distance=self.distance_samples,
+            n_peaks=self.n_peaks,
+            block=cfg.block,
+            slab=B,
+            n_slabs=n_windows_pad // B,
+        )
+        pos, h, prom = np.asarray(pos), np.asarray(h), np.asarray(prom)
 
         candidates: list[Peak] = []
-        for base, (pos, h, prom) in pending:
-            pos = np.asarray(pos)
-            h = np.asarray(h)
-            prom = np.asarray(prom)
-            for r in range(pos.shape[0]):
-                k = base + r
-                if k >= n_windows:
-                    continue
-                for s in range(pos.shape[1]):
-                    if np.isfinite(h[r, s]) and prom[r, s] >= cfg.min_prominence:
-                        candidates.append(
-                            Peak(
-                                position=int(pos[r, s]) + self.chunk * k,
-                                height=float(h[r, s]),
-                                prominence=float(prom[r, s]),
-                            )
+        for k in range(n_windows):
+            for s in range(pos.shape[1]):
+                if np.isfinite(h[k, s]) and prom[k, s] >= cfg.min_prominence:
+                    candidates.append(
+                        Peak(
+                            position=int(pos[k, s]) + self.chunk * k,
+                            height=float(h[k, s]),
+                            prominence=float(prom[k, s]),
                         )
-                if progress:
-                    progress("finish", k)
+                    )
+            if progress:
+                progress("finish", k)
 
         return overshadow_filter(candidates, self.sr, cfg.distance_secs)
 

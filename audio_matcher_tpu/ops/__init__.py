@@ -6,4 +6,10 @@ from .correlate import (  # noqa: F401
     fft_length,
     prepare_snippet,
 )
-from .peaks import Peak, find_peaks_device, pick_peaks_batch  # noqa: F401
+from .peaks import (  # noqa: F401
+    Peak,
+    find_peaks_device,
+    pick_peaks_batch,
+    pick_peaks_core,
+)
+from .stft import fingerprint_scores, log_mel, mel_filterbank  # noqa: F401

@@ -74,6 +74,72 @@ class _Query:
     inv_autocorr: float
 
 
+def sweep_archive(
+    paths,
+    snippets: Sequence[np.ndarray],
+    sr: int,
+    config: MatchConfig | None = None,
+    mesh: Mesh | None = None,
+    progress_path=None,
+    write_labels_for=None,
+    prefetch_depth: int = 3,
+):
+    """Scan an archive of files against query snippets with resume.
+
+    BASELINE.json config #5 (the 10k-file sweep): host decode is pipelined
+    ahead of the device (hostio.prefetch), episode groups fill the mesh's
+    ``data`` axis, and completion state persists in the reference's
+    ``.done.txt`` line format so an interrupted sweep resumes
+    (SURVEY.md §5 checkpoint/resume semantics).
+
+    ``write_labels_for``: optional ``fn(path, query_idx, peaks)`` sink.
+    Returns {path: [peaks_per_query]}.
+    """
+    from ..hostio.prefetch import decode_prefetched
+    from ..meta.progress import Progress, State
+
+    scanner = ShardedScanner(snippets, sr, config, mesh)
+    progress = Progress(progress_path) if progress_path is not None else None
+    todo = []
+    for p in paths:
+        name = str(p)
+        if progress is not None and progress.get(name) == State.DONE:
+            continue
+        todo.append(p)
+
+    group_size = max(scanner.mesh.devices.shape[0], 1)
+    results = {}
+    group: list = []
+
+    def flush(group):
+        episodes = []
+        for item in group:
+            if item.error is not None:
+                raise item.error
+            if item.sr != scanner.sr:
+                raise ValueError(
+                    f"{item.path}: sample rate {item.sr} != {scanner.sr}"
+                )
+            episodes.append(item.samples)
+        peaks = scanner.scan(episodes)
+        for item, per_query in zip(group, peaks):
+            results[str(item.path)] = per_query
+            if write_labels_for is not None:
+                for q, pk in enumerate(per_query):
+                    write_labels_for(item.path, q, pk)
+            if progress is not None:
+                progress.append(str(item.path), State.DONE)
+
+    for decoded in decode_prefetched(todo, depth=prefetch_depth):
+        group.append(decoded)
+        if len(group) == group_size:
+            flush(group)
+            group = []
+    if group:
+        flush(group)
+    return results
+
+
 class ShardedScanner:
     """Scan groups of episodes against one or more query snippets.
 

@@ -1,0 +1,103 @@
+"""CLI end-to-end tests: audio-matcher on generated fixtures +
+archive-scroller listing (parity surfaces: matcher/mod.rs run flow,
+bin/archive-scroller.rs)."""
+
+import logging
+
+import numpy as np
+import pytest
+
+from audio_matcher_tpu.cli import matcher_cli, archive_cli
+from audio_matcher_tpu.hostio.decode import write_wav
+from audio_matcher_tpu.hostio.labels import read_labels, write_labels, TimeLabel
+
+SR = 8000
+
+
+@pytest.fixture
+def audio_fixtures(tmp_path, rng):
+    snippet = (rng.standard_normal(2 * SR) * 0.2).astype(np.float32)
+    episode = (rng.standard_normal(50 * SR) * 0.02).astype(np.float32)
+    for off in (5.0, 30.0):
+        i = int(off * SR)
+        episode[i : i + len(snippet)] = snippet
+    snip_path = tmp_path / "intro.wav"
+    ep_path = tmp_path / "episode.wav"
+    write_wav(snip_path, SR, snippet)
+    write_wav(ep_path, SR, episode)
+    return snip_path, ep_path
+
+
+def run_matcher(args):
+    # note: init_logger is skipped so pytest's caplog handler survives
+    parser = matcher_cli.build_parser()
+    ns = parser.parse_args(args)
+    return matcher_cli.run(ns)
+
+
+def test_matcher_cli_end_to_end(audio_fixtures, tmp_path, caplog):
+    snip, ep = audio_fixtures
+    with caplog.at_level(logging.INFO, logger="audio_matcher.cli"):
+        rc = run_matcher(
+            [str(ep), "--snippet", str(snip), "--distance", "10",
+             "--chunk-size", "10"]
+        )
+    assert rc == 0
+    # offsets logged in the reference's format
+    offsets = [r.message for r in caplog.records if "Offset" in r.message]
+    assert any("00:00:05" in m for m in offsets)
+    assert any("00:00:30" in m for m in offsets)
+    # label file written next to the episode: peaks → n-1 labels,
+    # +7 s start delay, "Segment #i" names
+    labels = read_labels(ep.with_suffix(".txt"))
+    assert len(labels) == 1
+    # the '#' in the "Segment #" pattern is replaced by the number
+    assert labels[0].name == "Segment 1"
+    assert labels[0].start == pytest.approx(5.0 + 7.0, abs=0.01)
+    assert labels[0].end == pytest.approx(30.0, abs=0.01)
+
+
+def test_matcher_cli_skip_existing(audio_fixtures, caplog):
+    snip, ep = audio_fixtures
+    out = ep.with_suffix(".txt")
+    out.write_text("sentinel\n")
+    rc = run_matcher(
+        [str(ep), "--snippet", str(snip), "--skip-existing",
+         "--chunk-size", "10", "--distance", "10"]
+    )
+    assert rc == 0
+    assert out.read_text() == "sentinel\n"  # untouched — file skipped
+
+
+def test_matcher_cli_no_out(audio_fixtures):
+    snip, ep = audio_fixtures
+    rc = run_matcher(
+        [str(ep), "--snippet", str(snip), "--no-out",
+         "--chunk-size", "10", "--distance", "10"]
+    )
+    assert rc == 0
+    assert not ep.with_suffix(".txt").exists()
+
+
+def test_matcher_cli_dry_run_writes_nothing(audio_fixtures):
+    snip, ep = audio_fixtures
+    rc = run_matcher(
+        [str(ep), "--snippet", str(snip), "--dry-run",
+         "--chunk-size", "10", "--distance", "10"]
+    )
+    assert rc == 0
+    assert not ep.with_suffix(".txt").exists()
+
+
+def test_archive_cli_lists(tmp_path, capsys):
+    write_labels(
+        [TimeLabel(0, 1, "Serie 1.1 Kap")],
+        tmp_path / "radio-2024_01_06.txt",
+    )
+    cfg = tmp_path / "cfg.toml"
+    rc = archive_cli.main(
+        [str(tmp_path), "--config", str(cfg), "-n", "--silent"]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Serie" in out

@@ -1,0 +1,91 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import pytest
+
+from audio_matcher_tpu.models.matcher import MatchConfig
+from audio_matcher_tpu.parallel.mesh import make_mesh
+from audio_matcher_tpu.parallel.sweep import ShardedScanner, sweep_archive
+
+SR = 1000
+
+
+@pytest.fixture
+def snippets(rng):
+    return [
+        (rng.standard_normal(SR // 2) * 0.2).astype(np.float32),
+        (rng.standard_normal(SR // 4) * 0.2).astype(np.float32),
+    ]
+
+
+def _episodes(rng, snippets, offsets_per_episode):
+    episodes = []
+    for offsets in offsets_per_episode:
+        ep = (rng.standard_normal(SR * 6) * 0.05).astype(np.float32)
+        for q, off in offsets:
+            i = int(off * SR)
+            ep[i : i + len(snippets[q])] = snippets[q]
+        episodes.append(ep)
+    return episodes
+
+
+def test_mesh_shapes():
+    mesh = make_mesh(8)
+    assert mesh.devices.size == 8
+    assert mesh.axis_names == ("data", "seq")
+    mesh3 = make_mesh(3)
+    assert mesh3.devices.size == 3
+
+
+def test_sharded_scan_multi_query(rng, snippets):
+    mesh = make_mesh(8)
+    cfg = MatchConfig(chunk_secs=1.0, distance_secs=2.0, block=256)
+    scanner = ShardedScanner(snippets, SR, cfg, mesh=mesh)
+    offsets = [
+        [(0, 1.0), (1, 4.0)],
+        [(0, 2.5)],
+        [(1, 0.5), (0, 3.5)],
+        [],
+        [(0, 4.2)],
+    ]
+    episodes = _episodes(rng, snippets, offsets)
+    results = scanner.scan(episodes)
+    assert len(results) == len(episodes)
+    for e, wanted in enumerate(offsets):
+        for q in range(len(snippets)):
+            want = sorted(int(off * SR) for qq, off in wanted if qq == q)
+            got = [p.position for p in results[e][q] if p.height > 0.5]
+            assert got == want, (e, q, got, want)
+
+
+def test_sweep_archive_with_resume(rng, snippets, tmp_path):
+    from audio_matcher_tpu.hostio.decode import write_wav
+    from audio_matcher_tpu.meta.progress import Progress, State
+
+    mesh = make_mesh(4)
+    cfg = MatchConfig(chunk_secs=1.0, distance_secs=2.0, block=256)
+    paths = []
+    for e in range(5):
+        ep = (rng.standard_normal(SR * 6) * 0.05).astype(np.float32)
+        i = (e + 1) * SR // 2
+        ep[i : i + len(snippets[0])] = snippets[0]
+        p = tmp_path / f"ep{e}.wav"
+        write_wav(p, SR, ep)
+        paths.append(p)
+
+    progress_path = tmp_path / ".done.txt"
+    results = sweep_archive(
+        paths, snippets, SR, cfg, mesh=mesh, progress_path=progress_path
+    )
+    assert len(results) == 5
+    for e, p in enumerate(paths):
+        got = [pk.position for pk in results[str(p)][0] if pk.height > 0.5]
+        assert got == [(e + 1) * SR // 2]
+    prog = Progress(progress_path)
+    assert all(prog.get(str(p)) == State.DONE for p in paths)
+
+    # resume: nothing left to do
+    results2 = sweep_archive(
+        paths, snippets, SR, cfg, mesh=mesh, progress_path=progress_path
+    )
+    assert results2 == {}
