@@ -66,6 +66,10 @@ def build_parser() -> argparse.ArgumentParser:
         "-o", "--out", type=Path, metavar="FILE",
         help="file to save a text track",
     )
+    p.add_argument(
+        "--xprof", type=Path, metavar="DIR",
+        help="write a jax.profiler trace of the scan to DIR",
+    )
     common.add_inputs_args(p)
     common.add_output_level_args(p)
     return p
@@ -136,9 +140,21 @@ def run(args: argparse.Namespace) -> int:
         def progress(phase: str, _k: int) -> None:
             (bar.start if phase == "start" else bar.finish)()
 
-        peaks = matcher.match(
-            m_samples, scale=True, n_samples=est_samples, progress=progress
-        )
+        if args.xprof:
+            # aux tracing (SURVEY.md §5): jax profiler trace around the scan
+            import contextlib
+
+            import jax
+
+            trace_cm = jax.profiler.trace(str(args.xprof))
+        else:
+            import contextlib
+
+            trace_cm = contextlib.nullcontext()
+        with trace_cm:
+            peaks = matcher.match(
+                m_samples, scale=True, n_samples=est_samples, progress=progress
+            )
         print_offsets(peaks, sr)
         log.debug("found peaks %s", peaks)
 

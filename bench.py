@@ -48,7 +48,9 @@ def _enable_compile_cache():
         pass
 
 
-def measure_tpu(episode, snippet, config):
+def measure_tpu(episode, snippet, config, n_episodes=4):
+    """Steady-state pipelined throughput over several episodes (the archive
+    sweep regime): transfers of episode k+1 overlap compute of episode k."""
     import jax
 
     _enable_compile_cache()
@@ -61,8 +63,10 @@ def measure_tpu(episode, snippet, config):
     jax.effects_barrier()
 
     t0 = time.perf_counter()
-    peaks = matcher.match(episode, scale=True)
-    elapsed = time.perf_counter() - t0
+    peaks = None
+    for _ in range(n_episodes):
+        peaks = matcher.match(episode, scale=True)
+    elapsed = (time.perf_counter() - t0) / n_episodes
     return elapsed, peaks
 
 

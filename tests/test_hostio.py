@@ -1,0 +1,110 @@
+"""Host-IO tests: decode parity scaling, duration probe + tag cache,
+label files, prefetcher (SURVEY.md §2.1/2.2/2.12-data)."""
+
+import numpy as np
+import pytest
+
+from audio_matcher_tpu.hostio.decode import (
+    PCM_FACTOR,
+    audio_duration,
+    encode_audio,
+    native_available,
+    read_audio,
+    read_wav,
+    write_wav,
+)
+from audio_matcher_tpu.hostio.labels import (
+    TimeLabel,
+    read_labels,
+    timelabel_from_peaks,
+    write_labels,
+)
+from audio_matcher_tpu.hostio.prefetch import decode_prefetched
+from audio_matcher_tpu.ops.peaks import Peak
+
+
+def test_wav_roundtrip_reference_scaling(tmp_path, rng):
+    # int16 full scale is ±0.5 in the reference's (l+r)*0.5/65535 scaling —
+    # keep amplitudes well below to avoid clipping
+    mono = (rng.standard_normal(4000) * 0.05).astype(np.float32)
+    path = tmp_path / "t.wav"
+    write_wav(path, 8000, mono)
+    sr, back = read_wav(path)
+    assert sr == 8000
+    # stereo duplicate downmix (l+r)*0.5*PCM_FACTOR returns the int16 grid
+    np.testing.assert_allclose(back, mono, atol=float(PCM_FACTOR))
+    # values live on the (l+r)*0.5/65535 grid — parity with mp3_reader.rs:35
+    steps = back / (0.5 * PCM_FACTOR)
+    # f32 resolution at ±2^16 is ~0.008 — allow for it
+    np.testing.assert_allclose(steps, np.round(steps), atol=0.05)
+
+
+def test_duration_probe_writes_tag_cache(tmp_path, rng):
+    if not native_available("mp3_encode"):
+        pytest.skip("no native mp3 encoder")
+    from audio_matcher_tpu.meta.tagger import Length, TaggedFile
+
+    mono = (rng.standard_normal(44100 * 3) * 0.1).astype(np.float32)
+    path = tmp_path / "probe.mp3"
+    encode_audio(path, 44100, mono)
+    assert TaggedFile.from_path(path, True).get(Length) is None
+    d1 = audio_duration(path)
+    assert d1 == pytest.approx(3.0, abs=0.2)
+    # side effect: duration cached into the media file's tag (whole seconds)
+    cached = TaggedFile.from_path(path).get(Length)
+    assert cached == float(int(cached))
+    assert cached == pytest.approx(d1, abs=1.0)
+    # second probe is served from the tag
+    d2 = audio_duration(path)
+    assert d2 == cached
+
+
+def test_read_audio_missing_file(tmp_path):
+    with pytest.raises(FileNotFoundError):
+        read_audio(tmp_path / "nope.mp3")
+
+
+def test_labels_roundtrip(tmp_path):
+    labels = [TimeLabel(1.5, 2.25, "a b"), TimeLabel(3.0, 4.0, None)]
+    path = tmp_path / "l.txt"
+    write_labels(labels, path)
+    back = read_labels(path)
+    assert back == labels
+
+
+def test_timelabel_from_peaks():
+    sr = 10
+    peaks = [Peak(100, 1.0, 1.0), Peak(300, 1.0, 1.0), Peak(900, 1.0, 1.0)]
+    labels = timelabel_from_peaks(peaks, sr, 7.0, "Segment #")
+    assert len(labels) == 2
+    assert labels[0] == TimeLabel(10.0 + 7.0, 30.0, "Segment 1")
+    assert labels[1] == TimeLabel(30.0 + 7.0, 90.0, "Segment 2")
+
+
+def test_prefetch_preserves_order_and_errors(tmp_path, rng):
+    paths = []
+    for i in range(4):
+        p = tmp_path / f"f{i}.wav"
+        write_wav(p, 8000, (rng.standard_normal(100) * 0.1).astype(np.float32))
+        paths.append(p)
+    paths.insert(2, tmp_path / "missing.wav")
+    out = list(decode_prefetched(paths, depth=2))
+    assert [d.path for d in out] == paths
+    assert out[2].error is not None
+    assert all(d.error is None for i, d in enumerate(out) if i != 2)
+
+
+@pytest.mark.skipif(
+    not native_available("opus"), reason="no native opus codec"
+)
+def test_opus_encode_decode_roundtrip(tmp_path, rng):
+    t = np.arange(48000) / 48000
+    sig = (0.2 * np.sin(2 * np.pi * 440 * t)).astype(np.float32) * 0.5
+    path = tmp_path / "t.opus"
+    encode_audio(path, 48000, sig)
+    sr, back = read_audio(path)
+    assert sr == 48000
+    assert abs(len(back) - len(sig)) < 48000 // 50  # within one 20ms frame
+    n = min(len(sig), len(back))
+    corr = np.corrcoef(sig[:n], back[:n])[0, 1]
+    assert corr > 0.99
