@@ -50,6 +50,8 @@ def parse_command(line: str) -> argparse.Namespace:
     words = shlex.split(line)
     try:
         return command_parser().parse_args(words)
+    except argparse.ArgumentError as exc:
+        raise CommandError(str(exc)) from exc
     except SystemExit as exc:  # argparse help paths
         raise CommandError(str(exc)) from exc
 

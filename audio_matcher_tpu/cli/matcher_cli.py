@@ -70,6 +70,11 @@ def build_parser() -> argparse.ArgumentParser:
         "--xprof", type=Path, metavar="DIR",
         help="write a jax.profiler trace of the scan to DIR",
     )
+    p.add_argument(
+        "--resample", action="store_true",
+        help="resample the snippet when sample rates differ "
+        "(the reference errors instead)",
+    )
     common.add_inputs_args(p)
     common.add_output_level_args(p)
     return p
@@ -101,7 +106,18 @@ def run(args: argparse.Namespace) -> int:
         prominence=args.prominence,
         overlap_secs=s_duration,
     )
-    matcher = SnippetMatcher(s_samples, sr, config)
+    matchers: dict[int, SnippetMatcher] = {
+        sr: SnippetMatcher(s_samples, sr, config)
+    }
+
+    def matcher_for(rate: int) -> SnippetMatcher:
+        if rate not in matchers:
+            from ..hostio.decode import resample
+
+            matchers[rate] = SnippetMatcher(
+                resample(s_samples, sr, rate), rate, config
+            )
+        return matchers[rate]
 
     level = logging.DEBUG if len(args.within) == 1 else logging.INFO
 
@@ -119,19 +135,20 @@ def run(args: argparse.Namespace) -> int:
 
         log.log(level, "preparing data of '%s'", main_file)
         m_sr, m_samples = read_audio(main_file)
-        if sr != m_sr:
+        if sr != m_sr and not args.resample:
             log.error(
                 "files have different samplerates (%s, %s); "
-                "use --chunk-size matched inputs or resample first",
+                "pass --resample to match across rates",
                 sr, m_sr,
             )
             return 1
+        matcher = matcher_for(m_sr)
 
         m_duration = audio_duration(main_file)
-        est_samples = int(m_duration * sr)
+        est_samples = int(m_duration * m_sr)
         log.debug(
             "duration is %ss with sr %s implying #%s samples",
-            m_duration, sr, est_samples,
+            m_duration, m_sr, est_samples,
         )
 
         n_windows = max(-(-est_samples // matcher.chunk), 1)
@@ -155,13 +172,13 @@ def run(args: argparse.Namespace) -> int:
             peaks = matcher.match(
                 m_samples, scale=True, n_samples=est_samples, progress=progress
             )
-        print_offsets(peaks, sr)
+        print_offsets(peaks, m_sr)
         log.debug("found peaks %s", peaks)
 
         if out_path is not None:
             log.debug("writing result to '%s'", out_path)
             write_labels(
-                timelabel_from_peaks(peaks, sr, 7.0, "Segment #"),
+                timelabel_from_peaks(peaks, m_sr, 7.0, "Segment #"),
                 out_path,
                 dry_run=args.dry_run,
             )

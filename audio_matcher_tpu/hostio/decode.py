@@ -195,6 +195,22 @@ def encode_audio(path: str | Path, sr: int, mono: np.ndarray) -> None:
         raise DecodeError(lib.am_last_error().decode())
 
 
+def resample(samples: np.ndarray, sr_from: int, sr_to: int) -> np.ndarray:
+    """Polyphase resampling (capability the reference lacks — its matcher
+    errors on sample-rate mismatch, matcher/errors.rs:8-11)."""
+    if sr_from == sr_to:
+        return np.asarray(samples, np.float32)
+    import math
+
+    import scipy.signal
+
+    g = math.gcd(sr_from, sr_to)
+    out = scipy.signal.resample_poly(
+        np.asarray(samples, np.float64), sr_to // g, sr_from // g
+    )
+    return out.astype(np.float32)
+
+
 def audio_duration(path: str | Path, use_parallel: bool = False) -> float:
     """Duration probe with tag cache (seconds).
 
