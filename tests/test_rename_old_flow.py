@@ -1,0 +1,110 @@
+"""The non-index ('old') renaming flow + completers (worker/mod.rs:852-920)."""
+
+import numpy as np
+import pytest
+
+from audio_matcher_tpu.archive.data import ChapterNumber
+from audio_matcher_tpu.cli.common import Inputs
+from audio_matcher_tpu.hostio.labels import TimeLabel, write_labels
+from audio_matcher_tpu.meta.index import Index, MultiIndex
+from audio_matcher_tpu.worker.rename import (
+    ChapterCompleter,
+    EXPECTED_PARTS,
+    FullNameCompleter,
+    old_flow,
+)
+
+
+@pytest.fixture
+def api_with_labels(tmp_path, monkeypatch):
+    from audio_matcher_tpu.worker.audacity import AudacityApi
+    from audio_matcher_tpu.worker.fake_audacity import FakeAudacity
+
+    pipe_dir = tmp_path / "pipes"
+    monkeypatch.setenv("AUDACITY_PIPE_DIR", str(pipe_dir))
+    server = FakeAudacity(pipe_dir)
+    api = AudacityApi(timeout=5)
+    api.write_assume_empty("NewLabelTrack:")
+    for start in range(4):
+        api.select_time(float(start * 100), float(start * 100 + 90))
+        api.write_assume_empty("AddLabel:")
+    yield api
+    api.close()
+    server.stop()
+
+
+def test_old_flow_with_index_file(api_with_labels, tmp_path):
+    idx = tmp_path / "serie.txt"
+    idx.write_text("Erste Folge\nZweite Folge\n")
+    # series, index path, then per chapter: number + part count
+    inputs = Inputs(
+        script=[
+            "Meine Serie",        # series prompt
+            str(idx),             # index file path
+            "1",                  # chapter number
+            "2",                  # parts
+            "2",                  # next chapter number
+            "2",                  # parts
+        ]
+    )
+
+    class Args:
+        always_answer = inputs
+
+    old_flow(Args, api_with_labels, inputs)
+    labels = api_with_labels.get_label_info()[0]
+    assert [lb.name for lb in labels] == [
+        "Meine Serie 1.1 Erste Folge",
+        "Meine Serie 1.2 Erste Folge",
+        "Meine Serie 2.1 Zweite Folge",
+        "Meine Serie 2.2 Zweite Folge",
+    ]
+
+
+def test_old_flow_without_index_prompts_chapter_names(api_with_labels):
+    inputs = Inputs(
+        script=[
+            "#Direkt",  # literal series (no index)
+            "5",        # chapter nr
+            "Kapitel A",  # chapter name prompt
+            "4",        # parts (EXPECTED_PARTS[4] = 4)
+        ]
+    )
+
+    class Args:
+        always_answer = inputs
+
+    old_flow(Args, api_with_labels, inputs)
+    labels = api_with_labels.get_label_info()[0]
+    assert labels[0].name == "Direkt 5.1 Kapitel A"
+    assert labels[3].name == "Direkt 5.4 Kapitel A"
+
+
+def test_expected_parts_table():
+    # with 4 labels the expectation is 4 parts; beyond the table → 4
+    assert EXPECTED_PARTS[4] == 4
+    assert EXPECTED_PARTS[5] == 3
+
+
+def test_chapter_completer_numeric_and_text():
+    index = Index.from_lines(
+        ["Der Anfang", "Die Mitte", "Das Ende"], "s", "no"
+    )
+    comp = ChapterCompleter(index)
+    assert comp.get_suggestions("2") == ["2 Die Mitte"]
+    assert comp.get_suggestions("3?") == ["3? Das Ende"]
+    ranked = comp.get_suggestions("mitte")
+    assert ranked[0].endswith("Die Mitte")
+
+
+def test_full_name_completer_series_then_chapter(tmp_path):
+    d = tmp_path / "Grusel"
+    d.mkdir()
+    (d / "index.txt").write_text("Folge Eins\nFolge Zwei\n")
+    m = MultiIndex(tmp_path)
+    comp = FullNameCompleter(m)
+    assert comp.get_suggestions("gru")[0] == "Grusel"
+    comp.series = "Grusel"
+    sugg = comp.get_suggestions("Grusel 1")
+    assert sugg == ["Grusel 1 Folge Eins"]
+    assert comp.get_suggestions("> relo")[0].startswith("> reload")
