@@ -251,9 +251,46 @@ class SnippetMatcher:
                 "distance %.1fs allows %d peaks/chunk; capping at %d",
                 cfg.distance_secs, per_chunk, cfg.max_peaks_per_chunk,
             )
-        self._sample_f = jnp.fft.rfft(
-            jnp.asarray(self.snippet.data), n=self.fft_len
-        )
+        # computed lazily: keeps construction free of device execution so a
+        # batch of episodes can be staged on the pre-execution fast path
+        self._sample_f_cache: jax.Array | None = None
+
+    @property
+    def _sample_f(self) -> jax.Array:
+        if self._sample_f_cache is None:
+            self._sample_f_cache = jnp.fft.rfft(
+                jnp.asarray(self.snippet.data), n=self.fft_len
+            )
+        return self._sample_f_cache
+
+    def stage(
+        self, samples: np.ndarray, n_samples: int | None = None
+    ) -> tuple[jax.Array, int]:
+        """Pad/bucket an episode and transfer it to device HBM.
+
+        Staging is split from :meth:`match_staged` so callers can upload a
+        whole batch of episodes BEFORE the first program execution — on
+        tunneled/relayed links the host→device path is dramatically faster
+        before the execution stream starts. ``stage`` performs no device
+        computation.
+        """
+        samples = np.ascontiguousarray(samples, dtype=np.float32)
+        if n_samples is not None:
+            if n_samples <= len(samples):
+                samples = samples[:n_samples]
+            else:
+                samples = np.concatenate(
+                    [samples, np.zeros(n_samples - len(samples), np.float32)]
+                )
+        n = len(samples)
+        # bucket the padded window count so compiled program shapes are
+        # reused across similarly-sized episodes
+        n_windows = max(-(-n // self.chunk), 1) if n else 1
+        n_windows_pad = -(-n_windows // self.config.slab) * self.config.slab
+        n_pad = n_windows_pad * self.chunk + self.overlap
+        padded = np.zeros(n_pad, np.float32)
+        padded[:n] = samples
+        return jax.device_put(padded), n
 
     def match(
         self,
@@ -269,30 +306,25 @@ class SnippetMatcher:
         ``progress`` receives ("start"|"finish", chunk_index) callbacks —
         the 2-phase per-chunk reporting of SURVEY.md §2.16.
         """
-        samples = np.ascontiguousarray(samples, dtype=np.float32)
-        if n_samples is not None:
-            if n_samples <= len(samples):
-                samples = samples[:n_samples]
-            else:
-                samples = np.concatenate(
-                    [samples, np.zeros(n_samples - len(samples), np.float32)]
-                )
-        n = len(samples)
+        staged = self.stage(samples, n_samples)
+        return self.match_staged(staged, scale=scale, progress=progress)
+
+    def match_staged(
+        self,
+        staged: tuple[jax.Array, int],
+        scale: bool = True,
+        progress: Callable[[str, int], None] | None = None,
+    ) -> list[Peak]:
+        """Scan an episode previously uploaded with :meth:`stage`."""
+        episode_dev, n = staged
         if n == 0:
             return []
         cfg = self.config
         m = self.snippet.m
         n_windows = max(-(-n // self.chunk), 1)
-        inv_ac = np.float32(self.snippet.inv_autocorr if scale else 1.0)
         B = cfg.slab
-
-        # bucket the padded window count so compiled program shapes are
-        # reused across similarly-sized episodes
-        n_windows_pad = -(-n_windows // B) * B
-        n_pad = n_windows_pad * self.chunk + self.overlap
-        padded = np.zeros(n_pad, np.float32)
-        padded[:n] = samples
-        episode_dev = jax.device_put(padded)
+        n_windows_pad = (episode_dev.shape[0] - self.overlap) // self.chunk
+        inv_ac = np.float32(self.snippet.inv_autocorr if scale else 1.0)
 
         if progress:
             for k in range(n_windows):

@@ -106,6 +106,7 @@ def correlate(
     sample,
     mode: Mode = "valid",
     scale: bool = False,
+    use_conjugation: bool = True,
 ) -> jax.Array:
     """Scipy-compatible 1D cross-correlation with the reference's modes.
 
@@ -113,14 +114,25 @@ def correlate(
     — Full = lags -(m-1)..n-1, Same = centered n, Valid = centered n-m+1
     (audio_matcher.rs:450-456). ``scale`` multiplies by the snippet's inverse
     autocorrelation (the production ``LibConvolve`` chain).
+
+    ``use_conjugation=False`` selects the reference's alternative
+    reverse-multiply formulation (audio_matcher.rs:422-438: correlate as a
+    convolution with the time-reversed snippet, plain spectral multiply) —
+    mathematically identical, kept for differential testing.
     """
     within = jnp.asarray(within, jnp.float32)
     sample = jnp.asarray(sample, jnp.float32)
     n, m = within.shape[-1], sample.shape[-1]
     L = fft_length(n + m - 1)
     x = jnp.fft.rfft(within, n=L)
-    s = jnp.fft.rfft(sample, n=L)
-    c = jnp.fft.irfft(x * jnp.conj(s), n=L)
+    if use_conjugation:
+        s = jnp.fft.rfft(sample, n=L)
+        c = jnp.fft.irfft(x * jnp.conj(s), n=L)
+    else:
+        s_rev = jnp.fft.rfft(sample[..., ::-1], n=L)
+        conv = jnp.fft.irfft(x * s_rev, n=L)
+        # convolution with the reversed snippet = correlation shifted by m-1
+        c = jnp.roll(conv, -(m - 1), axis=-1)
     # circular index k holds lag k (k ≥ 0) and lag k-L (k > L-m): rotate so
     # the full output starts at lag -(m-1).
     full = jnp.roll(c, m - 1, axis=-1)[..., : n + m - 1]

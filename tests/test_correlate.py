@@ -68,6 +68,26 @@ def test_batched_valid_equals_single(rng):
         np.testing.assert_allclose(batch[i], want, atol=1e-4)
 
 
+def test_conjugation_vs_reverse_multiply(rng):
+    # parity: the reference's oracle test covers both MyConvolve modes
+    # (audio_matcher.rs:489-506: conj and flip-reverse agree)
+    within = np.arange(-10, 10, dtype=np.float32)
+    sample = np.array([1.0, 2.0, 3.0], np.float32)
+    conj = np.asarray(correlate(within, sample, mode="valid"))
+    rev = np.asarray(
+        correlate(within, sample, mode="valid", use_conjugation=False)
+    )
+    np.testing.assert_allclose(conj, rev, atol=TOL)
+    w = rng.standard_normal(500).astype(np.float32)
+    s = rng.standard_normal(64).astype(np.float32)
+    for mode in ("full", "same", "valid"):
+        np.testing.assert_allclose(
+            np.asarray(correlate(w, s, mode=mode)),
+            np.asarray(correlate(w, s, mode=mode, use_conjugation=False)),
+            atol=1e-4,
+        )
+
+
 def test_degenerate_shorter_within():
     # parity: audio_matcher.rs:454 saturating_sub → single output value
     within = np.array([1.0, 2.0], np.float32)
