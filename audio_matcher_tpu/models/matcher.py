@@ -28,7 +28,7 @@ from __future__ import annotations
 import dataclasses
 import logging
 from functools import partial
-from typing import Callable, Sequence
+from typing import Callable, Sequence  # noqa: F401
 
 import jax
 import jax.numpy as jnp
@@ -57,10 +57,17 @@ class MatchConfig:
     slab: int = 8  # windows per device dispatch
     block: int = 2048  # prominence pyramid block size
     max_peaks_per_chunk: int = 64  # cap on distance-suppression rounds
+    # wire format for episode staging: "float32" (exact) or "int16"
+    # (half the host→device bytes; quantizes to the source's 16-bit grid,
+    # max sample error 0.5/65535 ≈ 7.6e-7 of full scale)
+    transfer_dtype: str = "float32"
 
     @property
     def min_prominence(self) -> float:
         return self.prominence / 100.0
+
+
+_I16_SCALE = np.float32(65535.0)
 
 
 @partial(
@@ -158,8 +165,12 @@ def _match_episode_resident(
 
     A single dispatch + single readback — per-call RPC latency (significant
     over remote links) is paid once per episode instead of once per slab.
-    Returns (pos, height, prom) each [n_slabs*slab, n_peaks].
+    ``episode`` may be int16 (the staging wire format); it is rescaled to
+    the reference's PCM grid on device. Returns (pos, height, prom) each
+    [n_slabs*slab, n_peaks].
     """
+    if episode.dtype == jnp.int16:
+        episode = episode.astype(jnp.float32) * (1.0 / 65535.0)
 
     def body(base):
         starts = (base + jnp.arange(slab, dtype=jnp.int32)) * chunk
@@ -183,6 +194,44 @@ def _match_episode_resident(
         h.reshape(flat, n_peaks),
         prom.reshape(flat, n_peaks),
     )
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "chunk", "window", "m", "fft_len", "valid_max",
+        "distance", "n_peaks", "block", "slab", "n_slabs",
+    ),
+)
+def _match_batch_resident(
+    episodes,  # [E, Npad] f32 or int16
+    ns,  # [E] int32
+    sample_f,
+    inv_ac,
+    chunk: int,
+    window: int,
+    m: int,
+    fft_len: int,
+    valid_max: int,
+    distance: int,
+    n_peaks: int,
+    block: int,
+    slab: int,
+    n_slabs: int,
+):
+    """Whole BATCH of episodes as one program: one dispatch + one readback
+    for E episodes (the batch-scan regime, BASELINE config #3/#5)."""
+
+    def per_episode(args):
+        episode, n = args
+        return _match_episode_resident.__wrapped__(
+            episode, n, sample_f, inv_ac,
+            chunk=chunk, window=window, m=m, fft_len=fft_len,
+            valid_max=valid_max, distance=distance, n_peaks=n_peaks,
+            block=block, slab=slab, n_slabs=n_slabs,
+        )
+
+    return jax.lax.map(per_episode, (episodes, ns))
 
 
 def overshadow_filter(
@@ -288,9 +337,39 @@ class SnippetMatcher:
         n_windows = max(-(-n // self.chunk), 1) if n else 1
         n_windows_pad = -(-n_windows // self.config.slab) * self.config.slab
         n_pad = n_windows_pad * self.chunk + self.overlap
-        padded = np.zeros(n_pad, np.float32)
-        padded[:n] = samples
+        if self.config.transfer_dtype == "int16":
+            padded = np.zeros(n_pad, np.int16)
+            padded[:n] = np.clip(
+                np.round(samples * _I16_SCALE), -32768, 32767
+            ).astype(np.int16)
+        else:
+            padded = np.zeros(n_pad, np.float32)
+            padded[:n] = samples
         return jax.device_put(padded), n
+
+    def stage_batch(
+        self, episodes: Sequence[np.ndarray]
+    ) -> tuple[jax.Array, np.ndarray]:
+        """Stage several episodes as ONE device array [E, Npad] (single
+        transfer; all episodes bucketed to the largest)."""
+        ns = np.array([len(e) for e in episodes], np.int32)
+        n_max = int(ns.max()) if len(ns) else 0
+        n_windows = max(-(-n_max // self.chunk), 1)
+        n_windows_pad = -(-n_windows // self.config.slab) * self.config.slab
+        n_pad = n_windows_pad * self.chunk + self.overlap
+        dtype = (
+            np.int16 if self.config.transfer_dtype == "int16" else np.float32
+        )
+        buf = np.zeros((len(episodes), n_pad), dtype)
+        for i, ep in enumerate(episodes):
+            ep = np.ascontiguousarray(ep, np.float32)
+            if dtype == np.int16:
+                buf[i, : len(ep)] = np.clip(
+                    np.round(ep * _I16_SCALE), -32768, 32767
+                ).astype(np.int16)
+            else:
+                buf[i, : len(ep)] = ep
+        return jax.device_put(buf), ns
 
     def match(
         self,
@@ -309,6 +388,25 @@ class SnippetMatcher:
         staged = self.stage(samples, n_samples)
         return self.match_staged(staged, scale=scale, progress=progress)
 
+    def _extract_peaks(
+        self, pos, h, prom, n_windows: int, progress=None
+    ) -> list[Peak]:
+        cfg = self.config
+        candidates: list[Peak] = []
+        for k in range(n_windows):
+            for s in range(pos.shape[1]):
+                if np.isfinite(h[k, s]) and prom[k, s] >= cfg.min_prominence:
+                    candidates.append(
+                        Peak(
+                            position=int(pos[k, s]) + self.chunk * k,
+                            height=float(h[k, s]),
+                            prominence=float(prom[k, s]),
+                        )
+                    )
+            if progress:
+                progress("finish", k)
+        return overshadow_filter(candidates, self.sr, cfg.distance_secs)
+
     def match_staged(
         self,
         staged: tuple[jax.Array, int],
@@ -320,7 +418,6 @@ class SnippetMatcher:
         if n == 0:
             return []
         cfg = self.config
-        m = self.snippet.m
         n_windows = max(-(-n // self.chunk), 1)
         B = cfg.slab
         n_windows_pad = (episode_dev.shape[0] - self.overlap) // self.chunk
@@ -336,7 +433,7 @@ class SnippetMatcher:
             inv_ac,
             chunk=self.chunk,
             window=self.window,
-            m=m,
+            m=self.snippet.m,
             fft_len=self.fft_len,
             valid_max=self.valid,
             distance=self.distance_samples,
@@ -346,22 +443,44 @@ class SnippetMatcher:
             n_slabs=n_windows_pad // B,
         )
         pos, h, prom = np.asarray(pos), np.asarray(h), np.asarray(prom)
+        return self._extract_peaks(pos, h, prom, n_windows, progress)
 
-        candidates: list[Peak] = []
-        for k in range(n_windows):
-            for s in range(pos.shape[1]):
-                if np.isfinite(h[k, s]) and prom[k, s] >= cfg.min_prominence:
-                    candidates.append(
-                        Peak(
-                            position=int(pos[k, s]) + self.chunk * k,
-                            height=float(h[k, s]),
-                            prominence=float(prom[k, s]),
-                        )
-                    )
-            if progress:
-                progress("finish", k)
-
-        return overshadow_filter(candidates, self.sr, cfg.distance_secs)
+    def match_staged_batch(
+        self,
+        staged: tuple[jax.Array, np.ndarray],
+        scale: bool = True,
+    ) -> list[list[Peak]]:
+        """Scan a :meth:`stage_batch` upload: ONE device program for the
+        whole episode batch (one dispatch, one readback)."""
+        episodes_dev, ns = staged
+        cfg = self.config
+        B = cfg.slab
+        n_windows_pad = (episodes_dev.shape[1] - self.overlap) // self.chunk
+        inv_ac = np.float32(self.snippet.inv_autocorr if scale else 1.0)
+        pos, h, prom = _match_batch_resident(
+            episodes_dev,
+            jnp.asarray(ns, jnp.int32),
+            self._sample_f,
+            inv_ac,
+            chunk=self.chunk,
+            window=self.window,
+            m=self.snippet.m,
+            fft_len=self.fft_len,
+            valid_max=self.valid,
+            distance=self.distance_samples,
+            n_peaks=self.n_peaks,
+            block=cfg.block,
+            slab=B,
+            n_slabs=n_windows_pad // B,
+        )
+        pos, h, prom = np.asarray(pos), np.asarray(h), np.asarray(prom)
+        out = []
+        for e in range(len(ns)):
+            n_windows = max(-(-int(ns[e]) // self.chunk), 1)
+            out.append(
+                self._extract_peaks(pos[e], h[e], prom[e], n_windows)
+            )
+        return out
 
 
 def calc_chunks(

