@@ -80,6 +80,14 @@ def _native():
             ctypes.c_int32,
         ]
     lib.am_free.argtypes = [ctypes.POINTER(ctypes.c_float)]
+    if hasattr(lib, "am_decode_mp3_i16"):
+        lib.am_decode_mp3_i16.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_int16)),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int32),
+        ]
+        lib.am_free_i16.argtypes = [ctypes.POINTER(ctypes.c_int16)]
     _lib = lib
     return lib
 
@@ -193,6 +201,52 @@ def encode_audio(path: str | Path, sr: int, mono: np.ndarray) -> None:
         raise DecodeError(f"unsupported encode format {ext!r}")
     if rc != 0:
         raise DecodeError(lib.am_last_error().decode())
+
+
+def read_audio_int16(path: str | Path) -> tuple[int, np.ndarray]:
+    """Decode to the mono int16 wire format ((l+r)/2 grid) for device
+    staging (``MatchConfig.transfer_dtype="int16"``): the f32 reference
+    scaling ×1/65535 is applied on device, so no float conversion happens
+    on the host hot path."""
+    path = Path(path)
+    ext = path.suffix.lower()
+    if ext == ".mp3":
+        lib = _native()
+        if lib is not None and hasattr(lib, "am_decode_mp3_i16"):
+            out = ctypes.POINTER(ctypes.c_int16)()
+            n = ctypes.c_int64()
+            sr = ctypes.c_int32()
+            rc = lib.am_decode_mp3_i16(
+                str(path).encode(), ctypes.byref(out), ctypes.byref(n),
+                ctypes.byref(sr),
+            )
+            if rc != 0:
+                raise DecodeError(lib.am_last_error().decode())
+            try:
+                arr = np.ctypeslib.as_array(out, shape=(n.value,)).copy()
+            finally:
+                lib.am_free_i16(out)
+            return int(sr.value), arr
+    if ext == ".wav":
+        with wave.open(str(path), "rb") as w:
+            srate = w.getframerate()
+            ch = w.getnchannels()
+            if w.getsampwidth() != 2:
+                raise DecodeError("only 16-bit WAV supported")
+            raw = w.readframes(w.getnframes())
+        data = np.frombuffer(raw, dtype="<i2").astype(np.int32)
+        if ch == 2:
+            v = data[0::2] + data[1::2]
+            # round-half-away of v/2 (matches the native decoder's grid)
+            mono = (np.sign(v) * ((np.abs(v) + 1) // 2)).astype(np.int16)
+        else:
+            mono = data.astype(np.int16)
+        return srate, mono
+    # fallback: f32 decode + quantize to the grid
+    srate, samples = read_audio(path)
+    return srate, np.clip(
+        np.round(samples * 65535.0), -32768, 32767
+    ).astype(np.int16)
 
 
 def resample(samples: np.ndarray, sr_from: int, sr_to: int) -> np.ndarray:

@@ -362,13 +362,18 @@ class SnippetMatcher:
         )
         buf = np.zeros((len(episodes), n_pad), dtype)
         for i, ep in enumerate(episodes):
-            ep = np.ascontiguousarray(ep, np.float32)
-            if dtype == np.int16:
+            ep = np.asarray(ep)
+            if ep.dtype == dtype:
+                # already on the wire format (e.g. int16 straight from the
+                # native decoder) — plain pack
+                buf[i, : len(ep)] = ep
+            elif dtype == np.int16:
                 buf[i, : len(ep)] = np.clip(
-                    np.round(ep * _I16_SCALE), -32768, 32767
+                    np.round(ep.astype(np.float32) * _I16_SCALE),
+                    -32768, 32767,
                 ).astype(np.int16)
             else:
-                buf[i, : len(ep)] = ep
+                buf[i, : len(ep)] = ep.astype(np.float32)
         return jax.device_put(buf), ns
 
     def match(

@@ -184,19 +184,18 @@ class ShardedScanner:
             [q.inv_autocorr for q in self.queries], jnp.float32
         )
         self._m = jnp.asarray([q.m for q in self.queries], jnp.int32)
-        self._step_cache: dict[tuple, callable] = {}
+        # one jitted step; XLA retraces per concrete [E, C] shape
+        self._step_fn = sharded_match_step(
+            self.mesh,
+            self.fft_len,
+            self.valid,
+            self.distance_samples,
+            self.n_peaks,
+            self.config.block,
+        )
 
-    def _step(self, shape_key):
-        if shape_key not in self._step_cache:
-            self._step_cache[shape_key] = sharded_match_step(
-                self.mesh,
-                self.fft_len,
-                self.valid,
-                self.distance_samples,
-                self.n_peaks,
-                self.config.block,
-            )
-        return self._step_cache[shape_key]
+    def _step(self, _shape_key=None):
+        return self._step_fn
 
     def _windows(self, episodes: Sequence[np.ndarray], c_windows: int):
         E = len(episodes)

@@ -165,6 +165,7 @@ class AudacityApi:
 
     def import_labels_from(self, path, track_name=None) -> None:
         """Create a label track populated from an Audacity label file."""
+        del track_name  # accepted for crate-surface parity
         from ..hostio.labels import read_labels
 
         labels = read_labels(path)
@@ -172,11 +173,8 @@ class AudacityApi:
         for lb in labels:
             self.select_time(lb.start, lb.end)
             self.write_assume_empty("AddLabel:")
-        info = self.get_label_info()
-        track_nr = max(info.keys()) if info else 0
         for i, lb in enumerate(labels):
             self.set_label(i, lb.name, selected=False)
-        del track_nr, track_name
 
     def export_all_labels_to(self, path, dry_run: bool = False) -> None:
         from ..hostio.labels import write_labels

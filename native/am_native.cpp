@@ -309,6 +309,77 @@ int am_has_mp3_decode() { return mpg123().ok() ? 1 : 0; }
 int am_has_opus() { return opus().ok() ? 1 : 0; }
 int am_has_mp3_encode() { return lame().ok() ? 1 : 0; }
 
+// Decode an mp3 to mono int16 on the (l+r)/2 grid — the wire format for
+// device staging (the f32 reference scaling ×1/65535 is applied on device).
+// Max deviation from the f32 path: 0.5/65535 of full scale (rounding the
+// half-steps of the stereo average).
+int am_decode_mp3_i16(const char* path, int16_t** out, int64_t* out_n,
+                      int32_t* out_sr) {
+  Mpg123Api& m = mpg123();
+  if (!m.ok()) {
+    set_error("libmpg123 not available");
+    return -1;
+  }
+  int err = 0;
+  void* h = m.make(nullptr, &err);
+  if (!h) {
+    set_error("mpg123_new failed");
+    return -1;
+  }
+  if (m.open(h, path) != MPG123_OK) {
+    set_error("no valid mp3 data in %s", path);
+    m.del(h);
+    return -1;
+  }
+  long rate = 0;
+  int channels = 0, enc = 0;
+  if (m.getformat(h, &rate, &channels, &enc) != MPG123_OK) {
+    set_error("no valid mp3 data in %s", path);
+    m.close(h);
+    m.del(h);
+    return -1;
+  }
+  m.format_none(h);
+  m.format(h, rate, channels, MPG123_ENC_SIGNED_16);
+
+  std::vector<int16_t> mono;
+  std::vector<uint8_t> buf(1 << 18);
+  for (;;) {
+    size_t done = 0;
+    int r = m.read(h, buf.data(), buf.size(), &done);
+    size_t nsamp = done / sizeof(int16_t);
+    const int16_t* s = reinterpret_cast<const int16_t*>(buf.data());
+    if (channels == 2) {
+      for (size_t i = 0; i + 1 < nsamp; i += 2) {
+        int v = (static_cast<int>(s[i]) + static_cast<int>(s[i + 1]));
+        // round-half-away of v/2, staying in int16 range
+        mono.push_back(static_cast<int16_t>((v + (v >= 0 ? 1 : -1)) / 2));
+      }
+    } else {
+      for (size_t i = 0; i < nsamp; ++i) mono.push_back(s[i]);
+    }
+    if (r == MPG123_DONE) break;
+    if (r == MPG123_NEW_FORMAT) {
+      set_error("sample rate changed mid-stream in %s", path);
+      m.close(h);
+      m.del(h);
+      return -1;
+    }
+    if (r != MPG123_OK && done == 0) break;
+  }
+  m.close(h);
+  m.del(h);
+
+  int16_t* arr = static_cast<int16_t*>(malloc(mono.size() * sizeof(int16_t)));
+  memcpy(arr, mono.data(), mono.size() * sizeof(int16_t));
+  *out = arr;
+  *out_n = static_cast<int64_t>(mono.size());
+  *out_sr = static_cast<int32_t>(rate);
+  return 0;
+}
+
+void am_free_i16(int16_t* p) { free(p); }
+
 // Decode an mp3 to mono f32, (l+r)*0.5/65535 downmix (reference parity).
 // Returns 0 on success; fills *out (malloc'd, caller frees via am_free),
 // *out_n and *out_sr.

@@ -94,6 +94,37 @@ def test_prefetch_preserves_order_and_errors(tmp_path, rng):
     assert all(d.error is None for i, d in enumerate(out) if i != 2)
 
 
+def test_read_audio_int16_wire_format(tmp_path, rng):
+    from audio_matcher_tpu.hostio.decode import read_audio_int16
+
+    mono = (rng.standard_normal(4000) * 0.05).astype(np.float32)
+    path = tmp_path / "w.wav"
+    write_wav(path, 8000, mono)
+    sr16, x16 = read_audio_int16(path)
+    sr32, x32 = read_audio(path)
+    assert sr16 == sr32
+    assert x16.dtype == np.int16
+    dev = np.abs(x16.astype(np.float32) / 65535.0 - x32)
+    assert float(dev.max()) <= 0.5 / 65535.0 + 1e-9
+
+
+@pytest.mark.skipif(
+    not native_available("mp3_encode"), reason="no native mp3 codec"
+)
+def test_read_audio_int16_mp3(tmp_path, rng):
+    from audio_matcher_tpu.hostio.decode import read_audio_int16
+
+    mono = (rng.standard_normal(44100) * 0.05).astype(np.float32)
+    path = tmp_path / "w.mp3"
+    encode_audio(path, 44100, mono)
+    sr16, x16 = read_audio_int16(path)
+    sr32, x32 = read_audio(path)
+    assert sr16 == sr32 == 44100
+    assert len(x16) == len(x32)
+    dev = np.abs(x16.astype(np.float32) / 65535.0 - x32)
+    assert float(dev.max()) <= 0.5 / 65535.0 + 1e-9
+
+
 @pytest.mark.skipif(
     not native_available("opus"), reason="no native opus codec"
 )
