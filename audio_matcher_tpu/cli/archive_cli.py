@@ -14,6 +14,7 @@ from pathlib import Path
 from ..archive.repl import Holder
 from ..utils import config as cfgmod
 from . import common
+from .. import __version__
 
 CONFIG_NAME = "archive"
 
@@ -21,6 +22,10 @@ CONFIG_NAME = "archive"
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="archive-scroller", description="browse the episode label archive"
+    )
+    p.add_argument(
+        "--version", action="version",
+        version=f"%(prog)s {__version__}",
     )
     p.add_argument(
         "archive", nargs="?", type=Path, metavar="FILE",

@@ -25,6 +25,7 @@ from ..models.matcher import (
 from ..utils.durations import fmt_hms, parse_duration
 from ..utils.progressbar import Progress
 from . import common
+from .. import __version__
 
 log = logging.getLogger("audio_matcher.cli")
 
@@ -34,6 +35,10 @@ def build_parser() -> argparse.ArgumentParser:
         prog="audio-matcher",
         description="find snippets (intros/outros/jingles) inside recordings "
         "via TPU-accelerated FFT cross-correlation",
+    )
+    p.add_argument(
+        "--version", action="version",
+        version=f"%(prog)s {__version__}",
     )
     p.add_argument(
         "within", nargs="*", type=Path, metavar="FILE",

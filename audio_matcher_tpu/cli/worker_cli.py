@@ -17,6 +17,7 @@ from ..utils import config as cfgmod
 from ..utils.durations import parse_duration
 from ..worker.pipeline import WorkerArgs, run_worker
 from . import common
+from .. import __version__
 
 log = logging.getLogger("audio_matcher.cli")
 
@@ -28,6 +29,10 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="audio-worker",
         description="interactive Audacity-driven episode cutting/tagging",
+    )
+    p.add_argument(
+        "--version", action="version",
+        version=f"%(prog)s {__version__}",
     )
     p.add_argument(
         "audio_paths", nargs="*", type=Path, metavar="FILE",

@@ -3,10 +3,11 @@
 TPU-native redesign of the reference's ``calc_chunks`` hot path
 (reference src/matcher/audio_matcher.rs:88-141): instead of a rayon thread
 pool pulling overlapping windows off a lazy decoder iterator and running one
-rFFT per chunk, windows are batched into slabs and processed by a single
-jitted device program (batched rFFT → conj-multiply → irFFT → on-device
-peak picking); slabs are dispatched asynchronously so host windowing,
-device compute and result readback pipeline.
+rFFT per chunk, the flat episode is staged into HBM once and the whole scan
+runs as ONE jitted device program (``lax.map`` over window slabs: in-HBM
+``dynamic_slice`` windowing → batched rFFT → conj-multiply → irFFT →
+on-device peak picking), with a single tiny candidate readback. Batches of
+episodes compile into a single program as well (``match_staged_batch``).
 
 Preserved reference semantics (SURVEY.md §2 "correctness-critical"):
   * window = chunk + overlap, hop = chunk, overlap = snippet duration × sr
@@ -59,7 +60,7 @@ class MatchConfig:
     max_peaks_per_chunk: int = 64  # cap on distance-suppression rounds
     # wire format for episode staging: "float32" (exact) or "int16"
     # (half the host→device bytes; quantizes to the source's 16-bit grid,
-    # max sample error 0.5/65535 ≈ 7.6e-7 of full scale)
+    # max sample error 0.5/65535 ≈ 7.6e-6 of full scale)
     transfer_dtype: str = "float32"
 
     @property
