@@ -30,8 +30,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-_NEG = jnp.float32(-jnp.inf)
-_POS = jnp.float32(jnp.inf)
+# plain python floats: jnp scalars here would initialize the JAX backend
+# at import time (heavy, and wrong for pure-host users of this package)
+_NEG = float("-inf")
+_POS = float("inf")
 
 
 @dataclasses.dataclass(frozen=True)
