@@ -92,10 +92,13 @@ def measure_tpu(episode, snippet, config, n_episodes=8):
     results = matcher.match_staged_batch(staged, scale=True)
     t_compute = time.perf_counter() - t0
     peaks = results[-1]
+
     print(
         f"[bench] stage {n_episodes} episodes "
         f"({staged[0].nbytes / 1e6:.0f}MB, {config.transfer_dtype}): "
-        f"{t_stage:.2f}s; batch scan: {t_compute:.2f}s",
+        f"{t_stage:.2f}s; batch scan: {t_compute:.2f}s "
+        f"(amortized per-episode match latency "
+        f"{t_compute / n_episodes * 1e3:.0f} ms)",
         file=sys.stderr,
     )
     return (t_stage + t_compute) / n_episodes, peaks
