@@ -16,6 +16,7 @@ cannot express.
 from __future__ import annotations
 
 import dataclasses
+import logging
 from typing import Sequence
 
 import jax
@@ -26,6 +27,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..models.matcher import MatchConfig, overshadow_filter
 from ..ops.correlate import fft_length, prepare_snippet
 from ..ops.peaks import Peak, pick_peaks_core
+
+log = logging.getLogger("audio_matcher.sweep")
 
 
 def sharded_match_step(
@@ -113,14 +116,22 @@ def sweep_archive(
 
     def flush(group):
         episodes = []
+        ok_items = []
         for item in group:
             if item.error is not None:
-                raise item.error
+                log.error("skipping %s: %s", item.path, item.error)
+                continue
             if item.sr != scanner.sr:
-                raise ValueError(
-                    f"{item.path}: sample rate {item.sr} != {scanner.sr}"
+                log.error(
+                    "skipping %s: sample rate %s != %s",
+                    item.path, item.sr, scanner.sr,
                 )
+                continue
+            ok_items.append(item)
             episodes.append(item.samples)
+        if not episodes:
+            return
+        group = ok_items
         peaks = scanner.scan(episodes)
         for item, per_query in zip(group, peaks):
             results[str(item.path)] = per_query

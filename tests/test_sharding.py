@@ -89,3 +89,29 @@ def test_sweep_archive_with_resume(rng, snippets, tmp_path):
         paths, snippets, SR, cfg, mesh=mesh, progress_path=progress_path
     )
     assert results2 == {}
+
+
+def test_sweep_skips_bad_files(rng, snippets, tmp_path, caplog):
+    import logging
+
+    from audio_matcher_tpu.hostio.decode import write_wav
+
+    mesh = make_mesh(2)
+    cfg = MatchConfig(chunk_secs=1.0, distance_secs=2.0, block=256)
+    good = tmp_path / "good.wav"
+    ep = (rng.standard_normal(SR * 6) * 0.05).astype(np.float32)
+    ep[SR : SR + len(snippets[0])] = snippets[0]
+    write_wav(good, SR, ep)
+    bad = tmp_path / "bad.wav"
+    bad.write_bytes(b"not a wav")
+    wrong_rate = tmp_path / "wrong_rate.wav"
+    write_wav(wrong_rate, SR * 2, ep)
+
+    with caplog.at_level(logging.ERROR, logger="audio_matcher.sweep"):
+        results = sweep_archive(
+            [bad, good, wrong_rate], snippets, SR, cfg, mesh=mesh
+        )
+    assert set(results) == {str(good)}
+    assert [p.position for p in results[str(good)][0] if p.height > 0.5] == [SR]
+    msgs = " ".join(r.message for r in caplog.records)
+    assert "skipping" in msgs
