@@ -1,0 +1,142 @@
+"""``audio-sweep`` — batched archive scanning over a chip mesh.
+
+A capability surface beyond the reference (BASELINE.json configs #3/#5):
+scan many recordings against one or more query snippets in mesh-sharded
+batches with pipelined host decode and resumable progress, writing one
+Audacity label file per (recording, query).
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob as globmod
+import logging
+import sys
+from pathlib import Path
+
+from .. import __version__
+from ..hostio.decode import read_audio
+from ..hostio.labels import timelabel_from_peaks, write_labels
+from ..models.matcher import (
+    DEFAULT_CHUNK_SECS,
+    DEFAULT_DISTANCE_SECS,
+    DEFAULT_PROMINENCE,
+    MatchConfig,
+)
+from ..parallel.mesh import make_mesh
+from ..parallel.sweep import sweep_archive
+from ..utils.durations import parse_duration
+from . import common
+
+log = logging.getLogger("audio_matcher.sweep")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="audio-sweep",
+        description="scan a whole archive for query snippets on a TPU mesh",
+    )
+    p.add_argument(
+        "--version", action="version", version=f"%(prog)s {__version__}"
+    )
+    p.add_argument(
+        "within", nargs="*", metavar="FILE_OR_GLOB",
+        help="recordings (files or globs) to scan",
+    )
+    p.add_argument(
+        "--snippet", type=Path, action="append", required=True,
+        metavar="FILE", help="query snippet (repeatable)",
+    )
+    p.add_argument(
+        "-p", "--prominence", type=float, default=DEFAULT_PROMINENCE
+    )
+    p.add_argument(
+        "--distance", type=parse_duration, default=DEFAULT_DISTANCE_SECS,
+        metavar="SECONDS",
+    )
+    p.add_argument(
+        "--chunk-size", type=parse_duration, default=DEFAULT_CHUNK_SECS,
+        metavar="SECONDS",
+    )
+    p.add_argument(
+        "--progress-file", type=Path, metavar="FILE",
+        help="resume state (reference .done.txt line format)",
+    )
+    p.add_argument(
+        "--devices", type=int, metavar="N",
+        help="mesh size (default: all devices)",
+    )
+    p.add_argument("--no-out", action="store_true")
+    p.add_argument("--dry-run", action="store_true")
+    common.add_output_level_args(p)
+    return p
+
+
+def run(args: argparse.Namespace) -> int:
+    paths: list[Path] = []
+    for pattern in args.within:
+        hits = sorted(globmod.glob(pattern, recursive=True))
+        if hits:
+            paths.extend(Path(h) for h in hits)
+        else:
+            paths.append(Path(pattern))
+    if not paths:
+        log.error("no input files")
+        return 1
+
+    snippets = []
+    sr = None
+    for snip_path in args.snippet:
+        s_sr, s = read_audio(snip_path)
+        if sr is None:
+            sr = s_sr
+        elif s_sr != sr:
+            log.error(
+                "query snippets have different samplerates (%s, %s)", sr, s_sr
+            )
+            return 1
+        snippets.append(s)
+
+    config = MatchConfig(
+        chunk_secs=float(args.chunk_size),
+        distance_secs=float(args.distance),
+        prominence=args.prominence,
+    )
+    mesh = make_mesh(args.devices)
+
+    def write_result(path: Path, q: int, peaks) -> None:
+        if args.no_out:
+            return
+        suffix = f".q{q}.txt" if len(snippets) > 1 else ".txt"
+        out = path.with_suffix(suffix)
+        write_labels(
+            timelabel_from_peaks(peaks, sr, 7.0, "Segment #"),
+            out, dry_run=args.dry_run,
+        )
+        log.info("%s → %d peaks → %s", path.name, len(peaks), out.name)
+
+    results = sweep_archive(
+        paths,
+        snippets,
+        sr,
+        config,
+        mesh=mesh,
+        progress_path=args.progress_file,
+        write_labels_for=write_result,
+    )
+    log.info("scanned %d file(s) on a %s mesh", len(results), mesh.devices.shape)
+    return 0
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    common.init_logger(args)
+    try:
+        return run(args)
+    except Exception as exc:  # noqa: BLE001 — CLI boundary
+        log.error("Program error :'%s'", exc)
+        return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,43 @@
+"""audio-sweep CLI end-to-end on the CPU mesh."""
+
+import numpy as np
+
+from audio_matcher_tpu.cli import sweep_cli
+from audio_matcher_tpu.hostio.decode import write_wav
+from audio_matcher_tpu.hostio.labels import read_labels
+
+SR = 1000
+
+
+def test_sweep_cli_end_to_end(tmp_path, rng):
+    snip_a = (rng.standard_normal(SR // 2) * 0.2).astype(np.float32)
+    snip_b = (rng.standard_normal(SR // 3) * 0.2).astype(np.float32)
+    write_wav(tmp_path / "a.wav", SR, snip_a)
+    write_wav(tmp_path / "b.wav", SR, snip_b)
+    for e in range(3):
+        ep = (rng.standard_normal(SR * 8) * 0.05).astype(np.float32)
+        i = (e + 1) * SR
+        ep[i : i + len(snip_a)] = snip_a
+        ep[i + 3 * SR : i + 3 * SR + len(snip_b)] = snip_b
+        write_wav(tmp_path / f"ep{e}.wav", SR, ep)
+
+    ns = sweep_cli.build_parser().parse_args(
+        [
+            str(tmp_path / "ep*.wav"),
+            "--snippet", str(tmp_path / "a.wav"),
+            "--snippet", str(tmp_path / "b.wav"),
+            "--chunk-size", "2", "--distance", "2",
+            "--progress-file", str(tmp_path / ".done.txt"),
+        ]
+    )
+    assert sweep_cli.run(ns) == 0
+    for e in range(3):
+        for q, snip_len in ((0, len(snip_a)), (1, len(snip_b))):
+            labels = read_labels(tmp_path / f"ep{e}.q{q}.txt")
+            # peaks → n-1 labels; at least the two strong matches exist
+            assert labels, (e, q)
+    done = (tmp_path / ".done.txt").read_text()
+    assert done.count("Done") == 3
+
+    # resume run scans nothing new
+    assert sweep_cli.run(ns) == 0
