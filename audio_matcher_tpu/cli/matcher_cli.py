@@ -80,6 +80,11 @@ def build_parser() -> argparse.ArgumentParser:
         help="resample the snippet when sample rates differ "
         "(the reference errors instead)",
     )
+    p.add_argument(
+        "--mode", choices=("pcm", "spectrogram"), default="pcm",
+        help="matching domain: raw-PCM correlation (reference semantics) or "
+        "log-mel fingerprint NCC (noise-robust, frame-accurate)",
+    )
     common.add_inputs_args(p)
     common.add_output_level_args(p)
     return p
@@ -111,16 +116,27 @@ def run(args: argparse.Namespace) -> int:
         prominence=args.prominence,
         overlap_secs=s_duration,
     )
-    matchers: dict[int, SnippetMatcher] = {
-        sr: SnippetMatcher(s_samples, sr, config)
-    }
+    def build_matcher(snip, rate):
+        if args.mode == "spectrogram":
+            from ..models.spectrogram import (
+                SpectrogramConfig,
+                SpectrogramMatcher,
+            )
 
-    def matcher_for(rate: int) -> SnippetMatcher:
+            return SpectrogramMatcher(
+                snip, rate,
+                SpectrogramConfig(distance_secs=float(args.distance)),
+            )
+        return SnippetMatcher(snip, rate, config)
+
+    matchers: dict[int, object] = {sr: build_matcher(s_samples, sr)}
+
+    def matcher_for(rate: int):
         if rate not in matchers:
             from ..hostio.decode import resample
 
-            matchers[rate] = SnippetMatcher(
-                resample(s_samples, sr, rate), rate, config
+            matchers[rate] = build_matcher(
+                resample(s_samples, sr, rate), rate
             )
         return matchers[rate]
 
@@ -156,12 +172,6 @@ def run(args: argparse.Namespace) -> int:
             m_duration, m_sr, est_samples,
         )
 
-        n_windows = max(-(-est_samples // matcher.chunk), 1)
-        bar = Progress(n_windows, fancy=args.fancy_bar)
-
-        def progress(phase: str, _k: int) -> None:
-            (bar.start if phase == "start" else bar.finish)()
-
         if args.xprof:
             # aux tracing (SURVEY.md §5): jax profiler trace around the scan
             import contextlib
@@ -174,9 +184,19 @@ def run(args: argparse.Namespace) -> int:
 
             trace_cm = contextlib.nullcontext()
         with trace_cm:
-            peaks = matcher.match(
-                m_samples, scale=True, n_samples=est_samples, progress=progress
-            )
+            if args.mode == "spectrogram":
+                peaks = matcher.match(m_samples)
+            else:
+                n_windows = max(-(-est_samples // matcher.chunk), 1)
+                bar = Progress(n_windows, fancy=args.fancy_bar)
+
+                def progress(phase: str, _k: int) -> None:
+                    (bar.start if phase == "start" else bar.finish)()
+
+                peaks = matcher.match(
+                    m_samples, scale=True, n_samples=est_samples,
+                    progress=progress,
+                )
         print_offsets(peaks, m_sr)
         log.debug("found peaks %s", peaks)
 

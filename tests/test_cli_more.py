@@ -73,6 +73,29 @@ def test_resample_flag_matches_cross_rate(fixtures, tmp_path, caplog):
     )
 
 
+def test_spectrogram_mode(tmp_path, rng, caplog):
+    # spectral fingerprints need tonal content (white noise is spectrally
+    # flat — uninformative for this matcher by design)
+    import logging
+
+    t = np.arange(2 * SR) / SR
+    snippet = (
+        0.1 * np.sin(2 * np.pi * 330 * t) + 0.08 * np.sin(2 * np.pi * 554 * t)
+    ).astype(np.float32)
+    episode = (rng.standard_normal(40 * SR) * 0.02).astype(np.float32)
+    episode[5 * SR : 5 * SR + len(snippet)] += snippet
+    snip_p = tmp_path / "tone.wav"
+    ep_p = tmp_path / "tone_ep.wav"
+    write_wav(snip_p, SR, snippet)
+    write_wav(ep_p, SR, episode)
+    with caplog.at_level(logging.INFO, logger="audio_matcher.cli"):
+        rc = run([str(ep_p), "--snippet", str(snip_p), "--no-out",
+                  "--mode", "spectrogram", "--distance", "10"])
+    assert rc == 0
+    offsets = [r.message for r in caplog.records if "Offset" in r.message]
+    assert any("00:00:04" in m or "00:00:05" in m for m in offsets)
+
+
 def test_adjust_labels_walks_gaps(tmp_path, monkeypatch):
     from audio_matcher_tpu.cli.common import Inputs
     from audio_matcher_tpu.worker.audacity import AudacityApi
