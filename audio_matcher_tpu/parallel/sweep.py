@@ -71,6 +71,72 @@ def sharded_match_step(
     )
 
 
+def resident_match_step(
+    chunk: int,
+    window: int,
+    fft_len: int,
+    valid_max: int,
+    distance: int,
+    n_peaks: int,
+    block: int,
+    slab: int,
+    n_slabs: int,
+):
+    """Compile the resident multi-query scan: episodes stay flat in HBM
+    ([E, Npad], one upload), windows are gathered in-program, and every
+    window's forward FFT is shared across all Q query snippets — the
+    batch-scan regime of BASELINE config #3 on one chip. (The mesh-sharded
+    multi-chip variant uses :func:`sharded_match_step`'s window layout.)
+
+    Returned fn: (episodes [E,Npad] f32|i16, ns [E], sample_f [Q,F],
+    inv_ac [Q], m [Q]) → (pos, h, prom) each [E, Q, n_slabs*slab, S];
+    episodes and slabs run sequentially (lax.map) to bound HBM footprint.
+    """
+
+    def per_episode(episode, n, sample_f, inv_ac, m):
+        if episode.dtype == jnp.int16:
+            episode = episode.astype(jnp.float32) * (1.0 / 65535.0)
+
+        def body(base):
+            starts = (base + jnp.arange(slab, dtype=jnp.int32)) * chunk
+            windows = jax.vmap(
+                lambda s: jax.lax.dynamic_slice(episode, (s,), (window,))
+            )(starts)
+            win_len = jnp.clip(n - starts, 0, window)
+            x = jnp.fft.rfft(windows, n=fft_len)  # [B, F] — shared fwd FFT
+            spec = x[:, None, :] * jnp.conj(sample_f)[None, :, :]
+            c = jnp.fft.irfft(spec, n=fft_len)[..., :valid_max]  # [B, Q, V]
+            c = c * inv_ac[None, :, None]
+            c = jnp.swapaxes(c, 0, 1)  # [Q, B, V]
+            vq = jnp.maximum(win_len[None, :] - m[:, None] + 1, 0).astype(
+                jnp.int32
+            )  # [Q, B]
+
+            def pick(cc, vl):
+                return pick_peaks_core(cc, vl, distance, n_peaks, block)
+
+            return jax.vmap(pick)(c, vq)  # [Q, B, S] triplets
+
+        pos, h, prom = jax.lax.map(
+            body, jnp.arange(n_slabs, dtype=jnp.int32) * slab
+        )
+
+        # [n_slabs, Q, B, S] → [Q, n_slabs*B, S]
+        def flat(a):
+            return jnp.swapaxes(a, 0, 1).reshape(a.shape[1], -1, a.shape[-1])
+
+        return flat(pos), flat(h), flat(prom)
+
+    @jax.jit
+    def step(episodes, ns, sample_f, inv_ac, m):
+        return jax.lax.map(
+            lambda args: per_episode(args[0], args[1], sample_f, inv_ac, m),
+            (episodes, ns),
+        )
+
+    return step
+
+
 @dataclasses.dataclass
 class _Query:
     m: int
@@ -190,7 +256,10 @@ class ShardedScanner:
         padded = np.zeros((len(preps), self.m_max), np.float32)
         for i, p in enumerate(preps):
             padded[i, : p.m] = p.data
-        self._sample_f = jnp.fft.rfft(jnp.asarray(padded), n=self.fft_len)
+        # lazy: keeps construction execution-free so episode staging can
+        # ride the pre-execution fast upload path
+        self._sample_padded = padded
+        self._sample_f_cache = None
         self._inv_ac = jnp.asarray(
             [q.inv_autocorr for q in self.queries], jnp.float32
         )
@@ -207,6 +276,94 @@ class ShardedScanner:
 
     def _step(self, _shape_key=None):
         return self._step_fn
+
+    @property
+    def _sample_f(self):
+        if self._sample_f_cache is None:
+            self._sample_f_cache = jnp.fft.rfft(
+                jnp.asarray(self._sample_padded), n=self.fft_len
+            )
+        return self._sample_f_cache
+
+    # -- resident single-chip batch path (BASELINE config #3) -----------
+    def stage_resident(self, episodes: Sequence[np.ndarray]):
+        """Pack + upload a batch as one flat [E, Npad] array (int16 when
+        config.transfer_dtype says so). Execution-free, like
+        SnippetMatcher.stage_batch."""
+        ns = np.array([len(e) for e in episodes], np.int32)
+        n_max = int(ns.max()) if len(ns) else 0
+        slab = self.config.slab
+        n_windows = max(-(-n_max // self.chunk), 1)
+        n_windows_pad = -(-n_windows // slab) * slab
+        n_pad = n_windows_pad * self.chunk + self.overlap
+        dtype = (
+            np.int16 if self.config.transfer_dtype == "int16" else np.float32
+        )
+        buf = np.zeros((len(episodes), n_pad), dtype)
+        for i, ep in enumerate(episodes):
+            ep = np.asarray(ep)
+            if ep.dtype == dtype:
+                buf[i, : len(ep)] = ep
+            elif dtype == np.int16:
+                buf[i, : len(ep)] = np.clip(
+                    np.round(ep.astype(np.float32) * 65535.0), -32768, 32767
+                ).astype(np.int16)
+            else:
+                buf[i, : len(ep)] = ep.astype(np.float32)
+        return jnp.asarray(buf), ns
+
+    def scan_staged(
+        self, staged, scale: bool = True
+    ) -> list[list[list[Peak]]]:
+        """Scan a :meth:`stage_resident` upload → peaks[episode][query]."""
+        episodes_dev, ns = staged
+        cfg = self.config
+        slab = cfg.slab
+        n_slabs = (episodes_dev.shape[1] - self.overlap) // self.chunk // slab
+        if not hasattr(self, "_resident_cache"):
+            self._resident_cache = {}
+        key = (episodes_dev.shape[1], n_slabs)
+        if key not in self._resident_cache:
+            self._resident_cache[key] = resident_match_step(
+                self.chunk, self.window, self.fft_len, self.valid,
+                self.distance_samples, self.n_peaks, cfg.block, slab, n_slabs,
+            )
+        step = self._resident_cache[key]
+        inv_ac = self._inv_ac if scale else jnp.ones_like(self._inv_ac)
+        pos, h, prom = step(
+            episodes_dev, jnp.asarray(ns, jnp.int32),
+            self._sample_f, inv_ac, self._m,
+        )
+        pos, h, prom = np.asarray(pos), np.asarray(h), np.asarray(prom)
+        out = []
+        for e in range(len(ns)):
+            n_windows = max(-(-int(ns[e]) // self.chunk), 1)
+            per_query = []
+            for q in range(len(self.queries)):
+                cands = []
+                for k in range(min(n_windows, pos.shape[2])):
+                    for s in range(pos.shape[3]):
+                        if (
+                            np.isfinite(h[e, q, k, s])
+                            and prom[e, q, k, s] >= cfg.min_prominence
+                        ):
+                            cands.append(
+                                Peak(
+                                    int(pos[e, q, k, s]) + self.chunk * k,
+                                    float(h[e, q, k, s]),
+                                    float(prom[e, q, k, s]),
+                                )
+                            )
+                per_query.append(
+                    overshadow_filter(cands, self.sr, cfg.distance_secs)
+                )
+            out.append(per_query)
+        return out
+
+    def scan_resident(
+        self, episodes: Sequence[np.ndarray], scale: bool = True
+    ) -> list[list[list[Peak]]]:
+        return self.scan_staged(self.stage_resident(episodes), scale)
 
     def _windows(self, episodes: Sequence[np.ndarray], c_windows: int):
         E = len(episodes)

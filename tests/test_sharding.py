@@ -91,6 +91,39 @@ def test_sweep_archive_with_resume(rng, snippets, tmp_path):
     assert results2 == {}
 
 
+def test_resident_multiquery_matches_windows_path(rng, snippets):
+    """The single-chip resident batch path returns the same peaks as the
+    mesh windows path (BASELINE config #3 layout)."""
+    mesh1 = make_mesh(1)
+    cfg = MatchConfig(chunk_secs=1.0, distance_secs=2.0, block=256)
+    offsets = [[(0, 1.0), (1, 4.0)], [(0, 2.5)], []]
+    episodes = _episodes(rng, snippets, offsets)
+    scanner = ShardedScanner(snippets, SR, cfg, mesh=mesh1)
+    windows_path = scanner.scan(episodes)
+    resident_path = scanner.scan_resident(episodes)
+    for e in range(len(episodes)):
+        for q in range(len(snippets)):
+            got = [p.position for p in resident_path[e][q] if p.height > 0.5]
+            want = [p.position for p in windows_path[e][q] if p.height > 0.5]
+            assert got == want, (e, q)
+
+
+def test_resident_multiquery_int16(rng, snippets):
+    mesh1 = make_mesh(1)
+    cfg = MatchConfig(
+        chunk_secs=1.0, distance_secs=2.0, block=256, transfer_dtype="int16"
+    )
+    offsets = [[(0, 1.0)], [(1, 3.0)]]
+    episodes = _episodes(rng, snippets, offsets)
+    scanner = ShardedScanner(snippets, SR, cfg, mesh=mesh1)
+    results = scanner.scan_resident(episodes)
+    for e, wanted in enumerate(offsets):
+        for q in range(len(snippets)):
+            want = sorted(int(off * SR) for qq, off in wanted if qq == q)
+            got = [p.position for p in results[e][q] if p.height > 0.5]
+            assert got == want, (e, q)
+
+
 def test_sweep_skips_bad_files(rng, snippets, tmp_path, caplog):
     import logging
 
