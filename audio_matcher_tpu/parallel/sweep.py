@@ -198,7 +198,12 @@ def sweep_archive(
         if not episodes:
             return
         group = ok_items
-        peaks = scanner.scan(episodes)
+        if scanner.mesh.devices.size == 1:
+            # single chip: the resident multi-query program (one upload,
+            # shared forward FFTs) is strictly better than host windowing
+            peaks = scanner.scan_resident(episodes)
+        else:
+            peaks = scanner.scan(episodes)
         for item, per_query in zip(group, peaks):
             results[str(item.path)] = per_query
             if write_labels_for is not None:

@@ -124,6 +124,36 @@ def test_resident_multiquery_int16(rng, snippets):
             assert got == want, (e, q)
 
 
+def test_sweep_many_files(rng, snippets, tmp_path):
+    """A mini archive sweep (scaled-down config #5): 60 files in mesh-width
+    groups with resume bookkeeping."""
+    from audio_matcher_tpu.hostio.decode import write_wav
+    from audio_matcher_tpu.meta.progress import Progress, State
+
+    mesh = make_mesh(4)
+    cfg = MatchConfig(chunk_secs=1.0, distance_secs=2.0, block=256)
+    paths = []
+    expect = {}
+    for e in range(60):
+        ep = (rng.standard_normal(SR * 4) * 0.05).astype(np.float32)
+        off = (e % 5) * SR // 2 + SR // 4
+        ep[off : off + len(snippets[0])] = snippets[0]
+        p = tmp_path / f"f{e:03}.wav"
+        write_wav(p, SR, ep)
+        paths.append(p)
+        expect[str(p)] = off
+    progress_path = tmp_path / ".done.txt"
+    results = sweep_archive(
+        paths, snippets, SR, cfg, mesh=mesh, progress_path=progress_path
+    )
+    assert len(results) == 60
+    for p, off in expect.items():
+        got = [pk.position for pk in results[p][0] if pk.height > 0.5]
+        assert got == [off], p
+    prog = Progress(progress_path)
+    assert sum(1 for _, s in prog.content if s == State.DONE) == 60
+
+
 def test_sweep_skips_bad_files(rng, snippets, tmp_path, caplog):
     import logging
 
