@@ -134,7 +134,46 @@ def resident_match_step(
             (episodes, ns),
         )
 
-    return step
+    return step, per_episode
+
+
+def resident_sharded_step(
+    mesh: Mesh,
+    chunk: int,
+    window: int,
+    fft_len: int,
+    valid_max: int,
+    distance: int,
+    n_peaks: int,
+    block: int,
+    slab: int,
+    n_slabs: int,
+):
+    """Multi-chip variant of :func:`resident_match_step`: the episode batch
+    shards over the FLATTENED mesh (data×seq) with ``shard_map``; each chip
+    scans its local episodes (flat HBM windowing, forward FFT shared across
+    queries), entirely collective-free — outputs stay episode-sharded and
+    the host gather stitches them (SURVEY.md §5: episode assignment is
+    static, peak lists are kilobytes)."""
+    _, per_episode = resident_match_step(
+        chunk, window, fft_len, valid_max, distance, n_peaks, block,
+        slab, n_slabs,
+    )
+    axes = tuple(mesh.axis_names)
+
+    def local(episodes, ns, sample_f, inv_ac, m):
+        return jax.lax.map(
+            lambda args: per_episode(args[0], args[1], sample_f, inv_ac, m),
+            (episodes, ns),
+        )
+
+    sharded = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(axes, None), P(axes), P(), P(), P()),
+        out_specs=P(axes, None, None, None),
+    )
+    return jax.jit(sharded)
 
 
 @dataclasses.dataclass
@@ -198,12 +237,9 @@ def sweep_archive(
         if not episodes:
             return
         group = ok_items
-        if scanner.mesh.devices.size == 1:
-            # single chip: the resident multi-query program (one upload,
-            # shared forward FFTs) is strictly better than host windowing
-            peaks = scanner.scan_resident(episodes)
-        else:
-            peaks = scanner.scan(episodes)
+        # resident path: one flat upload, windows gathered in HBM, forward
+        # FFTs shared across queries; shard_map over the mesh when >1 chip
+        peaks = scanner.scan_resident(episodes)
         for item, per_query in zip(group, peaks):
             results[str(item.path)] = per_query
             if write_labels_for is not None:
@@ -304,7 +340,10 @@ class ShardedScanner:
         dtype = (
             np.int16 if self.config.transfer_dtype == "int16" else np.float32
         )
-        buf = np.zeros((len(episodes), n_pad), dtype)
+        # pad the episode count to fill the flattened mesh
+        n_dev = int(self.mesh.devices.size)
+        e_pad = -(-len(episodes) // n_dev) * n_dev if episodes else 0
+        buf = np.zeros((e_pad, n_pad), dtype)
         for i, ep in enumerate(episodes):
             ep = np.asarray(ep)
             if ep.dtype == dtype:
@@ -315,24 +354,33 @@ class ShardedScanner:
                 ).astype(np.int16)
             else:
                 buf[i, : len(ep)] = ep.astype(np.float32)
-        return jnp.asarray(buf), ns
+        ns_pad = np.zeros(e_pad, np.int32)
+        ns_pad[: len(ns)] = ns
+        return jnp.asarray(buf), ns_pad, len(episodes)
 
     def scan_staged(
         self, staged, scale: bool = True
     ) -> list[list[list[Peak]]]:
         """Scan a :meth:`stage_resident` upload → peaks[episode][query]."""
-        episodes_dev, ns = staged
+        episodes_dev, ns, n_real = staged
         cfg = self.config
         slab = cfg.slab
         n_slabs = (episodes_dev.shape[1] - self.overlap) // self.chunk // slab
         if not hasattr(self, "_resident_cache"):
             self._resident_cache = {}
-        key = (episodes_dev.shape[1], n_slabs)
+        multi = int(self.mesh.devices.size) > 1
+        key = (episodes_dev.shape[1], n_slabs, multi)
         if key not in self._resident_cache:
-            self._resident_cache[key] = resident_match_step(
+            args = (
                 self.chunk, self.window, self.fft_len, self.valid,
                 self.distance_samples, self.n_peaks, cfg.block, slab, n_slabs,
             )
+            if multi:
+                self._resident_cache[key] = resident_sharded_step(
+                    self.mesh, *args
+                )
+            else:
+                self._resident_cache[key] = resident_match_step(*args)[0]
         step = self._resident_cache[key]
         inv_ac = self._inv_ac if scale else jnp.ones_like(self._inv_ac)
         pos, h, prom = step(
@@ -341,7 +389,7 @@ class ShardedScanner:
         )
         pos, h, prom = np.asarray(pos), np.asarray(h), np.asarray(prom)
         out = []
-        for e in range(len(ns)):
+        for e in range(n_real):
             n_windows = max(-(-int(ns[e]) // self.chunk), 1)
             per_query = []
             for q in range(len(self.queries)):

@@ -108,6 +108,24 @@ def test_resident_multiquery_matches_windows_path(rng, snippets):
             assert got == want, (e, q)
 
 
+def test_resident_sharded_on_mesh(rng, snippets):
+    """The shard_map resident path on an 8-device mesh matches the
+    single-device resident results."""
+    cfg = MatchConfig(chunk_secs=1.0, distance_secs=2.0, block=256)
+    offsets = [[(0, 1.0), (1, 4.0)], [(0, 2.5)], [(1, 0.5)], [], [(0, 3.0)]]
+    episodes = _episodes(rng, snippets, offsets)
+    single = ShardedScanner(snippets, SR, cfg, mesh=make_mesh(1))
+    multi = ShardedScanner(snippets, SR, cfg, mesh=make_mesh(8))
+    want = single.scan_resident(episodes)
+    got = multi.scan_resident(episodes)
+    assert len(got) == len(episodes)
+    for e in range(len(episodes)):
+        for q in range(len(snippets)):
+            g = [p.position for p in got[e][q] if p.height > 0.5]
+            w = [p.position for p in want[e][q] if p.height > 0.5]
+            assert g == w, (e, q)
+
+
 def test_resident_multiquery_int16(rng, snippets):
     mesh1 = make_mesh(1)
     cfg = MatchConfig(
