@@ -70,7 +70,13 @@ def calc_merged_offsets(grouped_labels) -> list[list[float]]:
     are ripple-deleted. Parity: worker/mod.rs:1326-1354 — ``deleted``
     accumulates across groups; each group's offsets are its parts' post-
     deletion end times relative to the group's post-deletion start, with no
-    entry for the final part."""
+    entry for the final part.
+
+    Groups MUST be passed in chronological order: the running ``deleted``
+    total assumes earlier groups' gaps were already removed. (The reference
+    feeds this from a HashMap's arbitrary iteration order — a latent
+    nondeterminism; merge_parts here groups in label order, which is
+    chronological, matching the reference's own unit-test expectation.)"""
     deleted = 0.0
     out = []
     for labels in grouped_labels:
