@@ -92,7 +92,8 @@ def _decode_text(data: bytes) -> str:
 
 
 class Id3Tag:
-    """In-memory map of text frames; enough surface for the field layer."""
+    """In-memory map of text frames (+ CHAP chapters); enough surface for
+    the field layer."""
 
     FRAME_BY_FIELD = {
         "title": "TIT2",
@@ -103,6 +104,8 @@ class Id3Tag:
 
     def __init__(self):
         self.frames: dict[str, str] = {}
+        # chapters: index → (start_ms, title|None); rendered as CHAP frames
+        self.chapters: dict[int, tuple[int, str | None]] = {}
 
     # -- parsing ---------------------------------------------------------
     @classmethod
@@ -134,7 +137,24 @@ class Id3Tag:
             fid_s = fid.decode("latin-1")
             if fid_s.startswith("T"):
                 tag.frames[fid_s] = _decode_text(payload)
+            elif fid_s == "CHAP":
+                tag._parse_chap(payload)
         return tag
+
+    def _parse_chap(self, payload: bytes) -> None:
+        try:
+            nul = payload.index(b"\x00")
+            element_id = payload[:nul].decode("latin-1")
+            start_ms = struct.unpack(">I", payload[nul + 1 : nul + 5])[0]
+            sub = payload[nul + 17 :]  # skip end/startoffset/endoffset
+            title = None
+            if sub[:4] == b"TIT2":
+                size = struct.unpack(">I", sub[4:8])[0]
+                title = _decode_text(sub[10 : 10 + size])
+            idx = int("".join(c for c in element_id if c.isdigit()) or 0)
+            self.chapters[idx] = (start_ms, title)
+        except (ValueError, struct.error, IndexError):
+            log.warning("unparsable CHAP frame, ignoring")
 
     @staticmethod
     def strip_tag(data: bytes) -> bytes:
@@ -146,18 +166,34 @@ class Id3Tag:
         return data
 
     def render(self) -> bytes:
-        """Serialize as ID3v2.4 with UTF-8 text frames."""
-        frames = b""
-        for fid, text in sorted(self.frames.items()):
-            if text is None or text == "":
-                continue
-            payload = b"\x03" + text.encode("utf-8")
-            frames += (
+        """Serialize as ID3v2.4 with UTF-8 text frames + CHAP chapters."""
+
+        def frame(fid: str, payload: bytes) -> bytes:
+            return (
                 fid.encode("latin-1")
                 + _syncsafe(len(payload))
                 + b"\x00\x00"
                 + payload
             )
+
+        frames = b""
+        for fid, text in sorted(self.frames.items()):
+            if text is None or text == "":
+                continue
+            frames += frame(fid, b"\x03" + text.encode("utf-8"))
+        indices = sorted(self.chapters)
+        for pos, idx in enumerate(indices):
+            start_ms, title = self.chapters[idx]
+            if pos + 1 < len(indices):
+                end_ms = self.chapters[indices[pos + 1]][0]
+            else:
+                end_ms = 0xFFFFFFFE  # unknown end: capped sentinel
+            payload = f"chp{idx}".encode("latin-1") + b"\x00"
+            payload += struct.pack(">IIII", start_ms, end_ms, 0xFFFFFFFF, 0xFFFFFFFF)
+            if title is not None:
+                sub = b"\x03" + title.encode("utf-8")
+                payload += b"TIT2" + struct.pack(">I", len(sub)) + b"\x00\x00" + sub
+            frames += frame("CHAP", payload)
         return b"ID3\x04\x00\x00" + _syncsafe(len(frames)) + frames
 
     # -- field access ----------------------------------------------------
@@ -242,9 +278,18 @@ class Id3Tag:
         else:
             raise KeyError(k)
 
-    def set_chapter(self, index, time_secs, name=None):
-        # parity: the reference panics here too (tagger.rs:207-209)
-        raise NotImplementedError("chapters are not supported on mp3 tags")
+    def set_chapter(self, index: int, time_secs: float, name=None) -> None:
+        # capability the reference lacks (it panics here, tagger.rs:207-209):
+        # ID3 CHAP frames with an embedded TIT2 title
+        self.chapters[int(index)] = (int(round(time_secs * 1000.0)), name)
+
+    def get_chapters(self) -> list[tuple[int, str, str | None]]:
+        from ..utils.durations import fmt_hmsm
+
+        return [
+            (idx, fmt_hmsm(start_ms / 1000.0), title)
+            for idx, (start_ms, title) in sorted(self.chapters.items())
+        ]
 
     def write(self, path: Path) -> None:
         audio = Id3Tag.strip_tag(path.read_bytes())
