@@ -47,12 +47,34 @@ def mel_filterbank(
     return fb
 
 
+_FRAME_BLOCK = 4096  # frames per STFT block (bounds the gather footprint)
+
+
 @partial(jax.jit, static_argnames=("n_fft", "hop", "n_frames"))
 def _stft_power(x, n_fft: int, hop: int, n_frames: int):
-    idx = jnp.arange(n_frames)[:, None] * hop + jnp.arange(n_fft)[None, :]
-    frames = x[idx] * jnp.hanning(n_fft).astype(x.dtype)[None, :]
-    spec = jnp.fft.rfft(frames, n=n_fft)
-    return jnp.abs(spec) ** 2  # [n_frames, n_fft//2+1]
+    """Power spectrogram in frame blocks: a whole-signal gather would
+    materialize an [n_frames, n_fft] index matrix (GBs for hour-long
+    episodes); blocks keep the working set to _FRAME_BLOCK×n_fft."""
+    n_blocks = -(-n_frames // _FRAME_BLOCK)
+    # pad so every block's last frame has n_fft real samples to read
+    needed = (n_blocks * _FRAME_BLOCK - 1) * hop + n_fft
+    if x.shape[-1] < needed:
+        x = jnp.pad(x, (0, needed - x.shape[-1]))
+    window = jnp.hanning(n_fft).astype(x.dtype)
+    local_idx = (
+        jnp.arange(_FRAME_BLOCK)[:, None] * hop + jnp.arange(n_fft)[None, :]
+    )
+
+    def block(b):
+        start = b * _FRAME_BLOCK * hop
+        span = jax.lax.dynamic_slice(
+            x, (start,), ((_FRAME_BLOCK - 1) * hop + n_fft,)
+        )
+        frames = span[local_idx] * window[None, :]
+        return jnp.abs(jnp.fft.rfft(frames, n=n_fft)) ** 2
+
+    power = jax.lax.map(block, jnp.arange(n_blocks))
+    return power.reshape(n_blocks * _FRAME_BLOCK, -1)[:n_frames]
 
 
 def log_mel(
