@@ -62,9 +62,15 @@ class MatchConfig:
     # (half the host→device bytes; quantizes to the source's 16-bit grid,
     # max sample error 0.5/65535 ≈ 7.6e-6 of full scale)
     transfer_dtype: str = "float32"
+    # True: `prominence` is an absolute threshold on (possibly unscaled)
+    # correlation values, like the reference's direct PeakConfig
+    # construction (audio_matcher.rs:566-568); False: CLI convention /100
+    prominence_is_raw: bool = False
 
     @property
     def min_prominence(self) -> float:
+        if self.prominence_is_raw:
+            return self.prominence
         return self.prominence / 100.0
 
 

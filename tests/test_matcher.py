@@ -108,6 +108,21 @@ def test_overshadow_filter_semantics():
     assert overshadow_filter([q1, q2], sr, 6.0) == [q1, q2]
 
 
+def test_unscaled_raw_prominence(rng, snippet):
+    """scale=False with an absolute prominence threshold — the reference's
+    direct PeakConfig mode (its ignored end-to-end test uses prominence 15
+    on raw correlation values, audio_matcher.rs:560-570)."""
+    episode = make_episode(rng, 60, snippet, [25])
+    raw_ac = float(np.sum(snippet.astype(np.float64) ** 2))
+    cfg = MatchConfig(
+        chunk_secs=10, distance_secs=30, slab=4,
+        prominence=0.5 * raw_ac, prominence_is_raw=True,
+    )
+    peaks = calc_chunks(SR, episode, snippet, scale=False, config=cfg)
+    assert [p.position for p in peaks] == [25 * SR]
+    assert peaks[0].height == pytest.approx(raw_ac, rel=0.05)
+
+
 def test_matcher_object_reusable_across_episodes(rng, snippet):
     cfg = MatchConfig(chunk_secs=10, distance_secs=30, slab=4)
     matcher = SnippetMatcher(snippet, SR, cfg)
