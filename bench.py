@@ -1,14 +1,17 @@
-"""Benchmark: audio-hours scanned per second per chip.
+"""Benchmark: (episode, snippet)-pair audio-hours scanned per second per chip.
 
-Headline config = BASELINE.json #2: a 44.1 kHz episode scanned for a 10 s
-intro snippet via overlap-save chunked correlation with the reference's
-defaults (chunk 60 s, min-distance 480 s, prominence 13). The baseline is
-the measured single-core CPU throughput of the same pipeline semantics
-(scipy rFFT + scipy find_peaks, single thread) — a stand-in for the Rust
+Config = BASELINE.json #3 (batch scan): 44.1 kHz episodes scanned for
+10 s-class intro snippets via overlap-save chunked correlation with the
+reference's defaults (chunk 60 s, min-distance 480 s, prominence 13),
+staged once and scanned against every query. The baseline is the measured
+single-core CPU throughput of the same per-pair pipeline semantics (scipy
+rFFT + scipy find_peaks, single thread) — a stand-in for the Rust
 reference's single-core realfft path, which publishes no numbers and can't
 be built here (no cargo; BASELINE.md).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Knobs: BENCH_EPISODE_SECS, BENCH_EPISODES, BENCH_QUERIES, BENCH_SLAB,
+BENCH_TRANSFER_DTYPE.
 """
 
 from __future__ import annotations
@@ -48,7 +51,7 @@ def _enable_compile_cache():
         pass
 
 
-def measure_tpu(episode, snippets, config, n_episodes=8):
+def measure_tpu(episode, snippets, config, n_episodes=None):
     """Stage-then-scan throughput over a batch of episodes × query
     snippets (the batch-scan regime, BASELINE config #3): all episode
     uploads happen BEFORE the first program execution (the host→device
@@ -56,6 +59,8 @@ def measure_tpu(episode, snippets, config, n_episodes=8):
     starts), then every staged window's forward FFT is shared across all
     queries. Staging time is included; returns seconds per
     (episode, snippet) pair."""
+    if n_episodes is None:
+        n_episodes = int(os.environ.get("BENCH_EPISODES", "4"))
     import jax
 
     _enable_compile_cache()
@@ -138,10 +143,12 @@ def measure_cpu_baseline(episode, snippet, config):
 def main() -> int:
     os.environ.setdefault("OMP_NUM_THREADS", "8")
     rng = np.random.default_rng(42)
-    n_queries = int(os.environ.get("BENCH_QUERIES", "4"))
+    n_queries = int(os.environ.get("BENCH_QUERIES", "8"))
+    # query lengths 10–13.5 s: varied (exercises per-query valid masking)
+    # while keeping the FFT bucket at 2^22
     snippets = [
         np.clip(
-            rng.standard_normal(int((SNIPPET_SECS + 2 * q) * SR)) * 0.15,
+            rng.standard_normal(int((SNIPPET_SECS + 0.5 * q) * SR)) * 0.15,
             -0.45, 0.45,
         ).astype(np.float32)
         for q in range(n_queries)
@@ -180,7 +187,7 @@ def main() -> int:
         json.dumps(
             {
                 "metric": "(episode,snippet)-pair audio-hours scanned/sec/chip "
-                "(batch scan: 8 episodes x 4 query snippets, 44.1kHz; "
+                "(batch scan: 4 episodes x 8 query snippets, 44.1kHz; "
                 "staging included)",
                 "value": round(value, 4),
                 "unit": "pair_audio_hours/s",
