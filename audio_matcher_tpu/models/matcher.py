@@ -58,9 +58,13 @@ class MatchConfig:
     slab: int = 8  # windows per device dispatch
     block: int = 2048  # prominence pyramid block size
     max_peaks_per_chunk: int = 64  # cap on distance-suppression rounds
-    # wire format for episode staging: "float32" (exact) or "int16"
-    # (half the host→device bytes; quantizes to the source's 16-bit grid,
-    # max sample error 0.5/65535 ≈ 7.6e-6 of full scale)
+    # wire format for episode staging:
+    #  "float32" — exact
+    #  "int16"   — half the bytes; the source's 16-bit grid (max sample
+    #              error 0.5/65535 ≈ 7.6e-6 of full scale)
+    #  "mulaw8"  — quarter the bytes; μ-law companded 8-bit (LOSSY:
+    #              ~38 dB SNR; match positions stay sample-exact for real
+    #              matches, scores shift ~1%)
     transfer_dtype: str = "float32"
     # True: `prominence` is an absolute threshold on (possibly unscaled)
     # correlation values, like the reference's direct PeakConfig
@@ -75,6 +79,60 @@ class MatchConfig:
 
 
 _I16_SCALE = np.float32(65535.0)
+_WIRE_DTYPES = {
+    "float32": np.float32,
+    "int16": np.int16,
+    "mulaw8": np.uint8,
+}
+
+# μ-law (μ=255) companding over the reference's ±0.5 full-scale PCM range
+_MU = 255.0
+_ULAW_ENC_LUT = None  # int16 wire value + 32768 → uint8
+_ULAW_DEC_TABLE = None  # uint8 → f32 (reference PCM scale)
+
+
+def _ulaw_tables():
+    global _ULAW_ENC_LUT, _ULAW_DEC_TABLE
+    if _ULAW_ENC_LUT is None:
+        w = np.arange(-32768, 32768, dtype=np.float64) / 32768.0
+        f = np.sign(w) * np.log1p(_MU * np.abs(w)) / np.log1p(_MU)
+        _ULAW_ENC_LUT = np.clip(
+            np.round((f + 1.0) * 127.5), 0, 255
+        ).astype(np.uint8)
+        b = np.arange(256, dtype=np.float64) / 127.5 - 1.0
+        u = np.sign(b) * (np.expm1(np.abs(b) * np.log1p(_MU))) / _MU
+        # wire grid value/65535 semantics: u spans ±1 of the ±32768 range
+        _ULAW_DEC_TABLE = (u * 32768.0 / 65535.0).astype(np.float32)
+    return _ULAW_ENC_LUT, _ULAW_DEC_TABLE
+
+
+def quantize_wire(samples: np.ndarray, transfer_dtype: str) -> np.ndarray:
+    """Encode f32 reference-scale PCM (or int16 wire) to the staging dtype."""
+    samples = np.asarray(samples)
+    if transfer_dtype == "float32":
+        return samples.astype(np.float32)
+    if samples.dtype == np.int16:
+        wire = samples
+    else:
+        wire = np.clip(
+            np.round(samples.astype(np.float32) * _I16_SCALE), -32768, 32767
+        ).astype(np.int16)
+    if transfer_dtype == "int16":
+        return wire
+    if transfer_dtype == "mulaw8":
+        enc, _ = _ulaw_tables()
+        return enc[wire.astype(np.int32) + 32768]
+    raise ValueError(f"unknown transfer_dtype {transfer_dtype!r}")
+
+
+def dequantize_on_device(episode: jax.Array) -> jax.Array:
+    """Device-side inverse of :func:`quantize_wire` (dtype-dispatched)."""
+    if episode.dtype == jnp.int16:
+        return episode.astype(jnp.float32) * (1.0 / 65535.0)
+    if episode.dtype == jnp.uint8:
+        _, dec = _ulaw_tables()
+        return jnp.asarray(dec)[episode.astype(jnp.int32)]
+    return episode
 
 
 @partial(
@@ -176,8 +234,7 @@ def _match_episode_resident(
     the reference's PCM grid on device. Returns (pos, height, prom) each
     [n_slabs*slab, n_peaks].
     """
-    if episode.dtype == jnp.int16:
-        episode = episode.astype(jnp.float32) * (1.0 / 65535.0)
+    episode = dequantize_on_device(episode)
 
     def body(base):
         starts = (base + jnp.arange(slab, dtype=jnp.int32)) * chunk
@@ -344,14 +401,9 @@ class SnippetMatcher:
         n_windows = max(-(-n // self.chunk), 1) if n else 1
         n_windows_pad = -(-n_windows // self.config.slab) * self.config.slab
         n_pad = n_windows_pad * self.chunk + self.overlap
-        if self.config.transfer_dtype == "int16":
-            padded = np.zeros(n_pad, np.int16)
-            padded[:n] = np.clip(
-                np.round(samples * _I16_SCALE), -32768, 32767
-            ).astype(np.int16)
-        else:
-            padded = np.zeros(n_pad, np.float32)
-            padded[:n] = samples
+        wire = quantize_wire(samples, self.config.transfer_dtype)
+        padded = np.zeros(n_pad, wire.dtype)
+        padded[:n] = wire
         return jax.device_put(padded), n
 
     def stage_batch(
@@ -364,9 +416,7 @@ class SnippetMatcher:
         n_windows = max(-(-n_max // self.chunk), 1)
         n_windows_pad = -(-n_windows // self.config.slab) * self.config.slab
         n_pad = n_windows_pad * self.chunk + self.overlap
-        dtype = (
-            np.int16 if self.config.transfer_dtype == "int16" else np.float32
-        )
+        dtype = _WIRE_DTYPES[self.config.transfer_dtype]
         buf = np.zeros((len(episodes), n_pad), dtype)
         for i, ep in enumerate(episodes):
             ep = np.asarray(ep)
@@ -374,13 +424,10 @@ class SnippetMatcher:
                 # already on the wire format (e.g. int16 straight from the
                 # native decoder) — plain pack
                 buf[i, : len(ep)] = ep
-            elif dtype == np.int16:
-                buf[i, : len(ep)] = np.clip(
-                    np.round(ep.astype(np.float32) * _I16_SCALE),
-                    -32768, 32767,
-                ).astype(np.int16)
             else:
-                buf[i, : len(ep)] = ep.astype(np.float32)
+                buf[i, : len(ep)] = quantize_wire(
+                    ep, self.config.transfer_dtype
+                )
         return jax.device_put(buf), ns
 
     def match(

@@ -94,8 +94,9 @@ def resident_match_step(
     """
 
     def per_episode(episode, n, sample_f, inv_ac, m):
-        if episode.dtype == jnp.int16:
-            episode = episode.astype(jnp.float32) * (1.0 / 65535.0)
+        from ..models.matcher import dequantize_on_device
+
+        episode = dequantize_on_device(episode)
 
         def body(base):
             starts = (base + jnp.arange(slab, dtype=jnp.int32)) * chunk
@@ -337,9 +338,9 @@ class ShardedScanner:
         n_windows = max(-(-n_max // self.chunk), 1)
         n_windows_pad = -(-n_windows // slab) * slab
         n_pad = n_windows_pad * self.chunk + self.overlap
-        dtype = (
-            np.int16 if self.config.transfer_dtype == "int16" else np.float32
-        )
+        from ..models.matcher import _WIRE_DTYPES, quantize_wire
+
+        dtype = _WIRE_DTYPES[self.config.transfer_dtype]
         # pad the episode count to fill the flattened mesh
         n_dev = int(self.mesh.devices.size)
         e_pad = -(-len(episodes) // n_dev) * n_dev if episodes else 0
@@ -348,12 +349,10 @@ class ShardedScanner:
             ep = np.asarray(ep)
             if ep.dtype == dtype:
                 buf[i, : len(ep)] = ep
-            elif dtype == np.int16:
-                buf[i, : len(ep)] = np.clip(
-                    np.round(ep.astype(np.float32) * 65535.0), -32768, 32767
-                ).astype(np.int16)
             else:
-                buf[i, : len(ep)] = ep.astype(np.float32)
+                buf[i, : len(ep)] = quantize_wire(
+                    ep, self.config.transfer_dtype
+                )
         ns_pad = np.zeros(e_pad, np.int32)
         ns_pad[: len(ns)] = ns
         return jnp.asarray(buf), ns_pad, len(episodes)

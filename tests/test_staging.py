@@ -56,6 +56,40 @@ def test_batch_scan_equals_individual(fixture):
         assert [p.position for p in got] == [int(o * SR) for o in offs]
 
 
+def test_mulaw8_lossy_transfer(fixture):
+    """μ-law int8 wire: positions sample-exact, scores within a few %."""
+    snippet, episodes, offsets = fixture
+    cfg32 = MatchConfig(chunk_secs=10, distance_secs=30, slab=4)
+    cfg8 = MatchConfig(
+        chunk_secs=10, distance_secs=30, slab=4, transfer_dtype="mulaw8"
+    )
+    m32 = SnippetMatcher(snippet, SR, cfg32)
+    m8 = SnippetMatcher(snippet, SR, cfg8)
+    for ep, offs in zip(episodes, offsets):
+        p32 = m32.match(ep)
+        p8 = m8.match(ep)
+        assert [p.position for p in p8] == [p.position for p in p32]
+        assert [p.position for p in p8] == [int(o * SR) for o in offs]
+        for a, b in zip(p8, p32):
+            assert a.height == pytest.approx(b.height, rel=0.05)
+
+
+def test_mulaw_tables_roundtrip():
+    from audio_matcher_tpu.models.matcher import (
+        _ulaw_tables, quantize_wire,
+    )
+    import numpy as np
+
+    enc, dec = _ulaw_tables()
+    assert enc.shape == (65536,) and dec.shape == (256,)
+    x = np.linspace(-0.45, 0.45, 1001).astype(np.float32)
+    back = dec[quantize_wire(x, "mulaw8").astype(np.int32)]
+    # companded 8-bit: relative error bounded for non-tiny amplitudes
+    # μ-law step size is ln(256)/255 ≈ 2.2% relative
+    big = np.abs(x) > 0.01
+    assert np.max(np.abs(back[big] - x[big]) / np.abs(x[big])) < 0.03
+
+
 def test_batch_scan_int16(fixture):
     snippet, episodes, offsets = fixture
     cfg = MatchConfig(
