@@ -68,6 +68,10 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--no-out", action="store_true")
     p.add_argument("--dry-run", action="store_true")
+    p.add_argument(
+        "--resample", action="store_true",
+        help="resample recordings whose rate differs from the snippets",
+    )
     common.add_output_level_args(p)
     return p
 
@@ -123,6 +127,7 @@ def run(args: argparse.Namespace) -> int:
         mesh=mesh,
         progress_path=args.progress_file,
         write_labels_for=write_result,
+        resample_mismatched=args.resample,
     )
     log.info("scanned %d file(s) on a %s mesh", len(results), mesh.devices.shape)
     return 0

@@ -192,6 +192,7 @@ def sweep_archive(
     progress_path=None,
     write_labels_for=None,
     prefetch_depth: int = 3,
+    resample_mismatched: bool = False,
 ):
     """Scan an archive of files against query snippets with resume.
 
@@ -227,14 +228,21 @@ def sweep_archive(
             if item.error is not None:
                 log.error("skipping %s: %s", item.path, item.error)
                 continue
+            samples = item.samples
             if item.sr != scanner.sr:
-                log.error(
-                    "skipping %s: sample rate %s != %s",
-                    item.path, item.sr, scanner.sr,
-                )
-                continue
+                if resample_mismatched:
+                    from ..hostio.decode import resample
+
+                    samples = resample(samples, item.sr, scanner.sr)
+                else:
+                    log.error(
+                        "skipping %s: sample rate %s != %s "
+                        "(pass --resample to convert)",
+                        item.path, item.sr, scanner.sr,
+                    )
+                    continue
             ok_items.append(item)
-            episodes.append(item.samples)
+            episodes.append(samples)
         if not episodes:
             return
         group = ok_items

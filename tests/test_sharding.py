@@ -172,6 +172,22 @@ def test_sweep_many_files(rng, snippets, tmp_path):
     assert sum(1 for _, s in prog.content if s == State.DONE) == 60
 
 
+def test_sweep_resample_mismatched(rng, snippets, tmp_path):
+    from audio_matcher_tpu.hostio.decode import resample, write_wav
+
+    mesh = make_mesh(2)
+    cfg = MatchConfig(chunk_secs=1.0, distance_secs=2.0, block=256)
+    ep = (rng.standard_normal(SR * 6) * 0.05).astype(np.float32)
+    ep[SR : SR + len(snippets[0])] = snippets[0]
+    hi = tmp_path / "hi.wav"
+    write_wav(hi, SR * 2, resample(ep, SR, SR * 2))  # 2 kHz file
+    results = sweep_archive(
+        [hi], snippets, SR, cfg, mesh=mesh, resample_mismatched=True
+    )
+    got = [p.position for p in results[str(hi)][0] if p.height > 0.4]
+    assert got and abs(got[0] - SR) <= 2  # back at snippet rate
+
+
 def test_sweep_skips_bad_files(rng, snippets, tmp_path, caplog):
     import logging
 
