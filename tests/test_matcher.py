@@ -108,6 +108,25 @@ def test_overshadow_filter_semantics():
     assert overshadow_filter([q1, q2], sr, 6.0) == [q1, q2]
 
 
+def test_sample_exact_positions_random_offsets(rng, snippet):
+    """Positions are sample-exact for arbitrary (non-aligned) insertion
+    points — the BASELINE north-star accuracy requirement."""
+    n = int(90 * SR)
+    offsets = sorted(
+        rng.choice(
+            np.arange(SR, n - len(snippet) - SR), size=2, replace=False
+        ).tolist()
+    )
+    if offsets[1] - offsets[0] < 35 * SR:  # keep beyond the dedup distance
+        offsets[1] = offsets[0] + 35 * SR
+    episode = (rng.standard_normal(n) * 0.05).astype(np.float32)
+    for i in offsets:
+        episode[i : i + len(snippet)] = snippet
+    cfg = MatchConfig(chunk_secs=10, distance_secs=30, slab=4)
+    peaks = calc_chunks(SR, episode, snippet, config=cfg)
+    assert [p.position for p in peaks] == offsets  # exact, no tolerance
+
+
 def test_unscaled_raw_prominence(rng, snippet):
     """scale=False with an absolute prominence threshold — the reference's
     direct PeakConfig mode (its ignored end-to-end test uses prominence 15
