@@ -324,7 +324,7 @@ class ShardedScanner:
             self.config.block,
         )
 
-    def _step(self, _shape_key=None):
+    def _step(self):
         return self._step_fn
 
     @property
@@ -456,7 +456,7 @@ class ShardedScanner:
         C_pad = -(-C // seq) * seq
         windows, valid = self._windows(eps, C_pad)
 
-        step = self._step((E_pad, C_pad))
+        step = self._step()
         inv_ac = self._inv_ac if scale else jnp.ones_like(self._inv_ac)
         pos, h, prom = step(
             jnp.asarray(windows), self._sample_f, inv_ac,
