@@ -85,6 +85,12 @@ def build_parser() -> argparse.ArgumentParser:
         help="matching domain: raw-PCM correlation (reference semantics) or "
         "log-mel fingerprint NCC (noise-robust, frame-accurate)",
     )
+    p.add_argument(
+        "--transfer", choices=("float32", "int16", "mulaw8"),
+        default="float32", metavar="DTYPE",
+        help="episode staging wire format (int16 = lossless vs the 16-bit "
+        "source, mulaw8 = lossy 8-bit; both cut host->device bytes)",
+    )
     common.add_inputs_args(p)
     common.add_output_level_args(p)
     return p
@@ -115,6 +121,7 @@ def run(args: argparse.Namespace) -> int:
         distance_secs=float(args.distance),
         prominence=args.prominence,
         overlap_secs=s_duration,
+        transfer_dtype=args.transfer,
     )
     def build_matcher(snip, rate):
         if args.mode == "spectrogram":

@@ -41,3 +41,21 @@ def test_sweep_cli_end_to_end(tmp_path, rng):
 
     # resume run scans nothing new
     assert sweep_cli.run(ns) == 0
+
+
+def test_sweep_cli_spectrogram_mode(tmp_path, rng):
+    t = np.arange(2 * SR) / SR
+    snip = (0.1 * np.sin(2 * np.pi * 110 * t)
+            + 0.08 * np.sin(2 * np.pi * 222 * t)).astype(np.float32)
+    write_wav(tmp_path / "tone.wav", SR, snip)
+    ep = (rng.standard_normal(SR * 10) * 0.02).astype(np.float32)
+    ep[3 * SR : 3 * SR + len(snip)] += snip
+    write_wav(tmp_path / "sp_ep.wav", SR, ep)
+    ns = sweep_cli.build_parser().parse_args(
+        [str(tmp_path / "sp_ep.wav"), "--snippet", str(tmp_path / "tone.wav"),
+         "--mode", "spectrogram", "--distance", "4"]
+    )
+    assert sweep_cli.run(ns) == 0
+    # one strong match → 0 or more labels depending on weak peaks; at
+    # minimum the output file was produced
+    assert (tmp_path / "sp_ep.txt").exists()
