@@ -162,7 +162,13 @@ def run(args: argparse.Namespace) -> int:
                 out_path = None
 
         log.log(level, "preparing data of '%s'", main_file)
-        m_sr, m_samples = read_audio(main_file)
+        if args.mode == "pcm" and args.transfer != "float32":
+            # decode straight to the int16 wire grid (no host float pass)
+            from ..hostio.decode import read_audio_int16
+
+            m_sr, m_samples = read_audio_int16(main_file)
+        else:
+            m_sr, m_samples = read_audio(main_file)
         if sr != m_sr and not args.resample:
             log.error(
                 "files have different samplerates (%s, %s); "

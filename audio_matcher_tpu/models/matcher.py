@@ -110,6 +110,8 @@ def quantize_wire(samples: np.ndarray, transfer_dtype: str) -> np.ndarray:
     """Encode f32 reference-scale PCM (or int16 wire) to the staging dtype."""
     samples = np.asarray(samples)
     if transfer_dtype == "float32":
+        if samples.dtype == np.int16:  # wire grid → reference PCM scale
+            return samples.astype(np.float32) / _I16_SCALE
         return samples.astype(np.float32)
     if samples.dtype == np.int16:
         wire = samples
@@ -385,15 +387,17 @@ class SnippetMatcher:
         whole batch of episodes BEFORE the first program execution — on
         tunneled/relayed links the host→device path is dramatically faster
         before the execution stream starts. ``stage`` performs no device
-        computation.
+        computation. ``samples`` may be reference-scale f32 or int16 wire
+        values (e.g. straight from ``read_audio_int16``).
         """
-        samples = np.ascontiguousarray(samples, dtype=np.float32)
+        samples = np.ascontiguousarray(samples)
         if n_samples is not None:
             if n_samples <= len(samples):
                 samples = samples[:n_samples]
             else:
                 samples = np.concatenate(
-                    [samples, np.zeros(n_samples - len(samples), np.float32)]
+                    [samples,
+                     np.zeros(n_samples - len(samples), samples.dtype)]
                 )
         n = len(samples)
         # bucket the padded window count so compiled program shapes are

@@ -96,6 +96,21 @@ def test_spectrogram_mode(tmp_path, rng, caplog):
     assert any("00:00:04" in m or "00:00:05" in m for m in offsets)
 
 
+def test_transfer_int16_flag_matches_float32(fixtures, caplog):
+    import logging
+
+    snip, paths, _ = fixtures
+    for transfer in ("float32", "int16", "mulaw8"):
+        caplog.clear()
+        with caplog.at_level(logging.INFO, logger="audio_matcher.cli"):
+            rc = run([str(paths[0]), "--snippet", str(snip), "--no-out",
+                      "--chunk-size", "10", "--distance", "10",
+                      "--transfer", transfer])
+        assert rc == 0
+        offsets = [r.message for r in caplog.records if "Offset" in r.message]
+        assert any("00:00:05" in m for m in offsets), transfer
+
+
 def test_adjust_labels_walks_gaps(tmp_path, monkeypatch):
     from audio_matcher_tpu.cli.common import Inputs
     from audio_matcher_tpu.worker.audacity import AudacityApi
