@@ -74,6 +74,24 @@ def test_mulaw8_lossy_transfer(fixture):
             assert a.height == pytest.approx(b.height, rel=0.05)
 
 
+def test_quantize_wire_int16_to_float32():
+    """int16 wire values passed with the float32 transfer dtype are
+    rescaled back to reference PCM (decoder int16 output fed to a
+    float32-configured matcher)."""
+    import numpy as np
+
+    from audio_matcher_tpu.models.matcher import quantize_wire
+
+    wire = np.array([-32768, -1, 0, 1, 32767], np.int16)
+    back = quantize_wire(wire, "float32")
+    np.testing.assert_allclose(
+        back, wire.astype(np.float32) / 65535.0, rtol=1e-6
+    )
+    # f32 input is passed through untouched
+    x = np.array([0.25, -0.1], np.float32)
+    np.testing.assert_array_equal(quantize_wire(x, "float32"), x)
+
+
 def test_mulaw_tables_roundtrip():
     from audio_matcher_tpu.models.matcher import (
         _ulaw_tables, quantize_wire,
