@@ -18,7 +18,12 @@ Design differences from the reference (deliberate, TPU-first):
   * Normalization follows the production path (``LibConvolve``): scores are
     ``corr * inv_autocorr`` with ``inv_autocorr = 1/Σ s²`` — the value the
     reference computes lazily via a Valid-mode self-correlation
-    (audio_matcher.rs:321-329).
+    (audio_matcher.rs:321-329). The unused ``MyConvolve`` scaling chain
+    additionally divides by ``within.len()`` (audio_matcher.rs:442-448),
+    which would shrink a perfect match's score to 1/n instead of 1 — an
+    inconsistency between the reference's two implementations (its oracle
+    test only compares them with ``scale=false``); we deliberately do NOT
+    reproduce it.
 """
 
 from __future__ import annotations
