@@ -99,25 +99,35 @@ def log_mel(
     return jnp.log(mel + 1e-8)
 
 
+def _box_sums(x: jax.Array, width: int) -> jax.Array:
+    """Sliding-window sums of a 1D sequence (cumsum box filter)."""
+    csum = jnp.concatenate([jnp.zeros(1, x.dtype), jnp.cumsum(x)])
+    return csum[width:] - csum[:-width]
+
+
 @partial(jax.jit, static_argnames=("fft_len", "t_s"))
 def _ncc_frames(episode_fp, snippet_fp, fft_len: int, t_s: int):
-    """Normalized cross-correlation of fingerprints over the time axis.
+    """Zero-mean normalized cross-correlation over the time axis (ZNCC).
 
-    episode_fp: [T_e, M]; snippet_fp: [T_s, M] (zero-mean already).
-    Returns [T_e - T_s + 1] scores in ≈[-1, 1].
+    episode_fp: [T_e, M]; snippet_fp: [T_s, M]. The snippet is zero-meaned
+    once; because Σ(S - mean) = 0 the numerator needs no per-window episode
+    mean, and the denominator's window energy uses the window-local mean
+    via two cumsum box filters. Returns [T_e - T_s + 1] scores in [-1, 1].
     """
+    patch = t_s * episode_fp.shape[1]
+    s0 = snippet_fp - jnp.mean(snippet_fp)
     ex = episode_fp.T  # [M, T_e]
-    sx = snippet_fp.T  # [M, T_s]
+    sx = s0.T  # [M, T_s]
     E = jnp.fft.rfft(ex, n=fft_len)
     S = jnp.fft.rfft(sx, n=fft_len)
     corr = jnp.fft.irfft(jnp.sum(E * jnp.conj(S), axis=0), n=fft_len)
     t_e = ex.shape[-1]
     valid = t_e - t_s + 1
     corr = corr[:valid]
-    # sliding ||episode window||² via box cumsum over all mel bins
-    sq = jnp.sum(ex * ex, axis=0)  # [T_e]
-    csum = jnp.concatenate([jnp.zeros(1, sq.dtype), jnp.cumsum(sq)])
-    win_norm2 = csum[t_s:] - csum[:-t_s]  # [valid]
+    # window-local variance norm: Σe² - (Σe)²/N over each [t, t+t_s)×M patch
+    win_sum = _box_sums(jnp.sum(ex, axis=0), t_s)
+    win_sq = _box_sums(jnp.sum(ex * ex, axis=0), t_s)
+    win_norm2 = jnp.maximum(win_sq - win_sum * win_sum / patch, 0.0)
     snip_norm = jnp.sqrt(jnp.sum(sx * sx))
     return corr / (jnp.sqrt(win_norm2) * snip_norm + 1e-8)
 
@@ -125,12 +135,7 @@ def _ncc_frames(episode_fp, snippet_fp, fft_len: int, t_s: int):
 def fingerprint_scores(
     episode_fp: jax.Array, snippet_fp: jax.Array
 ) -> jax.Array:
-    """Zero-mean NCC scores per frame lag."""
-    snippet_fp = snippet_fp - jnp.mean(snippet_fp)
-    # subtract the snippet-window-level mean from the episode too (match
-    # statistics; a per-window mean would need a second box filter — the
-    # global mean is adequate for log-mel dynamics)
-    episode_fp = episode_fp - jnp.mean(episode_fp)
+    """Zero-mean NCC scores per frame lag (window-local statistics)."""
     t_e, t_s = episode_fp.shape[0], snippet_fp.shape[0]
     if t_e < t_s:
         raise ValueError("episode shorter than snippet")
