@@ -23,6 +23,20 @@ APP_NAME = "audio-matcher"  # config dir name; parity: reference src/lib.rs:6
 __version__ = "0.1.0"
 
 
+def match(snippet, episode, sr, **config_kwargs):
+    """One-call library API: find ``snippet`` inside ``episode``.
+
+    Returns the deduped :class:`~audio_matcher_tpu.ops.peaks.Peak` list
+    (positions in samples). Keyword args go to
+    :class:`~audio_matcher_tpu.models.matcher.MatchConfig`.
+    """
+    from .models.matcher import MatchConfig, SnippetMatcher
+
+    return SnippetMatcher(snippet, sr, MatchConfig(**config_kwargs)).match(
+        episode
+    )
+
+
 def offset_range(rng, offset):
     """Shift a (start, end) index range by ``offset`` samples.
 
