@@ -352,9 +352,18 @@ class SnippetMatcher:
         # and hop are unchanged.
         self.overlap = int(round(overlap_secs * self.sr)) + 2
         self.chunk = int(round(cfg.chunk_secs * self.sr))
+        if self.chunk + self.overlap < self.snippet.m:
+            # A window shorter than the snippet has a 1-sample valid range
+            # and can never emit a local maximum — raise the overlap so the
+            # valid range covers the full hop plus the snippet. Keeps the
+            # window-chunk == overlap invariant that staging relies on.
+            log.warning(
+                "chunk+overlap (%d samples) < snippet length (%d); raising "
+                "overlap to the snippet length so matches stay findable",
+                self.chunk + self.overlap, self.snippet.m,
+            )
+            self.overlap = self.snippet.m + 2
         self.window = self.chunk + self.overlap
-        if self.window < self.snippet.m:
-            self.window = self.snippet.m
         self.valid = self.window - self.snippet.m + 1
         self.fft_len = fft_length(self.window + self.snippet.m - 1)
         # whole-second truncation parity (audio_matcher.rs:228)

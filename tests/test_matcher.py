@@ -149,3 +149,34 @@ def test_matcher_object_reusable_across_episodes(rng, snippet):
         episode = make_episode(rng, 60, snippet, offs)
         got = [p.position for p in matcher.match(episode)]
         assert got == [int(o * SR) for o in offs]
+
+
+def test_tiny_overlap_shorter_than_snippet_still_finds_match(rng, snippet):
+    """Regression (ADVICE r1): an explicit overlap_secs making
+    chunk+overlap < snippet length used to stage too little padding and
+    produce a 1-sample valid range that could never emit a peak; the
+    overlap is now raised to the snippet length (with a warning) so a
+    perfect embedded match is found."""
+    episode = make_episode(rng, 30, snippet, [9])
+    cfg = MatchConfig(
+        chunk_secs=1.0, overlap_secs=0.25, distance_secs=5, slab=4
+    )
+    matcher = SnippetMatcher(snippet, SR, cfg)
+    assert matcher.window - matcher.chunk == matcher.overlap
+    assert matcher.window >= matcher.chunk + len(snippet)
+    peaks = matcher.match(episode)
+    assert [p.position for p in peaks] == [9 * SR]
+
+
+def test_small_but_valid_overlap_keeps_user_semantics(rng, snippet):
+    """An explicit overlap >= snippet-length deficit is honored as-is:
+    chunk+overlap >= snippet means matches away from hop boundaries are
+    still found with the user's (smaller) window."""
+    episode = make_episode(rng, 40, snippet, [11])
+    cfg = MatchConfig(
+        chunk_secs=10.0, overlap_secs=5.0, distance_secs=8, slab=2
+    )
+    matcher = SnippetMatcher(snippet, SR, cfg)
+    assert matcher.overlap == int(5.0 * SR) + 2  # not raised
+    peaks = matcher.match(episode)
+    assert [p.position for p in peaks] == [11 * SR]
