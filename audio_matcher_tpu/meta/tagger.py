@@ -91,9 +91,51 @@ def _decode_text(data: bytes) -> str:
     return text.rstrip("\x00")
 
 
+def _deunsync(data: bytes) -> bytes:
+    """Reverse the ID3v2 unsynchronisation transform (FF 00 → FF)."""
+    return data.replace(b"\xff\x00", b"\xff")
+
+
+# ID3v2.2 3-char frame IDs → v2.3/v2.4 equivalents (text frames convert
+# verbatim; PIC/COM need a payload rewrite, handled in read()).
+_V22_FRAME_MAP = {
+    "TT1": "TIT1", "TT2": "TIT2", "TT3": "TIT3",
+    "TP1": "TPE1", "TP2": "TPE2", "TP3": "TPE3", "TP4": "TPE4",
+    "TAL": "TALB", "TCO": "TCON", "TYE": "TYER", "TRK": "TRCK",
+    "TPA": "TPOS", "TLE": "TLEN", "TBP": "TBPM", "TCM": "TCOM",
+    "TCR": "TCOP", "TDY": "TDLY", "TEN": "TENC", "TKE": "TKEY",
+    "TLA": "TLAN", "TMT": "TMED", "TOT": "TOAL", "TOA": "TOPE",
+    "TOL": "TOLY", "TOR": "TORY", "TPB": "TPUB", "TRC": "TSRC",
+    "TSS": "TSSE", "TXT": "TEXT", "TXX": "TXXX",
+    "COM": "COMM", "PIC": "APIC", "UFI": "UFID", "ULT": "USLT",
+    "WXX": "WXXX", "GEO": "GEOB", "CNT": "PCNT", "POP": "POPM",
+}
+
+_PIC_MIME = {"JPG": "image/jpeg", "PNG": "image/png", "GIF": "image/gif"}
+
+# v2.4 frame format-flag bits we can't reinterpret textually
+_V4_COMPRESSED, _V4_ENCRYPTED, _V4_UNSYNC, _V4_DLI = 0x08, 0x04, 0x02, 0x01
+
+
+def _convert_v22_payload(fid3: str, fid4: str, payload: bytes) -> bytes:
+    """Rewrite v2.2 payload layouts that differ from their v2.3+ frames."""
+    if fid3 == "PIC" and len(payload) >= 5:
+        # v2.2: enc(1) imageformat(3) type(1) desc\0 data
+        # APIC: enc(1) mime\0 type(1) desc\0 data
+        enc, fmt, rest = payload[0:1], payload[1:4], payload[4:]
+        mime = _PIC_MIME.get(
+            fmt.decode("latin-1").upper(), "image/unknown"
+        ).encode("latin-1")
+        return enc + mime + b"\x00" + rest
+    return payload  # text frames / COM / others share the layout
+
+
 class Id3Tag:
-    """In-memory map of text frames (+ CHAP chapters); enough surface for
-    the field layer."""
+    """In-memory map of text frames (+ CHAP chapters) over a fully-preserved
+    frame list: frames this layer doesn't model (APIC, COMM, TXXX, …) are
+    kept as raw bytes and re-emitted on render, so a tag edit never destroys
+    album art or comments (parity: the reference's id3 crate mutates frames
+    on a fully-parsed Tag, tagger.rs:148-229)."""
 
     FRAME_BY_FIELD = {
         "title": "TIT2",
@@ -106,6 +148,8 @@ class Id3Tag:
         self.frames: dict[str, str] = {}
         # chapters: index → (start_ms, title|None); rendered as CHAP frames
         self.chapters: dict[int, tuple[int, str | None]] = {}
+        # unmodeled frames preserved verbatim: (frame_id, format_flags, raw)
+        self.other_frames: list[tuple[str, int, bytes]] = []
 
     # -- parsing ---------------------------------------------------------
     @classmethod
@@ -118,30 +162,74 @@ class Id3Tag:
         flags = data[5]
         size = _unsyncsafe(data[6:10])
         body = data[10 : 10 + size]
+        if flags & 0x80 and major <= 3:
+            # v2.2/v2.3 apply unsynchronisation to the whole tag body;
+            # v2.4 applies it per frame (frame format flag, handled below)
+            body = _deunsync(body)
         pos = 0
-        if flags & 0x40:  # extended header
+        if flags & 0x40 and major >= 3:  # extended header (not in v2.2)
             if major == 4:
                 pos += _unsyncsafe(body[0:4])
             else:
                 pos += 4 + struct.unpack(">I", body[0:4])[0]
-        while pos + 10 <= len(body):
-            fid = body[pos : pos + 4]
-            if fid == b"\x00\x00\x00\x00" or not fid.isalnum():
-                break
-            if major == 4:
-                fsize = _unsyncsafe(body[pos + 4 : pos + 8])
+        head = 6 if major == 2 else 10
+        while pos + head <= len(body):
+            if major == 2:
+                fid = body[pos : pos + 3]
+                if fid == b"\x00\x00\x00" or not fid.isalnum():
+                    break
+                fsize = int.from_bytes(body[pos + 3 : pos + 6], "big")
+                fflags = 0
             else:
-                fsize = struct.unpack(">I", body[pos + 4 : pos + 8])[0]
-            payload = body[pos + 10 : pos + 10 + fsize]
-            pos += 10 + fsize
+                fid = body[pos : pos + 4]
+                if fid == b"\x00\x00\x00\x00" or not fid.isalnum():
+                    break
+                if major == 4:
+                    fsize = _unsyncsafe(body[pos + 4 : pos + 8])
+                else:
+                    fsize = struct.unpack(">I", body[pos + 4 : pos + 8])[0]
+                fflags = body[pos + 9]  # format-flags byte
+            payload = body[pos + head : pos + head + fsize]
+            pos += head + fsize
             fid_s = fid.decode("latin-1")
-            if fid_s.startswith("T"):
+            if major == 2:
+                mapped = _V22_FRAME_MAP.get(fid_s)
+                if mapped is None:
+                    log.warning("dropping unmapped ID3v2.2 frame %s", fid_s)
+                    continue
+                payload = _convert_v22_payload(fid_s, mapped, payload)
+                fid_s = mapped
+            keep_flags = 0
+            if major == 4:
+                if fflags & _V4_UNSYNC:
+                    payload = _deunsync(payload)
+                if fflags & _V4_DLI and len(payload) >= 4:
+                    payload = payload[4:]  # drop the data-length indicator
+                if fflags & (_V4_COMPRESSED | _V4_ENCRYPTED):
+                    # can't interpret; preserve verbatim with its flags
+                    tag.other_frames.append((fid_s, fflags, payload))
+                    continue
+            elif major == 3 and fflags:
+                # v2.3 format flags: %(compression)(encryption)(grouping)xxxxx
+                if fflags & 0xC0:  # compressed/encrypted: preserve as-is
+                    v4 = (0x08 if fflags & 0x80 else 0) | (
+                        0x04 if fflags & 0x40 else 0
+                    ) | (0x40 if fflags & 0x20 else 0)
+                    tag.other_frames.append((fid_s, v4, payload))
+                    continue
+            if (
+                fid_s.startswith("T")
+                and fid_s != "TXXX"
+                and fid_s.isalnum()
+            ):
                 tag.frames[fid_s] = _decode_text(payload)
             elif fid_s == "CHAP":
-                tag._parse_chap(payload)
+                tag._parse_chap(payload, major)
+            else:
+                tag.other_frames.append((fid_s, keep_flags, payload))
         return tag
 
-    def _parse_chap(self, payload: bytes) -> None:
+    def _parse_chap(self, payload: bytes, major: int = 4) -> None:
         try:
             nul = payload.index(b"\x00")
             element_id = payload[:nul].decode("latin-1")
@@ -149,7 +237,13 @@ class Id3Tag:
             sub = payload[nul + 17 :]  # skip end/startoffset/endoffset
             title = None
             if sub[:4] == b"TIT2":
-                size = struct.unpack(">I", sub[4:8])[0]
+                raw = sub[4:8]
+                if major == 4 and not any(b & 0x80 for b in raw):
+                    size = _unsyncsafe(raw)
+                else:
+                    # v2.3 CHAP, or a legacy tag written with plain 32-bit
+                    # sub-frame sizes (this module < r2)
+                    size = struct.unpack(">I", raw)[0]
                 title = _decode_text(sub[10 : 10 + size])
             idx = int("".join(c for c in element_id if c.isdigit()) or 0)
             self.chapters[idx] = (start_ms, title)
@@ -166,13 +260,14 @@ class Id3Tag:
         return data
 
     def render(self) -> bytes:
-        """Serialize as ID3v2.4 with UTF-8 text frames + CHAP chapters."""
+        """Serialize as ID3v2.4: UTF-8 text frames + CHAP chapters + every
+        preserved unmodeled frame (APIC/COMM/TXXX/… survive verbatim)."""
 
-        def frame(fid: str, payload: bytes) -> bytes:
+        def frame(fid: str, payload: bytes, fflags: int = 0) -> bytes:
             return (
                 fid.encode("latin-1")
                 + _syncsafe(len(payload))
-                + b"\x00\x00"
+                + bytes([0, fflags])
                 + payload
             )
 
@@ -192,8 +287,12 @@ class Id3Tag:
             payload += struct.pack(">IIII", start_ms, end_ms, 0xFFFFFFFF, 0xFFFFFFFF)
             if title is not None:
                 sub = b"\x03" + title.encode("utf-8")
-                payload += b"TIT2" + struct.pack(">I", len(sub)) + b"\x00\x00" + sub
+                # v2.4 sub-frame sizes are syncsafe (spec-compliant readers
+                # of >127-byte chapter titles depend on this)
+                payload += b"TIT2" + _syncsafe(len(sub)) + b"\x00\x00" + sub
             frames += frame("CHAP", payload)
+        for fid, fflags, payload in self.other_frames:
+            frames += frame(fid, payload, fflags)
         return b"ID3\x04\x00\x00" + _syncsafe(len(frames)) + frames
 
     # -- field access ----------------------------------------------------

@@ -237,33 +237,56 @@ bool ogg_demux(const uint8_t* buf, size_t len, std::vector<OggPacket>* out) {
   return !out->empty();
 }
 
-void ogg_write_page(std::vector<uint8_t>* out, uint32_t serial, uint32_t seq,
-                    uint64_t granule, uint8_t flags,
-                    const uint8_t* body, size_t body_len) {
-  size_t nsegs = body_len / 255 + 1;
-  std::vector<uint8_t> page;
-  page.reserve(27 + nsegs + body_len);
-  const char magic[4] = {'O', 'g', 'g', 'S'};
-  page.insert(page.end(), magic, magic + 4);
-  page.push_back(0);      // version
-  page.push_back(flags);  // header type
-  const uint8_t* g = reinterpret_cast<const uint8_t*>(&granule);
-  page.insert(page.end(), g, g + 8);
-  const uint8_t* s = reinterpret_cast<const uint8_t*>(&serial);
-  page.insert(page.end(), s, s + 4);
-  const uint8_t* q = reinterpret_cast<const uint8_t*>(&seq);
-  page.insert(page.end(), q, q + 4);
-  page.insert(page.end(), 4, 0);  // crc placeholder
-  page.push_back(static_cast<uint8_t>(nsegs));
-  size_t rem = body_len;
-  for (size_t i = 0; i < nsegs; ++i) {
-    page.push_back(static_cast<uint8_t>(rem >= 255 ? 255 : rem));
-    rem -= (rem >= 255 ? 255 : rem);
+// Writes one packet as one or more pages. A page holds at most 255 lacing
+// values; packets >= 255*255 bytes spill onto continuation pages (flag 0x01,
+// granule -1 on pages where the packet doesn't end), mirroring the Python
+// muxer's _make_pages_for_packet so the two agree on large OpusTags packets.
+size_t ogg_write_page(std::vector<uint8_t>* out, uint32_t serial, uint32_t seq,
+                      uint64_t granule, uint8_t flags,
+                      const uint8_t* body, size_t body_len) {
+  // lacing values for the whole packet: 255s then a final short (possibly 0)
+  size_t total_segs = body_len / 255 + 1;
+  size_t seg_done = 0, body_off = 0;
+  bool first = true;
+  while (seg_done < total_segs) {
+    size_t nsegs = total_segs - seg_done;
+    if (nsegs > 255) nsegs = 255;
+    bool last = (seg_done + nsegs == total_segs);
+    size_t page_body = 0;
+    for (size_t i = 0; i < nsegs; ++i) {
+      size_t idx = seg_done + i;
+      page_body += (idx + 1 < total_segs) ? 255 : body_len % 255;
+    }
+    uint8_t page_flags = first ? flags : static_cast<uint8_t>((flags & 0x04) | 0x01);
+    uint64_t page_granule = last ? granule : ~0ULL;
+    std::vector<uint8_t> page;
+    page.reserve(27 + nsegs + page_body);
+    const char magic[4] = {'O', 'g', 'g', 'S'};
+    page.insert(page.end(), magic, magic + 4);
+    page.push_back(0);           // version
+    page.push_back(page_flags);  // header type
+    const uint8_t* g = reinterpret_cast<const uint8_t*>(&page_granule);
+    page.insert(page.end(), g, g + 8);
+    const uint8_t* s = reinterpret_cast<const uint8_t*>(&serial);
+    page.insert(page.end(), s, s + 4);
+    const uint8_t* q = reinterpret_cast<const uint8_t*>(&seq);
+    page.insert(page.end(), q, q + 4);
+    page.insert(page.end(), 4, 0);  // crc placeholder
+    page.push_back(static_cast<uint8_t>(nsegs));
+    for (size_t i = 0; i < nsegs; ++i) {
+      size_t idx = seg_done + i;
+      page.push_back(static_cast<uint8_t>(idx + 1 < total_segs ? 255 : body_len % 255));
+    }
+    page.insert(page.end(), body + body_off, body + body_off + page_body);
+    uint32_t crc = ogg_crc(page.data(), page.size());
+    memcpy(page.data() + 22, &crc, 4);
+    out->insert(out->end(), page.begin(), page.end());
+    seg_done += nsegs;
+    body_off += page_body;
+    seq++;
+    first = false;
   }
-  page.insert(page.end(), body, body + body_len);
-  uint32_t crc = ogg_crc(page.data(), page.size());
-  memcpy(page.data() + 22, &crc, 4);
-  out->insert(out->end(), page.begin(), page.end());
+  return total_segs == 0 ? 0 : (total_segs + 254) / 255;
 }
 
 bool read_file(const char* path, std::vector<uint8_t>* out) {
@@ -594,7 +617,7 @@ int am_encode_opus(const char* path, const float* samples, int64_t n,
   memcpy(head + 12, &in_sr, 4);
   head[16] = head[17] = 0;  // output gain
   head[18] = 0;             // mapping family
-  ogg_write_page(&ogg, serial, seq++, 0, 0x02 /*BOS*/, head, sizeof(head));
+  seq += ogg_write_page(&ogg, serial, seq, 0, 0x02 /*BOS*/, head, sizeof(head));
 
   const char vendor[] = "audio_matcher_tpu";
   std::vector<uint8_t> tags;
@@ -604,7 +627,7 @@ int am_encode_opus(const char* path, const float* samples, int64_t n,
   tags.insert(tags.end(), vendor, vendor + vlen);
   uint32_t ncomments = 0;
   tags.insert(tags.end(), (uint8_t*)&ncomments, (uint8_t*)&ncomments + 4);
-  ogg_write_page(&ogg, serial, seq++, 0, 0, tags.data(), tags.size());
+  seq += ogg_write_page(&ogg, serial, seq, 0, 0, tags.data(), tags.size());
 
   constexpr int kFrame = 960;  // 20 ms @ 48 kHz
   std::vector<int16_t> frame(kFrame);
@@ -632,7 +655,7 @@ int am_encode_opus(const char* path, const float* samples, int64_t n,
     int64_t consumed = pos < n ? pos : n;
     granule = preskip + static_cast<uint64_t>(consumed);
     uint8_t flags = (f == total_frames - 1) ? 0x04 /*EOS*/ : 0;
-    ogg_write_page(&ogg, serial, seq++, granule, flags, pkt.data(), w);
+    seq += ogg_write_page(&ogg, serial, seq, granule, flags, pkt.data(), w);
   }
   o.enc_destroy(enc);
   return write_file(path, ogg) ? 0 : -1;
