@@ -115,7 +115,9 @@ def run(args: argparse.Namespace) -> int:
 
     log.debug("collecting snippet data")
     sr, s_samples = read_audio(args.snippet)
-    s_duration = audio_duration(args.snippet)
+    # one decode per file: the probe falls back to the decoded length when
+    # the tag cache is cold instead of decoding again
+    s_duration = audio_duration(args.snippet, fallback=len(s_samples) / sr)
     config = MatchConfig(
         chunk_secs=float(args.chunk_size),
         distance_secs=float(args.distance),
@@ -178,7 +180,9 @@ def run(args: argparse.Namespace) -> int:
             return 1
         matcher = matcher_for(m_sr)
 
-        m_duration = audio_duration(main_file)
+        m_duration = audio_duration(
+            main_file, fallback=len(m_samples) / m_sr
+        )
         est_samples = int(m_duration * m_sr)
         log.debug(
             "duration is %ss with sr %s implying #%s samples",

@@ -265,13 +265,23 @@ def resample(samples: np.ndarray, sr_from: int, sr_to: int) -> np.ndarray:
     return out.astype(np.float32)
 
 
-def audio_duration(path: str | Path, use_parallel: bool = False) -> float:
+def audio_duration(
+    path: str | Path,
+    use_parallel: bool = False,
+    fallback: float | None = None,
+) -> float:
     """Duration probe with tag cache (seconds).
 
     Parity: mp3_reader.rs:68-108 ``mp3_duration``: try the tag ``Length``
     field first, else decode and *write the result back into the file's
     tag* as a cache. ``use_parallel`` is accepted for API parity (decode
     here is native and already fast).
+
+    ``fallback``: duration the caller already knows (e.g. derived from
+    samples it just decoded) — used instead of a second decode when the
+    tag cache is cold, but still written back into the tag. The reference
+    decodes twice here (SURVEY §3.1 "slow pass #1"); on a 1-vCPU host we
+    don't copy that wart.
     """
     del use_parallel
     path = Path(path)
@@ -284,8 +294,11 @@ def audio_duration(path: str | Path, use_parallel: bool = False) -> float:
             return float(cached)
     except Exception:
         tag = None
-    sr, samples = read_audio(path)
-    duration = len(samples) / sr
+    if fallback is not None:
+        duration = float(fallback)
+    else:
+        sr, samples = read_audio(path)
+        duration = len(samples) / sr
     try:
         tag = TaggedFile.from_path(path, default_empty=True)
         tag.set(Length, duration)

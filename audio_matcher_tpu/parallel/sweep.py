@@ -217,7 +217,11 @@ def sweep_archive(
             continue
         todo.append(p)
 
-    group_size = max(scanner.mesh.devices.shape[0], 1)
+    # fill the whole flattened mesh: stage_resident pads the episode batch
+    # to mesh.devices.size, so smaller groups would scan zero-padding on
+    # the remaining chips (r1 VERDICT weak #6: a (4,2) mesh ran groups of 4
+    # padded to 8, half the mesh scanning zeros)
+    group_size = max(int(scanner.mesh.devices.size), 1)
     results = {}
     group: list = []
 

