@@ -10,9 +10,79 @@ embarrassingly parallel — SURVEY.md §5 long-context note).
 
 from __future__ import annotations
 
+import logging
+import os
+
 import jax
 import numpy as np
 from jax.sharding import Mesh
+
+log = logging.getLogger("audio_matcher.mesh")
+
+_DISTRIBUTED_INITIALIZED = False
+
+
+def init_distributed(
+    coordinator: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+) -> bool:
+    """Join a multi-host JAX cluster (BASELINE config #5: a v5e-16 slice
+    spans hosts; SURVEY §5 distributed communication backend).
+
+    Arguments default from the environment (``AM_COORDINATOR``,
+    ``AM_NUM_PROCESSES``, ``AM_PROCESS_ID`` — or JAX's own auto-detection
+    on Cloud TPU, where ``jax.distributed.initialize()`` needs no args).
+    Safe to call unconditionally: returns False (no-op) when no cluster is
+    configured, True once the process group is up. After it returns True,
+    ``jax.devices()`` spans every host and :func:`make_mesh` builds a
+    process-spanning mesh; XLA routes collectives over ICI/DCN.
+    """
+    global _DISTRIBUTED_INITIALIZED
+    if _DISTRIBUTED_INITIALIZED:
+        return True
+    coordinator = coordinator or os.environ.get("AM_COORDINATOR")
+    num_processes = num_processes or int(
+        os.environ.get("AM_NUM_PROCESSES", "0")
+    )
+    process_id_env = os.environ.get("AM_PROCESS_ID")
+    if process_id is None and process_id_env is not None:
+        process_id = int(process_id_env)
+    on_cloud_tpu = os.environ.get("TPU_WORKER_HOSTNAMES") is not None
+    if not coordinator and not on_cloud_tpu:
+        return False
+    kwargs = {}
+    if coordinator:
+        kwargs = dict(
+            coordinator_address=coordinator,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    jax.distributed.initialize(**kwargs)
+    _DISTRIBUTED_INITIALIZED = True
+    log.info(
+        "joined distributed cluster: process %d/%d, %d global devices",
+        jax.process_index(), jax.process_count(), len(jax.devices()),
+    )
+    return True
+
+
+def make_local_mesh(
+    axis_names: tuple[str, str] = ("data", "seq"),
+) -> Mesh:
+    """A mesh over THIS process's chips only.
+
+    The archive sweep is embarrassingly parallel over episodes, so the
+    multi-host layout that never touches DCN is: whole episodes assigned
+    per host, each host scanning on its local-chip mesh (sweep_archive
+    partitions the file list by ``jax.process_index()``).
+    """
+    devices = jax.local_devices()
+    n = len(devices)
+    seq = 2 if n % 2 == 0 and n >= 4 else 1
+    data = n // seq
+    dev_grid = np.array(devices[: data * seq]).reshape(data, seq)
+    return Mesh(dev_grid, axis_names)
 
 
 def make_mesh(
@@ -22,9 +92,12 @@ def make_mesh(
     """Create a 2D (data × seq) mesh over available devices.
 
     Prefers a wide ``data`` axis (episode parallelism dominates the archive
-    sweep) with ``seq`` = 1 or 2.
+    sweep) with ``seq`` = 1 or 2. In a multi-host cluster (after
+    :func:`init_distributed`) the mesh spans every process's devices; the
+    device grid is laid out so each host's local chips stay contiguous on
+    the ``data`` axis (episode groups assigned per-host ride ICI, not DCN).
     """
-    devices = jax.devices()
+    devices = jax.devices()  # global across processes once distributed
     if n_devices is not None:
         devices = devices[:n_devices]
     n = len(devices)

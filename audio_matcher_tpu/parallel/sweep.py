@@ -208,6 +208,15 @@ def sweep_archive(
     from ..hostio.prefetch import decode_prefetched
     from ..meta.progress import Progress, State
 
+    n_proc = jax.process_count()
+    if mesh is None and n_proc > 1:
+        # multi-host cluster (after mesh.init_distributed): whole episodes
+        # are assigned per host and scanned on each host's local-chip mesh
+        # — zero cross-host device traffic; DCN carries nothing. Each
+        # process returns/labels only its own share.
+        from .mesh import make_local_mesh
+
+        mesh = make_local_mesh()
     scanner = ShardedScanner(snippets, sr, config, mesh)
     progress = Progress(progress_path) if progress_path is not None else None
     todo = []
@@ -216,6 +225,8 @@ def sweep_archive(
         if progress is not None and progress.get(name) == State.DONE:
             continue
         todo.append(p)
+    if n_proc > 1:
+        todo = todo[jax.process_index()::n_proc]
 
     # fill the whole flattened mesh: stage_resident pads the episode batch
     # to mesh.devices.size, so smaller groups would scan zero-padding on

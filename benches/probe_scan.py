@@ -69,17 +69,16 @@ def main():
     )
     rng = np.random.default_rng(0)
     windows_h = rng.standard_normal((SLAB, WINDOW)).astype(np.float32)
-    sf_h = (
-        rng.standard_normal((Q, FFT // 2 + 1))
-        + 1j * rng.standard_normal((Q, FFT // 2 + 1))
-    ).astype(np.complex64)
+    # complex64 device_put is UNIMPLEMENTED through the axon relay:
+    # compute the query spectra on device from f32 (as production does)
+    snip_h = rng.standard_normal((Q, M_MAX)).astype(np.float32)
     inv_ac_h = np.ones(Q, np.float32)
     m_h = np.asarray(MS, np.int32)
     corr_h = rng.standard_normal((Q * SLAB, VALID)).astype(np.float32)
     vl_h = np.full((Q * SLAB,), VALID, np.int32)
 
     windows = jax.device_put(windows_h)
-    sf = jax.device_put(sf_h)
+    sf = jax.jit(lambda z: jnp.fft.rfft(z, n=FFT))(jax.device_put(snip_h))
     inv_ac = jax.device_put(inv_ac_h)
     m = jax.device_put(m_h)
     corr = jax.device_put(corr_h)
@@ -157,10 +156,7 @@ def main():
     w2 = jax.device_put(
         rng.standard_normal((SLAB // 2, W2)).astype(np.float32)
     )
-    sf2 = jax.device_put(
-        (rng.standard_normal((Q, FFT2 // 2 + 1))
-         + 1j * rng.standard_normal((Q, FFT2 // 2 + 1))).astype(np.complex64)
-    )
+    sf2 = jax.jit(lambda z: jnp.fft.rfft(z, n=FFT2))(jax.device_put(snip_h))
     jax.block_until_ready((w2, sf2))
 
     def body2(w, sfq, ia, mq):
