@@ -129,63 +129,27 @@ def run(args: argparse.Namespace) -> int:
         )
         log.info("%s → %d peaks → %s", path.name, len(peaks), out.name)
 
+    spectrogram_config = None
     if args.mode == "spectrogram":
-        results = _spectrogram_sweep(args, paths, snippets, sr, write_result)
-    else:
-        results = sweep_archive(
-            paths,
-            snippets,
-            sr,
-            config,
-            mesh=mesh,
-            progress_path=args.progress_file,
-            write_labels_for=write_result,
-            resample_mismatched=args.resample,
+        from ..models.spectrogram import SpectrogramConfig
+
+        spectrogram_config = SpectrogramConfig(
+            distance_secs=float(args.distance)
         )
+    results = sweep_archive(
+        paths,
+        snippets,
+        sr,
+        config,
+        mesh=mesh,
+        progress_path=args.progress_file,
+        write_labels_for=write_result,
+        resample_mismatched=args.resample,
+        mode=args.mode,
+        spectrogram_config=spectrogram_config,
+    )
     log.info("scanned %d file(s) on a %s mesh", len(results), mesh.devices.shape)
     return 0
-
-
-def _spectrogram_sweep(args, paths, snippets, sr, write_result):
-    """Noise-robust archive sweep: per-file log-mel fingerprint matching
-    (fingerprints are ~1/256 of PCM, so per-file processing is cheap)."""
-    from ..hostio.prefetch import decode_prefetched
-    from ..meta.progress import Progress, State
-    from ..models.spectrogram import SpectrogramConfig, SpectrogramMatcher
-
-    progress = (
-        Progress(args.progress_file) if args.progress_file is not None else None
-    )
-    matchers = [
-        SpectrogramMatcher(
-            s, sr, SpectrogramConfig(distance_secs=float(args.distance))
-        )
-        for s in snippets
-    ]
-    todo = [
-        p for p in paths
-        if progress is None or progress.get(str(p)) != State.DONE
-    ]
-    results = {}
-    for item in decode_prefetched(todo):
-        if item.error is not None:
-            log.error("skipping %s: %s", item.path, item.error)
-            continue
-        samples = item.samples
-        if item.sr != sr:
-            if not args.resample:
-                log.error("skipping %s: sample rate mismatch", item.path)
-                continue
-            from ..hostio.decode import resample
-
-            samples = resample(samples, item.sr, sr)
-        per_query = [m.match(samples) for m in matchers]
-        results[str(item.path)] = per_query
-        for q, peaks in enumerate(per_query):
-            write_result(item.path, q, peaks)
-        if progress is not None:
-            progress.append(str(item.path), State.DONE)
-    return results
 
 
 def main(argv=None) -> int:

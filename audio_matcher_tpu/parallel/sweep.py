@@ -183,6 +183,146 @@ class _Query:
     inv_autocorr: float
 
 
+class ShardedSpectrogramScanner:
+    """Mesh-sharded spectrogram-domain batch scanning (BASELINE config #4
+    at archive scale): episodes shard over the flattened mesh; each chip
+    computes block-fused log-mel fingerprints, overlap-save tiled ZNCC per
+    query, and on-device peak picking. Same ``scan_resident`` interface as
+    :class:`ShardedScanner`, so the sweep machinery (resume, prefetch,
+    grouping, labels) is shared."""
+
+    def __init__(self, snippets, sr, config=None, mesh=None):
+        from ..models.spectrogram import SpectrogramConfig
+        from ..ops.stft import log_mel, mel_filterbank
+        from .mesh import make_mesh
+
+        self.sr = int(sr)
+        self.config = config or SpectrogramConfig()
+        self.mesh = mesh or make_mesh()
+        cfg = self.config
+        self._fb = np.asarray(mel_filterbank(cfg.n_mels, cfg.n_fft, self.sr))
+        fps = [
+            np.asarray(
+                log_mel(np.asarray(s, np.float32), self.sr,
+                        cfg.n_fft, cfg.hop, cfg.n_mels)
+            )
+            for s in snippets
+        ]
+        self._t_ss = tuple(fp.shape[0] for fp in fps)
+        t_max = max(self._t_ss)
+        padded = np.zeros((len(fps), t_max, cfg.n_mels), np.float32)
+        for q, fp in enumerate(fps):
+            padded[q, : fp.shape[0]] = fp
+        self._snip_fps = padded
+        self.distance_frames = max(
+            int(cfg.distance_secs * self.sr / cfg.hop), 1
+        )
+        self._step_cache: dict = {}
+
+    def stage_resident(self, episodes: Sequence[np.ndarray]):
+        ns = np.array([len(e) for e in episodes], np.int32)
+        n_max = int(ns.max()) if len(ns) else 0
+        cfg = self.config
+        # bucket to whole STFT blocks so compiled shapes are reused
+        bucket = 1 << 22
+        n_pad = max(-(-max(n_max, cfg.n_fft) // bucket) * bucket, bucket)
+        n_dev = int(self.mesh.devices.size)
+        e_pad = -(-len(episodes) // n_dev) * n_dev if episodes else 0
+        buf = np.zeros((e_pad, n_pad), np.float32)
+        for i, ep in enumerate(episodes):
+            buf[i, : len(ep)] = np.asarray(ep, np.float32)
+        ns_pad = np.zeros(e_pad, np.int32)
+        ns_pad[: len(ns)] = ns
+        return jnp.asarray(buf), ns_pad, len(episodes)
+
+    def _step(self, n_pad: int):
+        if n_pad in self._step_cache:
+            return self._step_cache[n_pad]
+        from ..ops.stft import ncc_frames_tiled_core, stft_log_mel_core
+
+        cfg = self.config
+        n_frames_pad = 1 + (n_pad - cfg.n_fft) // cfg.hop
+        t_ss = self._t_ss
+        n_peaks = min(
+            (n_frames_pad - min(t_ss) + 1) // self.distance_frames + 2, 64
+        )
+        dist = self.distance_frames
+
+        def per_episode(ep, n, fb, snip_fps):
+            fp = stft_log_mel_core(
+                ep, fb, cfg.n_fft, cfg.hop, n_frames_pad
+            )
+            n_frames = jnp.maximum(
+                1 + (n - cfg.n_fft) // cfg.hop, 0
+            ).astype(jnp.int32)
+            pos_l, h_l, prom_l = [], [], []
+            for q, t_s in enumerate(t_ss):  # static Q, static t_s per query
+                scores = ncc_frames_tiled_core(fp, snip_fps[q, :t_s], t_s)
+                valid = jnp.maximum(n_frames - t_s + 1, 0)
+                p, h, pr = pick_peaks_core(
+                    scores[None, :], valid[None], dist, n_peaks, 2048
+                )
+                pos_l.append(p[0])
+                h_l.append(h[0])
+                prom_l.append(pr[0])
+            return (
+                jnp.stack(pos_l), jnp.stack(h_l), jnp.stack(prom_l)
+            )  # [Q, S] each
+
+        def local(episodes, ns, fb, snip_fps):
+            return jax.lax.map(
+                lambda args: per_episode(args[0], args[1], fb, snip_fps),
+                (episodes, ns),
+            )
+
+        if int(self.mesh.devices.size) > 1:
+            axes = tuple(self.mesh.axis_names)
+            step = jax.jit(
+                jax.shard_map(
+                    local,
+                    mesh=self.mesh,
+                    in_specs=(P(axes, None), P(axes), P(), P()),
+                    out_specs=P(axes, None, None),
+                )
+            )
+        else:
+            step = jax.jit(local)
+        self._step_cache[n_pad] = step
+        return step
+
+    def scan_staged(self, staged, scale: bool = True):
+        del scale  # NCC scores are scale-invariant by construction
+        episodes_dev, ns, n_real = staged
+        cfg = self.config
+        step = self._step(episodes_dev.shape[1])
+        pos, h, prom = step(
+            episodes_dev, jnp.asarray(ns, jnp.int32),
+            jnp.asarray(self._fb), jnp.asarray(self._snip_fps),
+        )
+        pos, h, prom = np.asarray(pos), np.asarray(h), np.asarray(prom)
+        out = []
+        for e in range(n_real):
+            per_query = []
+            for q in range(len(self._t_ss)):
+                peaks = [
+                    Peak(
+                        int(pos[e, q, s]) * cfg.hop,
+                        float(h[e, q, s]),
+                        float(prom[e, q, s]),
+                    )
+                    for s in range(pos.shape[2])
+                    if np.isfinite(h[e, q, s])
+                    and h[e, q, s] >= cfg.min_score
+                ]
+                peaks.sort(key=lambda p: p.position)
+                per_query.append(peaks)
+            out.append(per_query)
+        return out
+
+    def scan_resident(self, episodes: Sequence[np.ndarray], scale=True):
+        return self.scan_staged(self.stage_resident(episodes), scale)
+
+
 def sweep_archive(
     paths,
     snippets: Sequence[np.ndarray],
@@ -193,6 +333,8 @@ def sweep_archive(
     write_labels_for=None,
     prefetch_depth: int = 3,
     resample_mismatched: bool = False,
+    mode: str = "pcm",
+    spectrogram_config=None,
 ):
     """Scan an archive of files against query snippets with resume.
 
@@ -202,6 +344,8 @@ def sweep_archive(
     ``.done.txt`` line format so an interrupted sweep resumes
     (SURVEY.md §5 checkpoint/resume semantics).
 
+    ``mode="spectrogram"`` scans log-mel fingerprints (noise-robust,
+    BASELINE config #4) on the same mesh/resume machinery.
     ``write_labels_for``: optional ``fn(path, query_idx, peaks)`` sink.
     Returns {path: [peaks_per_query]}.
     """
@@ -217,7 +361,12 @@ def sweep_archive(
         from .mesh import make_local_mesh
 
         mesh = make_local_mesh()
-    scanner = ShardedScanner(snippets, sr, config, mesh)
+    if mode == "spectrogram":
+        scanner = ShardedSpectrogramScanner(
+            snippets, sr, spectrogram_config, mesh
+        )
+    else:
+        scanner = ShardedScanner(snippets, sr, config, mesh)
     progress = Progress(progress_path) if progress_path is not None else None
     todo = []
     for p in paths:

@@ -45,3 +45,59 @@ def test_no_false_positive_on_pure_noise(rng):
     matcher = SpectrogramMatcher(snippet, SR, SpectrogramConfig(distance_secs=5.0))
     peaks = matcher.match(episode)
     assert all(p.height < 0.5 for p in peaks)
+
+
+def test_tiled_ncc_equals_single_shot(rng):
+    """Overlap-save tiling of the frame-NCC is exact (same scores)."""
+    import jax.numpy as jnp
+
+    from audio_matcher_tpu.ops.stft import (
+        fft_length,
+        ncc_frames_core,
+        ncc_frames_tiled_core,
+    )
+
+    t_e, t_s, M = 5000, 300, 16
+    ep = rng.standard_normal((t_e, M)).astype(np.float32)
+    sn = rng.standard_normal((t_s, M)).astype(np.float32)
+    L = fft_length(t_e + t_s - 1)
+    want = np.asarray(ncc_frames_core(jnp.asarray(ep), jnp.asarray(sn), L, t_s))
+    got = np.asarray(
+        ncc_frames_tiled_core(jnp.asarray(ep), jnp.asarray(sn), t_s, tile=512)
+    )
+    assert got.shape == want.shape
+    assert np.max(np.abs(got - want)) < 2e-4
+
+
+def test_sharded_spectrogram_scanner_multi_episode(rng):
+    """Mesh-sharded spectrogram batch scan (BASELINE config #4 at archive
+    scale): per-episode matches equal the single-episode matcher."""
+    from audio_matcher_tpu.parallel.mesh import make_mesh
+    from audio_matcher_tpu.parallel.sweep import ShardedSpectrogramScanner
+
+    snippet = make_snippet(rng)
+    episodes, expect = [], []
+    for e in range(4):
+        ep = (rng.standard_normal(40 * SR) * 0.05).astype(np.float32)
+        at = int((6.0 + 4 * e) * SR)
+        ep[at : at + len(snippet)] += snippet
+        ep += (rng.standard_normal(len(ep)) * 0.05).astype(np.float32)
+        episodes.append(ep)
+        expect.append(at)
+
+    cfg = SpectrogramConfig(distance_secs=10.0)
+    scanner = ShardedSpectrogramScanner([snippet], SR, cfg, mesh=make_mesh(4))
+    results = scanner.scan_resident(episodes)
+    assert len(results) == 4
+    for e, per_query in enumerate(results):
+        peaks = per_query[0]
+        assert peaks, f"episode {e}: no match"
+        best = max(peaks, key=lambda p: p.height)
+        assert abs(best.position - expect[e]) <= cfg.hop
+        assert best.height > 0.5
+
+    # oracle: the single-episode matcher agrees on the best position
+    single = SpectrogramMatcher(snippet, SR, cfg).match(episodes[0])
+    sb = max(single, key=lambda p: p.height)
+    best0 = max(results[0][0], key=lambda p: p.height)
+    assert best0.position == sb.position
