@@ -41,28 +41,28 @@ def default_factors(n: int) -> tuple[int, ...]:
     return tuple(factors)
 
 
-@lru_cache(maxsize=32)
-def _dft_mat_host(n: int, sign: int) -> tuple[np.ndarray, np.ndarray]:
-    """[n, n] DFT matrix W^{sign·jk} as (real, imag) f32 (float64 phases)."""
-    j = np.arange(n)
-    phase = sign * 2.0 * np.pi / n * np.outer(j, j % n)
-    return (
-        np.cos(phase).astype(np.float32),
-        np.sin(phase).astype(np.float32),
-    )
+def _dft_mat(n: int, sign: int):
+    """[n, n] DFT matrix W^{sign·jk} as (real, imag) f32, built IN-GRAPH.
+
+    (Host constants would be embedded as program literals — tens of MB for
+    the twiddles — which bloats remote compiles; iota+cos is cheap.)
+    """
+    j = jnp.arange(n, dtype=jnp.int32)
+    jk = (j[:, None] * j[None, :]) % n  # exact in int32 for n ≤ 512
+    phase = (sign * 2.0 * np.pi / n) * jk.astype(jnp.float32)
+    return jnp.cos(phase), jnp.sin(phase)
 
 
-@lru_cache(maxsize=64)
-def _twiddle_host(a: int, m: int, sign: int) -> tuple[np.ndarray, np.ndarray]:
-    """[a, m] twiddle W_{a·m}^{sign·c·b} as (real, imag) f32."""
+def _twiddle(a: int, m: int, sign: int):
+    """[a, m] twiddle W_{a·m}^{sign·c·b} as (real, imag) f32, in-graph.
+
+    c·b < a·m ≤ 2^24 stays exact in f32 for the FFT sizes used here.
+    """
     n = a * m
-    c = np.arange(a)[:, None].astype(np.float64)
-    b = np.arange(m)[None, :].astype(np.float64)
-    phase = sign * 2.0 * np.pi / n * (c * b)
-    return (
-        np.cos(phase).astype(np.float32),
-        np.sin(phase).astype(np.float32),
-    )
+    c = jnp.arange(a, dtype=jnp.float32)[:, None]
+    b = jnp.arange(m, dtype=jnp.float32)[None, :]
+    phase = (sign * 2.0 * np.pi / n) * (c * b)
+    return jnp.cos(phase), jnp.sin(phase)
 
 
 def _cmatmul(tr, ti, xr, xi, precision):
@@ -84,14 +84,14 @@ def _cfft_rec(xr, xi, factors, precision, sign):
     a = factors[0]
     n = xr.shape[-1]
     m = n // a
-    tr, ti = (jnp.asarray(v) for v in _dft_mat_host(a, sign))
+    tr, ti = _dft_mat(a, sign)
     # n = idx_a · m + idx_b → [..., a, m]
     xr = xr.reshape(*xr.shape[:-1], a, m)
     xi = xi.reshape(*xi.shape[:-1], a, m)
     yr, yi = _cmatmul(tr, ti, xr, xi, precision)  # [..., c, m]
     if len(factors) == 1:
         return yr.reshape(*yr.shape[:-2], n), yi.reshape(*yi.shape[:-2], n)
-    wr, wi = (jnp.asarray(v) for v in _twiddle_host(a, m, sign))
+    wr, wi = _twiddle(a, m, sign)
     zr = yr * wr - yi * wi
     zi = yr * wi + yi * wr
     zr, zi = _cfft_rec(zr, zi, factors[1:], precision, sign)  # [..., c, d]
@@ -134,6 +134,76 @@ def cfft(x, inverse: bool = False, factors: tuple[int, ...] | None = None):
     xi = jnp.imag(x).astype(jnp.float32)
     yr, yi = cfft_parts(xr, xi, inverse=inverse, factors=factors)
     return yr + 1j * yi
+
+
+def full_spectra_parts(x, n: int, precision=DEFAULT_PRECISION):
+    """FULL-length (non-hermitian-compressed) spectra of real rows.
+
+    x: [..., T] real → (Sr, Si) each [..., n]. Run once per query set;
+    the scan keeps query spectra full-length so the packed inverse needs
+    no symmetry reconstruction.
+    """
+    x = jnp.asarray(x, jnp.float32)
+    if x.shape[-1] < n:
+        pad = [(0, 0)] * (x.ndim - 1) + [(0, n - x.shape[-1])]
+        x = jnp.pad(x, pad)
+    return cfft_parts(x, jnp.zeros_like(x), precision=precision)
+
+
+def corr_slab_mxu(
+    windows,  # [B, W] f32 (W ≤ n; zero-padded)
+    s_full_r,  # [Q, n] f32 — full-length query spectra (real part)
+    s_full_i,  # [Q, n] f32
+    valid_max: int,
+    precision=DEFAULT_PRECISION,
+    factors: tuple[int, ...] | None = None,
+):
+    """All (window, query) valid correlations with every FFT on the MXU.
+
+    Work per slab: B/2 forward complex FFTs (window pairs packed as
+    z = w0 + i·w1, spectra recovered by hermitian split) and B·Q/2
+    inverse complex FFTs (consecutive (window, query) correlation spectra
+    packed as V = Ca + i·Cb; both outputs are real so icfft(V) yields the
+    pair directly). XLA's TPU rFFT/irFFT are priced as FULL complex
+    transforms (measured, benches/probe_fft.py), so the packing alone is
+    a 2× cut even before the MXU speedup. Returns [B, Q, valid_max] f32.
+    """
+    B, W = windows.shape
+    Q, n = s_full_r.shape
+    factors = factors or default_factors(n)
+    if W < n:
+        windows = jnp.pad(windows, ((0, 0), (0, n - W)))
+    if B % 2:
+        windows = jnp.pad(windows, ((0, 1), (0, 0)))
+    Bp = windows.shape[0]
+    # forward: pack window pairs
+    Zr, Zi = cfft_parts(
+        windows[0::2], windows[1::2], precision=precision, factors=factors
+    )  # [Bp/2, n]
+    # hermitian split at FULL length: Z[-k] = Z[(n-k) mod n]
+    Rr = jnp.roll(Zr[..., ::-1], 1, axis=-1)
+    Ri = jnp.roll(Zi[..., ::-1], 1, axis=-1)
+    Xr = jnp.stack([0.5 * (Zr + Rr), 0.5 * (Zi + Ri)], axis=1)
+    Xi = jnp.stack([0.5 * (Zi - Ri), 0.5 * (Rr - Zr)], axis=1)
+    Xr = Xr.reshape(Bp, n)[:B]
+    Xi = Xi.reshape(Bp, n)[:B]
+    # correlation spectra C = X · conj(S), flattened over (window, query)
+    Cr = (Xr[:, None, :] * s_full_r[None] + Xi[:, None, :] * s_full_i[None])
+    Ci = (Xi[:, None, :] * s_full_r[None] - Xr[:, None, :] * s_full_i[None])
+    P = B * Q
+    Cr = Cr.reshape(P, n)
+    Ci = Ci.reshape(P, n)
+    if P % 2:
+        Cr = jnp.pad(Cr, ((0, 1), (0, 0)))
+        Ci = jnp.pad(Ci, ((0, 1), (0, 0)))
+    # inverse: pack correlation pairs V = C_{2k} + i·C_{2k+1}
+    Vr = Cr[0::2] - Ci[1::2]
+    Vi = Ci[0::2] + Cr[1::2]
+    yr, yi = cfft_parts(
+        Vr, Vi, inverse=True, precision=precision, factors=factors
+    )
+    c = jnp.stack([yr[..., :valid_max], yi[..., :valid_max]], axis=1)
+    return c.reshape(-1, valid_max)[:P].reshape(B, Q, valid_max)
 
 
 def rfft_pair_parts(x2, n: int, precision=DEFAULT_PRECISION):

@@ -81,6 +81,7 @@ def resident_match_step(
     block: int,
     slab: int,
     n_slabs: int,
+    fft_impl: str = "xla",
 ):
     """Compile the resident multi-query scan: episodes stay flat in HBM
     ([E, Npad], one upload), windows are gathered in-program, and every
@@ -104,9 +105,16 @@ def resident_match_step(
                 lambda s: jax.lax.dynamic_slice(episode, (s,), (window,))
             )(starts)
             win_len = jnp.clip(n - starts, 0, window)
-            x = jnp.fft.rfft(windows, n=fft_len)  # [B, F] — shared fwd FFT
-            spec = x[:, None, :] * jnp.conj(sample_f)[None, :, :]
-            c = jnp.fft.irfft(spec, n=fft_len)[..., :valid_max]  # [B, Q, V]
+            if fft_impl == "mxu":
+                from ..ops.mxu_fft import corr_slab_mxu
+
+                c = corr_slab_mxu(
+                    windows, sample_f[0], sample_f[1], valid_max
+                )  # [B, Q, V] — matmul FFT, window+corr pair packing
+            else:
+                x = jnp.fft.rfft(windows, n=fft_len)  # [B, F] — shared fwd
+                spec = x[:, None, :] * jnp.conj(sample_f)[None, :, :]
+                c = jnp.fft.irfft(spec, n=fft_len)[..., :valid_max]
             c = c * inv_ac[None, :, None]
             c = jnp.swapaxes(c, 0, 1)  # [Q, B, V]
             vq = jnp.maximum(win_len[None, :] - m[:, None] + 1, 0).astype(
@@ -149,6 +157,7 @@ def resident_sharded_step(
     block: int,
     slab: int,
     n_slabs: int,
+    fft_impl: str = "xla",
 ):
     """Multi-chip variant of :func:`resident_match_step`: the episode batch
     shards over the FLATTENED mesh (data×seq) with ``shard_map``; each chip
@@ -158,7 +167,7 @@ def resident_sharded_step(
     static, peak lists are kilobytes)."""
     _, per_episode = resident_match_step(
         chunk, window, fft_len, valid_max, distance, n_peaks, block,
-        slab, n_slabs,
+        slab, n_slabs, fft_impl,
     )
     axes = tuple(mesh.axis_names)
 
@@ -474,6 +483,7 @@ class ShardedScanner:
         # ride the pre-execution fast upload path
         self._sample_padded = padded
         self._sample_f_cache = None
+        self._sample_f_full_cache = None
         self._inv_ac = jnp.asarray(
             [q.inv_autocorr for q in self.queries], jnp.float32
         )
@@ -498,6 +508,20 @@ class ShardedScanner:
                 jnp.asarray(self._sample_padded), n=self.fft_len
             )
         return self._sample_f_cache
+
+    @property
+    def _sample_f_resident(self):
+        """Spectra in the form the resident step expects: rfft spectra
+        for "xla", full-length split spectra for "mxu"."""
+        if self.config.fft_impl != "mxu":
+            return self._sample_f
+        if self._sample_f_full_cache is None:
+            from ..ops.mxu_fft import full_spectra_parts
+
+            self._sample_f_full_cache = jax.jit(
+                full_spectra_parts, static_argnames=("n",)
+            )(self._sample_padded, self.fft_len)
+        return self._sample_f_full_cache
 
     # -- resident single-chip batch path (BASELINE config #3) -----------
     def stage_resident(self, episodes: Sequence[np.ndarray]):
@@ -544,7 +568,8 @@ class ShardedScanner:
         if key not in self._resident_cache:
             args = (
                 self.chunk, self.window, self.fft_len, self.valid,
-                self.distance_samples, self.n_peaks, cfg.block, slab, n_slabs,
+                self.distance_samples, self.n_peaks, cfg.block, slab,
+                n_slabs, cfg.fft_impl,
             )
             if multi:
                 self._resident_cache[key] = resident_sharded_step(
@@ -556,7 +581,7 @@ class ShardedScanner:
         inv_ac = self._inv_ac if scale else jnp.ones_like(self._inv_ac)
         pos, h, prom = step(
             episodes_dev, jnp.asarray(ns, jnp.int32),
-            self._sample_f, inv_ac, self._m,
+            self._sample_f_resident, inv_ac, self._m,
         )
         pos, h, prom = np.asarray(pos), np.asarray(h), np.asarray(prom)
         out = []
