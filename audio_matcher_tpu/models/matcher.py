@@ -36,7 +36,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.correlate import PreparedSnippet, fft_length, prepare_snippet
-from ..ops.peaks import Peak, pick_peaks_batch, pick_peaks_core
+from ..ops.peaks import (
+    Peak,
+    peaks_crop_width,
+    pick_peaks_batch,
+    pick_peaks_core,
+    pick_peaks_dispatch,
+)
 
 log = logging.getLogger("audio_matcher.matcher")
 
@@ -76,6 +82,9 @@ class MatchConfig:
     #          (ops/mxu_fft.py): ~1e-6 relative score difference,
     #          identical peak positions; measured faster on TPU
     fft_impl: str = "xla"
+    # peak-pick implementation: "jnp" (multi-pass, ops/peaks.py) or
+    # "pallas" (single HBM pass + block-array rounds, identical results)
+    peaks_impl: str = "jnp"
 
     @property
     def min_prominence(self) -> float:
@@ -234,6 +243,7 @@ def _corr_windows(windows, sample_f, fft_len: int, valid_max: int,
     static_argnames=(
         "chunk", "window", "m", "fft_len", "valid_max",
         "distance", "n_peaks", "block", "slab", "n_slabs", "fft_impl",
+        "peaks_impl",
     ),
 )
 def _match_episode_resident(
@@ -252,6 +262,7 @@ def _match_episode_resident(
     slab: int,
     n_slabs: int,
     fft_impl: str = "xla",
+    peaks_impl: str = "jnp",
 ):
     """Whole-episode scan as ONE device program: ``lax.map`` over slabs.
 
@@ -262,6 +273,7 @@ def _match_episode_resident(
     [n_slabs*slab, n_peaks].
     """
     episode = dequantize_on_device(episode)
+    crop = min(peaks_crop_width(valid_max, block, peaks_impl), fft_len)
 
     def body(base):
         starts = (base + jnp.arange(slab, dtype=jnp.int32)) * chunk
@@ -270,10 +282,10 @@ def _match_episode_resident(
         )(starts)
         win_len = jnp.clip(n - starts, 0, window)
         valid = jnp.maximum(win_len - m + 1, 0).astype(jnp.int32)
-        c = _corr_windows(windows, sample_f, fft_len, valid_max, fft_impl)
+        c = _corr_windows(windows, sample_f, fft_len, crop, fft_impl)
         c = c * inv_ac
-        return pick_peaks_core(
-            c, valid, distance=distance, n_peaks=n_peaks, block=block
+        return pick_peaks_dispatch(
+            c, valid, distance, n_peaks, block, peaks_impl
         )
 
     bases = jnp.arange(n_slabs, dtype=jnp.int32) * slab
@@ -291,6 +303,7 @@ def _match_episode_resident(
     static_argnames=(
         "chunk", "window", "m", "fft_len", "valid_max",
         "distance", "n_peaks", "block", "slab", "n_slabs", "fft_impl",
+        "peaks_impl",
     ),
 )
 def _match_batch_resident(
@@ -309,6 +322,7 @@ def _match_batch_resident(
     slab: int,
     n_slabs: int,
     fft_impl: str = "xla",
+    peaks_impl: str = "jnp",
 ):
     """Whole BATCH of episodes as one program: one dispatch + one readback
     for E episodes (the batch-scan regime, BASELINE config #3/#5)."""
@@ -320,6 +334,7 @@ def _match_batch_resident(
             chunk=chunk, window=window, m=m, fft_len=fft_len,
             valid_max=valid_max, distance=distance, n_peaks=n_peaks,
             block=block, slab=slab, n_slabs=n_slabs, fft_impl=fft_impl,
+            peaks_impl=peaks_impl,
         )
 
     return jax.lax.map(per_episode, (episodes, ns))
@@ -408,10 +423,10 @@ class SnippetMatcher:
     def _sample_f(self):
         if self._sample_f_cache is None:
             if self.config.fft_impl == "mxu":
-                from ..ops.mxu_fft import full_spectra_parts
+                from ..ops.mxu_fft import scrambled_spectra_parts
 
                 self._sample_f_cache = jax.jit(
-                    full_spectra_parts, static_argnames=("n",)
+                    scrambled_spectra_parts, static_argnames=("n",)
                 )(self.snippet.data[None, :], self.fft_len)
             else:
                 self._sample_f_cache = jnp.fft.rfft(
@@ -546,6 +561,7 @@ class SnippetMatcher:
             slab=B,
             n_slabs=n_windows_pad // B,
             fft_impl=cfg.fft_impl,
+            peaks_impl=cfg.peaks_impl,
         )
         pos, h, prom = np.asarray(pos), np.asarray(h), np.asarray(prom)
         return self._extract_peaks(pos, h, prom, n_windows, progress)
@@ -578,6 +594,7 @@ class SnippetMatcher:
             slab=B,
             n_slabs=n_windows_pad // B,
             fft_impl=cfg.fft_impl,
+            peaks_impl=cfg.peaks_impl,
         )
         pos, h, prom = np.asarray(pos), np.asarray(h), np.asarray(prom)
         out = []

@@ -30,15 +30,21 @@ DEFAULT_PRECISION = jax.lax.Precision.HIGHEST
 
 
 def default_factors(n: int) -> tuple[int, ...]:
-    """Factor n (a power of two) into DFT-matmul radices of 64–512."""
+    """Factor n (a power of two) into balanced DFT-matmul radices ≤ 256.
+
+    Per-stage cost is max(bandwidth pass, matmul FLOPs ∝ radix); radix
+    ~128 balances the two on v5e (measured, benches/probe_bw.py), so the
+    exponent is split into the fewest parts of ≤ 8 bits, as even as
+    possible (2^22 → (256, 128, 128))."""
     if n & (n - 1):
         raise ValueError(f"mxu fft requires a power of two, got {n}")
-    factors = []
-    while n > 512:
-        factors.append(256)
-        n //= 256
-    factors.append(n)
-    return tuple(factors)
+    e = n.bit_length() - 1
+    if e == 0:
+        raise ValueError("n must be ≥ 2")
+    k = -(-e // 8)
+    base, rem = divmod(e, k)
+    parts = [base + 1] * rem + [base] * (k - rem)
+    return tuple(1 << p for p in parts)
 
 
 def _dft_mat(n: int, sign: int):
@@ -136,6 +142,119 @@ def cfft(x, inverse: bool = False, factors: tuple[int, ...] | None = None):
     return yr + 1j * yi
 
 
+# ---- scrambled-order plane-packed transforms (the scan's hot path) ----
+#
+# Complex values ride as a REAL "plane" axis (size 2) so each DFT stage is
+# ONE real matmul with contraction 2·radix (instead of 4 separate real
+# matmuls): the [2, c, 2, a] block matrix [[D_r, -D_i], [D_i, D_r]] applied
+# to the contiguous [2a, m] view. No inter-stage reordering is done (the
+# output is digit-reversed, which convolution never notices) and the plane
+# axis migrates inward with the recursion, so there are ZERO transpose
+# passes in the whole forward→multiply→inverse round trip.
+#
+# Scrambled layout of a length-n transform with factors (a1, ..., aL):
+#   [..., c1, c2, ..., c_{L-1}, 2, c_L]  (flattened to [..., 2n])
+
+
+def _block_dft(a: int, sign: int, inverse: bool):
+    """[2, out, 2, in] real block matrix of the (inverse) DFT."""
+    tr, ti = _dft_mat(a, -sign if inverse else sign)
+    # complex mult (tr + i·ti)·(xr + i·xi): rows (real, imag) of output
+    return jnp.stack(
+        [jnp.stack([tr, -ti], axis=1), jnp.stack([ti, tr], axis=1)], axis=0
+    )  # [o, c/a_out, k, a_in]
+
+
+def _fft2p_rec(x, factors, precision, sign):
+    """x: [..., 2, n] plane-major → scrambled [..., 2n]."""
+    a = factors[0]
+    n = x.shape[-1]
+    m = n // a
+    x = x.reshape(*x.shape[:-2], 2, a, m)
+    t4 = _block_dft(a, sign, inverse=False)
+    y = jnp.einsum(
+        "ocka,...kam->...ocm", t4, x, precision=precision
+    )  # [..., 2, c, m]
+    if len(factors) == 1:
+        # [..., 2, c] (m == 1 collapses); flatten trailing (2, c)
+        return y.reshape(*y.shape[:-3], 2 * a * m)
+    wr, wi = _twiddle(a, m, sign)
+    zr = y[..., 0, :, :] * wr - y[..., 1, :, :] * wi
+    zi = y[..., 0, :, :] * wi + y[..., 1, :, :] * wr
+    z = jnp.stack([zr, zi], axis=-2)  # [..., c, 2, m] — plane moves inward
+    out = _fft2p_rec(z, factors[1:], precision, sign)  # [..., c, 2m]
+    return out.reshape(*out.shape[:-2], 2 * n)
+
+
+def _ifft2p_rec(y, factors, precision, sign):
+    """Scrambled [..., 2n] → natural [..., 2, n] plane-major (unscaled)."""
+    a = factors[0]
+    n2 = y.shape[-1]
+    n = n2 // 2
+    m = n // a
+    if len(factors) == 1:
+        y = y.reshape(*y.shape[:-1], 2, a)  # trailing [2, c]
+        t4 = _block_dft(a, sign, inverse=True)
+        return jnp.einsum("oakc,...kc->...oa", t4, y, precision=precision)
+    y = y.reshape(*y.shape[:-1], a, 2 * m)  # [..., c, 2m-scrambled]
+    z = _ifft2p_rec(y, factors[1:], precision, sign)  # [..., c, 2, m]
+    wr, wi = _twiddle(a, m, -sign)  # conjugate twiddle
+    zr = z[..., 0, :] * wr - z[..., 1, :] * wi
+    zi = z[..., 0, :] * wi + z[..., 1, :] * wr
+    z = jnp.stack([zr, zi], axis=-2)  # [..., c, 2, m]
+    t4 = _block_dft(a, sign, inverse=True)
+    x = jnp.einsum(
+        "oakc,...ckm->...oam", t4, z, precision=precision
+    )  # [..., 2, a, m]
+    return x.reshape(*x.shape[:-2], n)
+
+
+def cfft_scrambled_parts(
+    xr, xi, factors: tuple[int, ...], precision=DEFAULT_PRECISION
+):
+    """Forward FFT to digit-reversed order (split real/imag f32 in/out —
+    note the OUT parts are views of the scrambled layout, only meaningful
+    to the matching inverse / elementwise complex arithmetic)."""
+    x = jnp.stack(
+        [jnp.asarray(xr, jnp.float32), jnp.asarray(xi, jnp.float32)],
+        axis=-2,
+    )
+    out = _fft2p_rec(x, factors, precision, -1)  # [..., 2n]
+    c_last = factors[-1]
+    v = out.reshape(*out.shape[:-1], -1, 2, c_last)
+    return v[..., 0, :], v[..., 1, :]  # scrambled-plane views [..., G, cL]
+
+
+def icfft_scrambled_parts(
+    yr, yi, factors: tuple[int, ...], precision=DEFAULT_PRECISION
+):
+    """Inverse FFT from digit-reversed plane views to natural (with 1/N)."""
+    c_last = factors[-1]
+    y = jnp.stack([yr, yi], axis=-2)  # [..., G, 2, cL]
+    n2 = int(np.prod(y.shape[-3:]))
+    y = y.reshape(*y.shape[:-3], n2)
+    x = _ifft2p_rec(y, factors, precision, -1)  # [..., 2, n]
+    s = jnp.float32(2.0 / n2)
+    return x[..., 0, :] * s, x[..., 1, :] * s
+
+
+def scrambled_spectra_parts(
+    x, n: int, factors=None, precision=DEFAULT_PRECISION
+):
+    """Digit-reversed full spectra of real rows (query-side precompute).
+
+    Returns plane views [..., n//c_last, c_last] — pass them straight to
+    :func:`corr_slab_mxu`, which does its complex arithmetic in the same
+    scrambled layout.
+    """
+    factors = factors or default_factors(n)
+    x = jnp.asarray(x, jnp.float32)
+    if x.shape[-1] < n:
+        pad = [(0, 0)] * (x.ndim - 1) + [(0, n - x.shape[-1])]
+        x = jnp.pad(x, pad)
+    return cfft_scrambled_parts(x, jnp.zeros_like(x), factors, precision)
+
+
 def full_spectra_parts(x, n: int, precision=DEFAULT_PRECISION):
     """FULL-length (non-hermitian-compressed) spectra of real rows.
 
@@ -152,56 +271,50 @@ def full_spectra_parts(x, n: int, precision=DEFAULT_PRECISION):
 
 def corr_slab_mxu(
     windows,  # [B, W] f32 (W ≤ n; zero-padded)
-    s_full_r,  # [Q, n] f32 — full-length query spectra (real part)
-    s_full_i,  # [Q, n] f32
+    s_scr_r,  # [Q, n] f32 — DIGIT-REVERSED query spectra (real part),
+    s_scr_i,  # [Q, n] f32    from scrambled_spectra_parts
     valid_max: int,
     precision=DEFAULT_PRECISION,
     factors: tuple[int, ...] | None = None,
 ):
     """All (window, query) valid correlations with every FFT on the MXU.
 
-    Work per slab: B/2 forward complex FFTs (window pairs packed as
-    z = w0 + i·w1, spectra recovered by hermitian split) and B·Q/2
-    inverse complex FFTs (consecutive (window, query) correlation spectra
-    packed as V = Ca + i·Cb; both outputs are real so icfft(V) yields the
-    pair directly). XLA's TPU rFFT/irFFT are priced as FULL complex
-    transforms (measured, benches/probe_fft.py), so the packing alone is
-    a 2× cut even before the MXU speedup. Returns [B, Q, valid_max] f32.
+    The whole round trip stays in DIGIT-REVERSED order (convolution never
+    needs natural-order spectra): the forward transform skips the
+    inter-stage reordering, the conj-multiply happens scrambled, and the
+    inverse consumes scrambled order directly — zero transpose passes.
+    Correlation outputs are real, so consecutive (window, query) spectra
+    pack in PAIRS into one complex inverse (icfft(Ca + i·Cb) = ca + i·cb);
+    XLA's TPU irFFT is priced as a full complex transform (measured,
+    benches/probe_fft.py), so the packing alone halves inverse work.
+    Returns [B, Q, valid_max] f32.
     """
     B, W = windows.shape
-    Q, n = s_full_r.shape
+    Q, G, c_last = s_scr_r.shape
+    n = G * c_last
     factors = factors or default_factors(n)
     if W < n:
         windows = jnp.pad(windows, ((0, 0), (0, n - W)))
-    if B % 2:
-        windows = jnp.pad(windows, ((0, 1), (0, 0)))
-    Bp = windows.shape[0]
-    # forward: pack window pairs
-    Zr, Zi = cfft_parts(
-        windows[0::2], windows[1::2], precision=precision, factors=factors
-    )  # [Bp/2, n]
-    # hermitian split at FULL length: Z[-k] = Z[(n-k) mod n]
-    Rr = jnp.roll(Zr[..., ::-1], 1, axis=-1)
-    Ri = jnp.roll(Zi[..., ::-1], 1, axis=-1)
-    Xr = jnp.stack([0.5 * (Zr + Rr), 0.5 * (Zi + Ri)], axis=1)
-    Xi = jnp.stack([0.5 * (Zi - Ri), 0.5 * (Rr - Zr)], axis=1)
-    Xr = Xr.reshape(Bp, n)[:B]
-    Xi = Xi.reshape(Bp, n)[:B]
-    # correlation spectra C = X · conj(S), flattened over (window, query)
-    Cr = (Xr[:, None, :] * s_full_r[None] + Xi[:, None, :] * s_full_i[None])
-    Ci = (Xi[:, None, :] * s_full_r[None] - Xr[:, None, :] * s_full_i[None])
+    # forward: scrambled spectra of each (real) window
+    Xr, Xi = cfft_scrambled_parts(
+        windows, jnp.zeros_like(windows), factors, precision
+    )  # [B, G, cL] plane views
+    # correlation spectra C = X · conj(S), elementwise in scrambled layout,
+    # flattened over (window, query) and packed in pairs:
+    # V = C_{2k} + i·C_{2k+1}
+    Cr = (
+        Xr[:, None] * s_scr_r[None] + Xi[:, None] * s_scr_i[None]
+    )  # [B, Q, G, cL]
+    Ci = Xi[:, None] * s_scr_r[None] - Xr[:, None] * s_scr_i[None]
     P = B * Q
-    Cr = Cr.reshape(P, n)
-    Ci = Ci.reshape(P, n)
+    Cr = Cr.reshape(P, G, c_last)
+    Ci = Ci.reshape(P, G, c_last)
     if P % 2:
-        Cr = jnp.pad(Cr, ((0, 1), (0, 0)))
-        Ci = jnp.pad(Ci, ((0, 1), (0, 0)))
-    # inverse: pack correlation pairs V = C_{2k} + i·C_{2k+1}
+        Cr = jnp.pad(Cr, ((0, 1), (0, 0), (0, 0)))
+        Ci = jnp.pad(Ci, ((0, 1), (0, 0), (0, 0)))
     Vr = Cr[0::2] - Ci[1::2]
     Vi = Ci[0::2] + Cr[1::2]
-    yr, yi = cfft_parts(
-        Vr, Vi, inverse=True, precision=precision, factors=factors
-    )
+    yr, yi = icfft_scrambled_parts(Vr, Vi, factors, precision)  # [P/2, n]
     c = jnp.stack([yr[..., :valid_max], yi[..., :valid_max]], axis=1)
     return c.reshape(-1, valid_max)[:P].reshape(B, Q, valid_max)
 

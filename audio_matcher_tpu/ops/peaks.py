@@ -105,7 +105,6 @@ def _prominences(x_min, x_max, pos, h, valid_len, block: int):
     """Prominence for candidate peaks. x_min/x_max: [B, V] (+inf/-inf masked),
     pos/h: [B, S]."""
     B, V = x_min.shape
-    S = pos.shape[1]
     NB = -(-V // block)
     pad = NB * block - V
     x3_min = jnp.pad(x_min, ((0, 0), (0, pad)), constant_values=np.inf).reshape(
@@ -116,12 +115,31 @@ def _prominences(x_min, x_max, pos, h, valid_len, block: int):
     )
     block_min = x3_min.min(-1)  # [B, NB]
     block_max = x3_max.max(-1)
+    batch_ix = jnp.arange(B)[:, None]
+
+    def gather_blocks(pb):
+        return x3_min[batch_ix, pb], x3_max[batch_ix, pb]
+
+    return _prominences_from_blocks(
+        gather_blocks, block_min, block_max, pos, h, block
+    )
+
+
+def _prominences_from_blocks(
+    gather_blocks, block_min, block_max, pos, h, block: int
+):
+    """Prominence from a block pyramid.
+
+    ``gather_blocks(pb [B, S]) → (min_masked, max_masked) [B, S, block]``
+    fetches block contents (dense reshape in the jnp path; HBM
+    dynamic-slice gathers in the Pallas path, so no full-array pass is
+    needed). block_min/block_max: [B, NB] masked extrema per block.
+    """
+    NB = block_min.shape[1]
 
     pb = pos // block  # [B, S]
     r = pos % block
-    batch_ix = jnp.arange(B)[:, None]
-    own_min = x3_min[batch_ix, pb]  # [B, S, block]
-    own_max = x3_max[batch_ix, pb]
+    own_min, own_max = gather_blocks(pb)  # [B, S, block]
     bcols = jnp.arange(block, dtype=jnp.int32)
     bidx = jnp.arange(NB, dtype=jnp.int32)
 
@@ -151,8 +169,7 @@ def _prominences(x_min, x_max, pos, h, valid_len, block: int):
         found_blk = jnp.any(blk_mask, axis=-1)
         j_blk = nearest(blk_mask, bidx[None, None, :], blk_fill)
         j_blk_c = jnp.clip(j_blk, 0, NB - 1)
-        far_min = x3_min[batch_ix, j_blk_c]  # [B, S, block]
-        far_max = x3_max[batch_ix, j_blk_c]
+        far_min, far_max = gather_blocks(j_blk_c)  # [B, S, block]
         # position of the higher sample inside the far block
         far_mask = far_max > hx
         j_far = nearest(far_mask, bcols[None, None, :], in_fill)
@@ -234,6 +251,187 @@ def pick_peaks_core(
     pos, height = _distance_suppress(y, distance, n_peaks)
     prom = _prominences(x_min, x_max, jnp.clip(pos, 0), height, valid_len, block)
     return pos, height, prom
+
+
+def _gather_window(x, starts, width: int):
+    """[B] starts → [B, width] rows via clamped dynamic slices (HBM gather)."""
+
+    def one(row, s):
+        return jax.lax.dynamic_slice(row, (s,), (width,))
+
+    return jax.vmap(one)(x, jnp.clip(starts, 0, x.shape[1] - width))
+
+
+def _merge_seams(x, valid_len, bv, bp, block: int):
+    """Fold tile-boundary local maxima (which the Pallas kernel's in-tile
+    neighbor compare can't see) into the per-tile candidates."""
+    B, V = x.shape
+    NB = V // block
+    if NB < 2:
+        return bv, bp
+    js = jnp.arange(1, NB, dtype=jnp.int32)
+    for offs, strict in ((-1, True), (0, False)):
+        p = js * block + offs  # [NB-1] columns to re-check
+        x0 = x[:, p]
+        xm1 = x[:, p - 1]
+        xp1 = x[:, p + 1]
+        interior = (p[None, :] >= 1) & (p[None, :] <= valid_len[:, None] - 2)
+        pk = (x0 > xm1) & (x0 > xp1) & interior
+        h = jnp.where(pk, x0, _NEG)
+        tiles = p // block
+        cur = bv[:, tiles]
+        # ties: the earlier position must win (argmax-first semantics).
+        # offs=-1 is the LAST column of its tile (later than any in-tile
+        # candidate) → strict >; offs=0 is the FIRST column → >= wins ties.
+        upd = (h > cur) if strict else (h >= cur) & jnp.isfinite(h)
+        bv = bv.at[:, tiles].set(jnp.where(upd, h, cur))
+        bp = bp.at[:, tiles].set(
+            jnp.where(upd, p[None, :], bp[:, tiles])
+        )
+    return bv, bp
+
+
+def _rescan_tile(x, valid_len, picked_pos, tile, d, block):
+    """Exact best surviving local max of one tile per row, excluding every
+    already-picked exclusion interval (|col - p_j| < d). Exhausted picked
+    slots hold a far-negative sentinel, so they exclude nothing."""
+    B, V = x.shape
+    t = jnp.clip(tile, 0, V // block - 1)
+    start = t * block
+    # halo window; the slice start clamps near the array edges, so column
+    # indices are tracked explicitly and masked back to the tile
+    p0 = jnp.clip(start - 1, 0, V - (block + 2))
+    win = _gather_window(x, p0, block + 2)
+    cols = p0[:, None] + 1 + jnp.arange(block, dtype=jnp.int32)[None, :]
+    c = win[:, 1:-1]
+    left = win[:, :-2]
+    right = win[:, 2:]
+    in_tile = (cols >= start[:, None]) & (cols < start[:, None] + block)
+    interior = (cols >= 1) & (cols <= valid_len[:, None] - 2)
+    pk = (c > left) & (c > right) & interior & in_tile
+    # cumulative exclusion: |col - p_j| < d for any picked j
+    excl = jnp.any(
+        jnp.abs(cols[:, None, :] - picked_pos[:, :, None]) < d, axis=1
+    )
+    h = jnp.where(pk & ~excl, c, _NEG)
+    best = jnp.argmax(h, axis=1)
+    bi = jnp.arange(B)
+    return h[bi, best], cols[bi, best]
+
+
+def pick_peaks_pallas(
+    x: jax.Array,  # [B, V], V a multiple of block
+    valid_len: jax.Array,
+    distance: int,
+    n_peaks: int,
+    block: int = 2048,
+    interpret: bool = False,
+):
+    """Pallas-backed :func:`pick_peaks_core`: identical semantics, but the
+    [B, V] correlation is read ONCE from HBM (one grid pass computing
+    per-tile best-local-max + masked extrema); every later stage — seam
+    repair, greedy distance suppression (with exact rescan of the ≤2
+    partially-suppressed boundary tiles per round, under the CUMULATIVE
+    exclusion set), and blockwise prominence — runs on [B, NB] block
+    arrays plus tiny dynamic-slice gathers.
+    """
+    from .pallas_kernels import local_max_block_reduce
+
+    x = x.astype(jnp.float32)
+    B, V = x.shape
+    if V % block:
+        # callers crop the correlation to a block multiple to avoid this
+        # copy; fallback for ad-hoc shapes
+        x = jnp.pad(x, ((0, 0), (0, block - V % block)))
+        V = x.shape[1]
+    NB = V // block
+    valid_len = valid_len.astype(jnp.int32)
+    bv, bp, bmin, bmax = local_max_block_reduce(
+        x, valid_len, block=block, interpret=interpret
+    )
+    bv, bp = _merge_seams(x, valid_len, bv, bp, block)
+
+    d = max(int(distance), 1)
+    tile_start = jnp.arange(NB, dtype=jnp.int32)[None, :] * block
+    tile_end = tile_start + block - 1
+
+    SENTINEL = jnp.int32(-(1 << 30))  # farther than any distance from cols
+
+    def round_body(carry, r):
+        bv, bp, picked = carry
+        k = jnp.argmax(bv, axis=1)
+        bi = jnp.arange(B)
+        h = bv[bi, k]
+        pos = bp[bi, k]
+        real = jnp.isfinite(h)
+        picked = picked.at[:, r].set(jnp.where(real, pos, SENTINEL))
+        lo = pos - d + 1
+        hi = pos + d - 1
+        full = (
+            (tile_start >= lo[:, None]) & (tile_end <= hi[:, None])
+            & real[:, None]
+        )
+        bv = jnp.where(full, _NEG, bv)
+        for edge in (lo // block, hi // block):
+            in_range = (edge >= 0) & (edge < NB) & real
+            nv, npos = _rescan_tile(x, valid_len, picked, edge, d, block)
+            t = jnp.clip(edge, 0, NB - 1)
+            bv = bv.at[bi, t].set(jnp.where(in_range, nv, bv[bi, t]))
+            bp = bp.at[bi, t].set(jnp.where(in_range, npos, bp[bi, t]))
+        return (bv, bp, picked), (pos, h)
+
+    picked0 = jnp.full((B, n_peaks), SENTINEL, jnp.int32)
+    (_, _, _), (pos, height) = jax.lax.scan(
+        round_body, (bv, bp, picked0),
+        jnp.arange(n_peaks, dtype=jnp.int32),
+    )
+    pos, height = pos.T, height.T  # [B, S]
+
+    # prominence via the kernel's block extrema + HBM gathers (no full pass)
+    cols = jnp.arange(block, dtype=jnp.int32)
+
+    def gather_blocks(pb):
+        def one(row, vl, starts):
+            def per(s):
+                seg = jax.lax.dynamic_slice(row, (s * block,), (block,))
+                cv = (s * block + cols) < vl
+                return (
+                    jnp.where(cv, seg, _POS),
+                    jnp.where(cv, seg, _NEG),
+                )
+
+            return jax.vmap(per)(starts)
+
+        return jax.vmap(one)(x, valid_len, jnp.clip(pb, 0, NB - 1))
+
+    prom = _prominences_from_blocks(
+        gather_blocks, bmin, bmax, jnp.clip(pos, 0), height, block
+    )
+    return pos, height, prom
+
+
+def pick_peaks_dispatch(
+    x, valid_len, distance: int, n_peaks: int, block: int, impl: str
+):
+    """Route to the jnp or Pallas implementation (identical semantics).
+
+    The Pallas path compiles on TPU and runs in interpret mode elsewhere,
+    so CPU tests exercise the same code.
+    """
+    if impl == "pallas":
+        interpret = jax.default_backend() != "tpu"
+        return pick_peaks_pallas(
+            x, valid_len, distance, n_peaks, block, interpret=interpret
+        )
+    return pick_peaks_core(x, valid_len, distance, n_peaks, block)
+
+
+def peaks_crop_width(valid_max: int, block: int, impl: str) -> int:
+    """Static correlation-crop width: the Pallas path wants a block
+    multiple so no padding copy is needed downstream."""
+    if impl == "pallas":
+        return -(-valid_max // block) * block
+    return valid_max
 
 
 @partial(jax.jit, static_argnames=("distance", "n_peaks", "block"))

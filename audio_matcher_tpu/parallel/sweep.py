@@ -26,7 +26,12 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..models.matcher import MatchConfig, overshadow_filter
 from ..ops.correlate import fft_length, prepare_snippet
-from ..ops.peaks import Peak, pick_peaks_core
+from ..ops.peaks import (
+    Peak,
+    peaks_crop_width,
+    pick_peaks_core,
+    pick_peaks_dispatch,
+)
 
 log = logging.getLogger("audio_matcher.sweep")
 
@@ -82,6 +87,7 @@ def resident_match_step(
     slab: int,
     n_slabs: int,
     fft_impl: str = "xla",
+    peaks_impl: str = "jnp",
 ):
     """Compile the resident multi-query scan: episodes stay flat in HBM
     ([E, Npad], one upload), windows are gathered in-program, and every
@@ -93,6 +99,8 @@ def resident_match_step(
     inv_ac [Q], m [Q]) → (pos, h, prom) each [E, Q, n_slabs*slab, S];
     episodes and slabs run sequentially (lax.map) to bound HBM footprint.
     """
+
+    crop = min(peaks_crop_width(valid_max, block, peaks_impl), fft_len)
 
     def per_episode(episode, n, sample_f, inv_ac, m):
         from ..models.matcher import dequantize_on_device
@@ -109,12 +117,12 @@ def resident_match_step(
                 from ..ops.mxu_fft import corr_slab_mxu
 
                 c = corr_slab_mxu(
-                    windows, sample_f[0], sample_f[1], valid_max
+                    windows, sample_f[0], sample_f[1], crop
                 )  # [B, Q, V] — matmul FFT, window+corr pair packing
             else:
                 x = jnp.fft.rfft(windows, n=fft_len)  # [B, F] — shared fwd
                 spec = x[:, None, :] * jnp.conj(sample_f)[None, :, :]
-                c = jnp.fft.irfft(spec, n=fft_len)[..., :valid_max]
+                c = jnp.fft.irfft(spec, n=fft_len)[..., :crop]
             c = c * inv_ac[None, :, None]
             c = jnp.swapaxes(c, 0, 1)  # [Q, B, V]
             vq = jnp.maximum(win_len[None, :] - m[:, None] + 1, 0).astype(
@@ -122,7 +130,9 @@ def resident_match_step(
             )  # [Q, B]
 
             def pick(cc, vl):
-                return pick_peaks_core(cc, vl, distance, n_peaks, block)
+                return pick_peaks_dispatch(
+                    cc, vl, distance, n_peaks, block, peaks_impl
+                )
 
             return jax.vmap(pick)(c, vq)  # [Q, B, S] triplets
 
@@ -158,6 +168,7 @@ def resident_sharded_step(
     slab: int,
     n_slabs: int,
     fft_impl: str = "xla",
+    peaks_impl: str = "jnp",
 ):
     """Multi-chip variant of :func:`resident_match_step`: the episode batch
     shards over the FLATTENED mesh (data×seq) with ``shard_map``; each chip
@@ -167,7 +178,7 @@ def resident_sharded_step(
     static, peak lists are kilobytes)."""
     _, per_episode = resident_match_step(
         chunk, window, fft_len, valid_max, distance, n_peaks, block,
-        slab, n_slabs, fft_impl,
+        slab, n_slabs, fft_impl, peaks_impl,
     )
     axes = tuple(mesh.axis_names)
 
@@ -516,10 +527,10 @@ class ShardedScanner:
         if self.config.fft_impl != "mxu":
             return self._sample_f
         if self._sample_f_full_cache is None:
-            from ..ops.mxu_fft import full_spectra_parts
+            from ..ops.mxu_fft import scrambled_spectra_parts
 
             self._sample_f_full_cache = jax.jit(
-                full_spectra_parts, static_argnames=("n",)
+                scrambled_spectra_parts, static_argnames=("n",)
             )(self._sample_padded, self.fft_len)
         return self._sample_f_full_cache
 
@@ -569,7 +580,7 @@ class ShardedScanner:
             args = (
                 self.chunk, self.window, self.fft_len, self.valid,
                 self.distance_samples, self.n_peaks, cfg.block, slab,
-                n_slabs, cfg.fft_impl,
+                n_slabs, cfg.fft_impl, cfg.peaks_impl,
             )
             if multi:
                 self._resident_cache[key] = resident_sharded_step(

@@ -41,7 +41,7 @@ def main():
 
     from audio_matcher_tpu.ops.mxu_fft import (
         corr_slab_mxu,
-        full_spectra_parts,
+        scrambled_spectra_parts,
     )
     from audio_matcher_tpu.ops.peaks import pick_peaks_core
 
@@ -56,7 +56,7 @@ def main():
     m = jax.device_put(np.asarray(MS, np.int32))
     jax.block_until_ready((windows, snips, m))
     Sr, Si = jax.jit(
-        lambda s: full_spectra_parts(s, FFT)
+        lambda s: scrambled_spectra_parts(s, FFT)
     )(snips)
     sf = jax.jit(lambda s: jnp.fft.rfft(s, n=FFT))(snips)
     jax.block_until_ready((Sr, Si, sf))

@@ -35,7 +35,7 @@ def test_icfft_matches_numpy(rng, n):
 
 
 def test_default_factors():
-    assert default_factors(1 << 22) == (256, 256, 64)
+    assert default_factors(1 << 22) == (256, 128, 128)
     assert np.prod(default_factors(1 << 23)) == 1 << 23
     with pytest.raises(ValueError):
         default_factors(1000)
@@ -101,7 +101,7 @@ def test_end_to_end_correlation_equivalence(rng):
 def test_corr_slab_mxu_matches_numpy(rng):
     """The scan-shaped helper: [B, Q, valid] correlations equal the
     numpy rfft/irfft oracle for odd/even B·Q combinations."""
-    from audio_matcher_tpu.ops.mxu_fft import corr_slab_mxu, full_spectra_parts
+    from audio_matcher_tpu.ops.mxu_fft import corr_slab_mxu, scrambled_spectra_parts
 
     n = 1 << 13
     for B, Q in [(4, 3), (3, 2), (2, 1)]:
@@ -109,7 +109,7 @@ def test_corr_slab_mxu_matches_numpy(rng):
         valid = W - m + 1
         wins = rng.standard_normal((B, W)).astype(np.float32)
         snips = rng.standard_normal((Q, m)).astype(np.float32)
-        Sr, Si = full_spectra_parts(snips, n)
+        Sr, Si = scrambled_spectra_parts(snips, n)
         got = np.asarray(corr_slab_mxu(wins, Sr, Si, valid))
         for b in range(B):
             for q in range(Q):

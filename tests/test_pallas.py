@@ -58,3 +58,77 @@ def test_block_reduce_seam_contract(rng):
     seams = seam_repair_host(x[0], V, block)
     assert (512, 9.0) in seams  # host repair sees it
     assert not np.isclose(np.asarray(bv)[0, 1], 9.0) or np.asarray(bp)[0, 1] != 512 or True
+
+
+class TestPickPeaksPallas:
+    """pick_peaks_pallas must reproduce pick_peaks_core exactly (the
+    integrated VERDICT-r1 item: one HBM pass + seam repair + cumulative-
+    exclusion rescan)."""
+
+    def _compare(self, x, valid, distance, n_peaks, block):
+        import numpy as np
+
+        from audio_matcher_tpu.ops.peaks import (
+            pick_peaks_core,
+            pick_peaks_pallas,
+        )
+
+        want = pick_peaks_core(
+            jnp.asarray(x), jnp.asarray(valid), distance, n_peaks, block
+        )
+        got = pick_peaks_pallas(
+            jnp.asarray(x), jnp.asarray(valid), distance, n_peaks, block,
+            interpret=True,
+        )
+        wpos, wh, wprom = (np.asarray(v) for v in want)
+        gpos, gh, gprom = (np.asarray(v) for v in got)
+        live = np.isfinite(wh)
+        assert (np.isfinite(gh) == live).all()
+        assert (gpos[live] == wpos[live]).all(), (gpos, wpos)
+        np.testing.assert_allclose(gh[live], wh[live], rtol=1e-6)
+        np.testing.assert_allclose(gprom[live], wprom[live], rtol=1e-6,
+                                   atol=1e-6)
+
+    def test_random_rows(self, rng):
+        B, V, block = 3, 4096, 256
+        x = rng.standard_normal((B, V)).astype(np.float32)
+        valid = np.asarray([V, V - 300, 900], np.int32)
+        self._compare(x, valid, distance=500, n_peaks=4, block=block)
+
+    def test_seam_peaks(self, rng):
+        """Peaks planted exactly on tile boundaries."""
+        B, V, block = 2, 2048, 256
+        x = (rng.standard_normal((B, V)) * 0.01).astype(np.float32)
+        for j in (1, 3, 5):
+            x[0, j * block] = 5.0 + j  # first col of tile j
+            x[1, j * block - 1] = 5.0 + j  # last col of tile j-1
+        valid = np.full(B, V, np.int32)
+        self._compare(x, valid, distance=10, n_peaks=6, block=block)
+
+    def test_suppression_cuts_mid_tile(self, rng):
+        """The 2nd-best peak inside a partially-suppressed tile must be
+        found (the rescan path), across several rounds."""
+        B, V, block = 1, 4096, 512
+        x = (rng.standard_normal((B, V)) * 0.01).astype(np.float32)
+        x[0, 1000] = 10.0
+        x[0, 1100] = 9.0  # within distance of 1000 -> suppressed
+        x[0, 1400] = 8.0  # same tile as 1100, outside distance -> kept
+        x[0, 1650] = 7.5  # within distance of 1400 (cumulative excl)
+        x[0, 3000] = 7.0
+        valid = np.full(B, V, np.int32)
+        self._compare(x, valid, distance=300, n_peaks=4, block=block)
+
+    def test_distance_one_and_exhaustion(self, rng):
+        B, V, block = 2, 1024, 128
+        x = (rng.standard_normal((B, V)) * 0.01).astype(np.float32)
+        x[0, 100] = 3.0
+        x[0, 101] = 2.9
+        x[1, :] = np.linspace(0, 1, V)  # monotone: no interior peaks
+        valid = np.full(B, V, np.int32)
+        self._compare(x, valid, distance=1, n_peaks=3, block=block)
+
+    def test_big_distance_whole_row_suppressed(self, rng):
+        B, V, block = 2, 2048, 256
+        x = (rng.standard_normal((B, V)) * 0.3).astype(np.float32)
+        valid = np.asarray([V, 700], np.int32)
+        self._compare(x, valid, distance=V, n_peaks=2, block=block)
