@@ -156,29 +156,42 @@ def cfft(x, inverse: bool = False, factors: tuple[int, ...] | None = None):
 #   [..., c1, c2, ..., c_{L-1}, 2, c_L]  (flattened to [..., 2n])
 
 
-def _block_dft(a: int, sign: int, inverse: bool):
-    """[2, out, 2, in] real block matrix of the (inverse) DFT."""
+def _block_mat(a: int, sign: int, inverse: bool, col_plane_major: bool):
+    """[2a, 2a] real block matrix of the (inverse) DFT on plane-packed data.
+
+    Rows are always plane-major ((real block; imag block)). Columns follow
+    the operand layout: plane-major (k·a + a_in) for the forward / inverse
+    base, or interleaved (a_in·2 + k) for the inverse's (c, 2) flatten.
+    """
     tr, ti = _dft_mat(a, -sign if inverse else sign)
-    # complex mult (tr + i·ti)·(xr + i·xi): rows (real, imag) of output
-    return jnp.stack(
-        [jnp.stack([tr, -ti], axis=1), jnp.stack([ti, tr], axis=1)], axis=0
-    )  # [o, c/a_out, k, a_in]
+    if col_plane_major:
+        top = jnp.concatenate([tr, -ti], axis=1)
+        bot = jnp.concatenate([ti, tr], axis=1)
+    else:
+        top = jnp.stack([tr, -ti], axis=2).reshape(a, 2 * a)
+        bot = jnp.stack([ti, tr], axis=2).reshape(a, 2 * a)
+    return jnp.concatenate([top, bot], axis=0)
 
 
 def _fft2p_rec(x, factors, precision, sign):
-    """x: [..., 2, n] plane-major → scrambled [..., 2n]."""
+    """x: [..., 2, n] plane-major → scrambled [..., 2n].
+
+    Each stage is ONE standard [2a, 2a] @ [..., 2a, m] matmul (the complex
+    block structure lives in the matrix), so the MXU sees an ideal layout.
+    Twiddles are materialized once per stage (optimization_barrier) —
+    letting XLA fuse the cos/sin into consumers would recompute millions
+    of transcendentals per batch row.
+    """
     a = factors[0]
     n = x.shape[-1]
     m = n // a
-    x = x.reshape(*x.shape[:-2], 2, a, m)
-    t4 = _block_dft(a, sign, inverse=False)
-    y = jnp.einsum(
-        "ocka,...kam->...ocm", t4, x, precision=precision
-    )  # [..., 2, c, m]
+    t2 = _block_mat(a, sign, inverse=False, col_plane_major=True)
+    xf = x.reshape(*x.shape[:-2], 2 * a, m)
+    y = jnp.einsum("ca,...am->...cm", t2, xf, precision=precision)
     if len(factors) == 1:
-        # [..., 2, c] (m == 1 collapses); flatten trailing (2, c)
-        return y.reshape(*y.shape[:-3], 2 * a * m)
-    wr, wi = _twiddle(a, m, sign)
+        return y.reshape(*y.shape[:-2], 2 * n)  # m == 1
+    y = y.reshape(*y.shape[:-2], 2, a, m)
+    wr, wi = jax.lax.optimization_barrier(_twiddle(a, m, sign))
     zr = y[..., 0, :, :] * wr - y[..., 1, :, :] * wi
     zi = y[..., 0, :, :] * wi + y[..., 1, :, :] * wr
     z = jnp.stack([zr, zi], axis=-2)  # [..., c, 2, m] — plane moves inward
@@ -189,24 +202,22 @@ def _fft2p_rec(x, factors, precision, sign):
 def _ifft2p_rec(y, factors, precision, sign):
     """Scrambled [..., 2n] → natural [..., 2, n] plane-major (unscaled)."""
     a = factors[0]
-    n2 = y.shape[-1]
-    n = n2 // 2
+    n = y.shape[-1] // 2
     m = n // a
     if len(factors) == 1:
-        y = y.reshape(*y.shape[:-1], 2, a)  # trailing [2, c]
-        t4 = _block_dft(a, sign, inverse=True)
-        return jnp.einsum("oakc,...kc->...oa", t4, y, precision=precision)
+        t2 = _block_mat(a, sign, inverse=True, col_plane_major=True)
+        x = jnp.einsum("ac,...c->...a", t2, y, precision=precision)
+        return x.reshape(*x.shape[:-1], 2, a)
     y = y.reshape(*y.shape[:-1], a, 2 * m)  # [..., c, 2m-scrambled]
     z = _ifft2p_rec(y, factors[1:], precision, sign)  # [..., c, 2, m]
-    wr, wi = _twiddle(a, m, -sign)  # conjugate twiddle
+    wr, wi = jax.lax.optimization_barrier(_twiddle(a, m, -sign))
     zr = z[..., 0, :] * wr - z[..., 1, :] * wi
     zi = z[..., 0, :] * wi + z[..., 1, :] * wr
     z = jnp.stack([zr, zi], axis=-2)  # [..., c, 2, m]
-    t4 = _block_dft(a, sign, inverse=True)
-    x = jnp.einsum(
-        "oakc,...ckm->...oam", t4, z, precision=precision
-    )  # [..., 2, a, m]
-    return x.reshape(*x.shape[:-2], n)
+    zf = z.reshape(*z.shape[:-3], 2 * a, m)  # (c, 2) flattened, c-major
+    t2 = _block_mat(a, sign, inverse=True, col_plane_major=False)
+    x = jnp.einsum("ac,...cm->...am", t2, zf, precision=precision)
+    return x.reshape(*x.shape[:-2], 2, n)  # rows are (o, a) o-major
 
 
 def cfft_scrambled_parts(

@@ -415,15 +415,21 @@ def pick_peaks_dispatch(
 ):
     """Route to the jnp or Pallas implementation (identical semantics).
 
-    The Pallas path compiles on TPU and runs in interpret mode elsewhere,
-    so CPU tests exercise the same code.
+    Accepts any leading batch shape (flattened internally — the Pallas
+    grid can't sit under ``vmap``). The Pallas path compiles on TPU and
+    runs in interpret mode elsewhere, so CPU tests exercise the same code.
     """
+    lead = x.shape[:-1]
+    x2 = x.reshape(-1, x.shape[-1])
+    v2 = valid_len.reshape(-1)
     if impl == "pallas":
         interpret = jax.default_backend() != "tpu"
-        return pick_peaks_pallas(
-            x, valid_len, distance, n_peaks, block, interpret=interpret
+        out = pick_peaks_pallas(
+            x2, v2, distance, n_peaks, block, interpret=interpret
         )
-    return pick_peaks_core(x, valid_len, distance, n_peaks, block)
+    else:
+        out = pick_peaks_core(x2, v2, distance, n_peaks, block)
+    return tuple(o.reshape(*lead, o.shape[-1]) for o in out)
 
 
 def peaks_crop_width(valid_max: int, block: int, impl: str) -> int:

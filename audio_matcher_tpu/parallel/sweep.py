@@ -129,12 +129,9 @@ def resident_match_step(
                 jnp.int32
             )  # [Q, B]
 
-            def pick(cc, vl):
-                return pick_peaks_dispatch(
-                    cc, vl, distance, n_peaks, block, peaks_impl
-                )
-
-            return jax.vmap(pick)(c, vq)  # [Q, B, S] triplets
+            return pick_peaks_dispatch(
+                c, vq, distance, n_peaks, block, peaks_impl
+            )  # [Q, B, S] triplets
 
         pos, h, prom = jax.lax.map(
             body, jnp.arange(n_slabs, dtype=jnp.int32) * slab

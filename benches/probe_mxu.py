@@ -92,21 +92,48 @@ def main():
     bench("corr MXU fft [8x8] DEFAULT", jax.jit(mxu_corr_def),
           windows, Sr, Si)
 
-    # full body: MXU corr + peak pick
-    def mxu_body(w, sr_, si_, mq):
-        c = corr_slab_mxu(w, sr_, si_, VALID)
+    # full body: MXU corr + peak pick (jnp and pallas pickers)
+    from audio_matcher_tpu.ops.peaks import (
+        peaks_crop_width,
+        pick_peaks_pallas,
+    )
+
+    def mxu_body(w, sr_, si_, mq, pallas=False):
+        crop = peaks_crop_width(VALID, BLOCK, "pallas" if pallas else "jnp")
+        c = corr_slab_mxu(w, sr_, si_, crop)
         vq = jnp.maximum(
             jnp.full((SLAB, Q), WINDOW, jnp.int32) - mq[None, :] + 1, 0
         )
-        out = jax.vmap(
-            lambda cc, vv: pick_peaks_core(cc, vv, DIST, N_PEAKS, BLOCK)
-        )(c, vq)
+        from audio_matcher_tpu.ops.peaks import pick_peaks_dispatch
+
+        out = pick_peaks_dispatch(
+            c, vq, DIST, N_PEAKS, BLOCK, "pallas" if pallas else "jnp"
+        )
         return jnp.sum(
             sum(jnp.sum(x.astype(jnp.float32)) for x in jax.tree.leaves(out))
         ).reshape(1)
 
-    bench("full slab MXU corr + peaks", jax.jit(mxu_body),
+    bench("full slab MXU corr + jnp peaks", jax.jit(mxu_body),
           windows, Sr, Si, m)
+    bench("full slab MXU corr + PALLAS peaks",
+          jax.jit(lambda w, a, b, mq: mxu_body(w, a, b, mq, pallas=True)),
+          windows, Sr, Si, m)
+
+    # pallas peaks alone at slab volume
+    CROP = peaks_crop_width(VALID, BLOCK, "pallas")
+    corr_big = jax.device_put(
+        rng.standard_normal((Q * SLAB, CROP)).astype(np.float32)
+    )
+    vl = jax.device_put(np.full(Q * SLAB, VALID, np.int32))
+    jax.block_until_ready((corr_big, vl))
+
+    def pk_pallas(c, v):
+        out = pick_peaks_pallas(c, v, DIST, N_PEAKS, BLOCK)
+        return jnp.sum(
+            sum(jnp.sum(x.astype(jnp.float32)) for x in jax.tree.leaves(out))
+        ).reshape(1)
+
+    bench("pick_peaks_pallas [64, V]", jax.jit(pk_pallas), corr_big, vl)
 
     # numerical cross-check at slab scale
     got = jax.jit(
