@@ -4,7 +4,15 @@ TPU-native re-design of the reference's per-chunk ``find_peaks`` call
 (reference src/matcher/audio_matcher.rs:221-230: the ``find_peaks`` crate with
 ``min_prominence`` + ``min_distance``, scipy-compatible semantics):
 
-  * local maxima           — vectorized strict-neighbor compare on the VPU
+  * local maxima           — vectorized strict-neighbor compare on the VPU.
+    DOCUMENTED DEVIATION: plateaus (runs of exactly-equal adjacent samples)
+    are never peaks on the device paths, whereas scipy (and the reference's
+    find_peaks crate) report a plateau's midpoint; the >256-peak scipy
+    fallback in :func:`find_peaks_device` inherits scipy's plateau
+    semantics, so the two paths can disagree on exactly-tied values (e.g.
+    hard-clipped correlation). Float correlation of real audio has no
+    exact ties in practice, and the deviation is strictly conservative
+    (a plateau is never a *strict* maximum).
   * min-distance filter    — iterated masked argmax: each round keeps the
     highest remaining peak and suppresses everything within ``distance``
     samples; this reproduces scipy's sort-by-height greedy exactly, because
