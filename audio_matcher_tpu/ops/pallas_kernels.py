@@ -28,85 +28,115 @@ _NEG = jnp.float32(-jnp.inf)
 _POS = jnp.float32(jnp.inf)
 
 
+# Mosaic block-tiling: output blocks must be (8k, 128k)-shaped, so each
+# grid cell covers 8 correlation rows × 128 tiles. With the default
+# 512-col tile that is a (8, 65536) f32 input block (2 MB in VMEM).
+ROWS = 8
+GROUP = 128
+
+
 def _block_reduce_kernel(
-    valid_ref,  # [1, 1] SMEM — valid length of this row
-    x_ref,  # [1, block] VMEM — one tile of the correlation row
-    best_val_ref,  # [1, 1] out
-    best_pos_ref,  # [1, 1] out
-    bmin_ref,  # [1, 1] out
-    bmax_ref,  # [1, 1] out
+    valid_ref,  # [ROWS, GROUP] VMEM — per-row valid length (broadcast)
+    x_ref,  # [ROWS, GROUP*block] VMEM — 128 tiles of 8 rows
+    best_val_ref,  # [ROWS, GROUP] out
+    best_pos_ref,  # [ROWS, GROUP] out (int32, global columns)
+    bmin_ref,  # [ROWS, GROUP] out
+    bmax_ref,  # [ROWS, GROUP] out
     *,
     block: int,
 ):
-    j = pl.program_id(1)  # tile index along V
-    base = j * block
-    valid = valid_ref[0, 0]
-    x = x_ref[0, :]
-    cols = jax.lax.broadcasted_iota(jnp.int32, (1, block), 1)[0] + base
+    j = pl.program_id(1)  # tile-group index along V
+    width = GROUP * block
+    base = j * width
+    valid = valid_ref[:, 0:1]  # [ROWS, 1]
+    x = x_ref[:, :]
+    cols = jax.lax.broadcasted_iota(jnp.int32, (ROWS, width), 1) + base
     colvalid = cols < valid
 
     x_min = jnp.where(colvalid, x, float("inf"))
     x_max = jnp.where(colvalid, x, float("-inf"))
-    bmin_ref[0, 0] = jnp.min(x_min)
-    bmax_ref[0, 0] = jnp.max(x_max)
 
-    # strict local maxima using in-tile neighbours only; tile-boundary
-    # columns are handled by the caller's boundary repair pass
-    left = pltpu.roll(x_max, 1, 0)
-    right = pltpu.roll(x_max, block - 1, 0)  # shift must be non-negative
-    interior = (cols >= base + 1) & (cols <= base + block - 2)
-    interior &= (cols >= 1) & (cols <= valid - 2)
+    # strict local maxima with in-SEGMENT neighbours; every tile boundary
+    # (including segment edges) is re-checked by the caller's seam repair
+    left = pltpu.roll(x_max, 1, 1)
+    right = pltpu.roll(x_max, width - 1, 1)  # shift must be non-negative
+    interior = (cols >= 1) & (cols <= valid - 2)
+    # segment-edge columns see wrapped neighbours — exclude them (the
+    # caller's seam repair re-checks every tile boundary exactly)
+    interior &= (cols >= base + 1) & (cols <= base + width - 2)
     is_peak = (x > left) & (x > right) & interior & colvalid
     heights = jnp.where(is_peak, x, float("-inf"))
-    best = jnp.argmax(heights)
-    best_val_ref[0, 0] = heights[best]
-    best_pos_ref[0, 0] = best.astype(jnp.int32) + base
+
+    h3 = heights.reshape(ROWS, GROUP, block)
+    best_val_ref[:, :] = jnp.max(h3, axis=-1)
+    r = jnp.argmax(h3, axis=-1).astype(jnp.int32)  # [ROWS, GROUP]
+    tile_base = base + jax.lax.broadcasted_iota(
+        jnp.int32, (ROWS, GROUP), 1
+    ) * block
+    best_pos_ref[:, :] = tile_base + r
+    bmin_ref[:, :] = jnp.min(x_min.reshape(ROWS, GROUP, block), axis=-1)
+    bmax_ref[:, :] = jnp.max(x_max.reshape(ROWS, GROUP, block), axis=-1)
 
 
 @partial(jax.jit, static_argnames=("block", "interpret"))
 def local_max_block_reduce(
-    x: jax.Array,  # [B, V] (V a multiple of block; pad with -inf)
+    x: jax.Array,  # [B, V] (V a multiple of block)
     valid_len: jax.Array,  # [B] int32
-    block: int = 1024,
+    block: int = 512,
     interpret: bool = False,
 ):
     """One-pass per-tile peak/extrema reduction.
 
-    Returns (best_val [B, NB], best_pos [B, NB], bmin [B, NB], bmax [B, NB]).
+    Returns (best_val [B, NB], best_pos [B, NB], bmin [B, NB], bmax [B, NB])
+    where NB = V // block; best_pos holds GLOBAL column indices.
     Tile-boundary local maxima (a peak exactly on a tile edge) are NOT
     detected by this kernel — callers re-check the 2-wide seams on the tiny
-    block arrays (see tests for the repair contract).
+    block arrays (see tests for the repair contract). Rows/tiles are padded
+    to the (8, 128) Mosaic block grid internally and cropped on return.
     """
     B, V = x.shape
     assert V % block == 0, "pad V to a multiple of block"
     nb = V // block
-    grid = (B, nb)
+    b_pad = -(-B // ROWS) * ROWS
+    nb_pad = -(-nb // GROUP) * GROUP
+    if b_pad != B:
+        x = jnp.pad(x, ((0, b_pad - B), (0, 0)))
+        valid_len = jnp.pad(valid_len, (0, b_pad - B))
+    if nb_pad != nb:
+        x = jnp.pad(x, ((0, 0), (0, (nb_pad - nb) * block)))
+    valid2d = jnp.broadcast_to(
+        valid_len.astype(jnp.int32)[:, None], (b_pad, nb_pad)
+    )
+    grid = (b_pad // ROWS, nb_pad // GROUP)
     out_shape = [
-        jax.ShapeDtypeStruct((B, nb), jnp.float32),
-        jax.ShapeDtypeStruct((B, nb), jnp.int32),
-        jax.ShapeDtypeStruct((B, nb), jnp.float32),
-        jax.ShapeDtypeStruct((B, nb), jnp.float32),
+        jax.ShapeDtypeStruct((b_pad, nb_pad), jnp.float32),
+        jax.ShapeDtypeStruct((b_pad, nb_pad), jnp.int32),
+        jax.ShapeDtypeStruct((b_pad, nb_pad), jnp.float32),
+        jax.ShapeDtypeStruct((b_pad, nb_pad), jnp.float32),
     ]
     out_specs = [
-        pl.BlockSpec((1, 1), lambda i, j: (i, j), memory_space=pltpu.SMEM)
+        pl.BlockSpec(
+            (ROWS, GROUP), lambda i, j: (i, j), memory_space=pltpu.VMEM
+        )
         for _ in range(4)
     ]
-    return pl.pallas_call(
+    bv, bp, bmin, bmax = pl.pallas_call(
         partial(_block_reduce_kernel, block=block),
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=0,
-            grid=grid,
-            in_specs=[
-                pl.BlockSpec((1, 1), lambda i, j: (i, 0), memory_space=pltpu.SMEM),
-                pl.BlockSpec(
-                    (1, block), lambda i, j: (i, j), memory_space=pltpu.VMEM
-                ),
-            ],
-            out_specs=out_specs,
-        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (ROWS, GROUP), lambda i, j: (i, j), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (ROWS, GROUP * block), lambda i, j: (i, j),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=out_specs,
         out_shape=out_shape,
         interpret=interpret,
-    )(valid_len.reshape(B, 1).astype(jnp.int32), x.astype(jnp.float32))
+    )(valid2d, x.astype(jnp.float32))
+    return bv[:B, :nb], bp[:B, :nb], bmin[:B, :nb], bmax[:B, :nb]
 
 
 def _conj_mult_scale_kernel(scale_ref, xr, xi, sr, si, or_, oi_):

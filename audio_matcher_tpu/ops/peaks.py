@@ -345,6 +345,9 @@ def pick_peaks_pallas(
     """
     from .pallas_kernels import local_max_block_reduce
 
+    # kernel input blocks are (8 rows, 128 tiles); tiles beyond 512 cols
+    # would blow the ~16 MB VMEM budget with the elementwise temporaries
+    block = min(block, 512)
     x = x.astype(jnp.float32)
     B, V = x.shape
     if V % block:
@@ -441,10 +444,12 @@ def pick_peaks_dispatch(
 
 
 def peaks_crop_width(valid_max: int, block: int, impl: str) -> int:
-    """Static correlation-crop width: the Pallas path wants a block
-    multiple so no padding copy is needed downstream."""
+    """Static correlation-crop width: the Pallas path wants a multiple of
+    its (tile=min(block,512)) x (128-tile group) input block so neither a
+    padding copy nor an in-kernel pad pass is needed downstream."""
     if impl == "pallas":
-        return -(-valid_max // block) * block
+        unit = min(block, 512) * 128
+        return -(-valid_max // unit) * unit
     return valid_max
 
 
