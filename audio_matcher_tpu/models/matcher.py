@@ -78,9 +78,12 @@ class MatchConfig:
     prominence_is_raw: bool = False
     # correlation FFT implementation:
     #  "xla" — jnp.fft rfft/irfft (XLA's native TPU FFT, VPU-bound)
-    #  "mxu" — matmul four-step FFT with real-pair packing
-    #          (ops/mxu_fft.py): ~1e-6 relative score difference,
-    #          identical peak positions; measured faster on TPU
+    #  "xla_packed" — XLA FFTs with pair packing: two real correlations
+    #          per complex inverse transform (query pairs multi-query,
+    #          window pairs single-query); ~1e-6 score difference,
+    #          identical peaks, ~0.6x the FFT work of "xla"
+    #  "mxu" — matmul four-step FFT with the same packing
+    #          (ops/mxu_fft.py); measured ≈ "xla" at HIGHEST precision
     fft_impl: str = "xla"
     # peak-pick implementation: "jnp" (multi-pass, ops/peaks.py) or
     # "pallas" (single HBM pass + block-array rounds, identical results)
@@ -234,6 +237,10 @@ def _corr_windows(windows, sample_f, fft_len: int, valid_max: int,
         return corr_slab_mxu(windows, sample_f[0], sample_f[1], valid_max)[
             :, 0, :
         ]
+    if fft_impl == "xla_packed":
+        from ..ops.correlate import corr_single_query_packed
+
+        return corr_single_query_packed(windows, sample_f, valid_max)
     x = jnp.fft.rfft(windows, n=fft_len)
     return jnp.fft.irfft(x * jnp.conj(sample_f), n=fft_len)[..., :valid_max]
 
@@ -428,6 +435,17 @@ class SnippetMatcher:
                 self._sample_f_cache = jax.jit(
                     scrambled_spectra_parts, static_argnames=("n",)
                 )(self.snippet.data[None, :], self.fft_len)
+            elif self.config.fft_impl == "xla_packed":
+                from ..ops.correlate import full_spectrum
+
+                self._sample_f_cache = jnp.conj(
+                    full_spectrum(
+                        jnp.fft.rfft(
+                            jnp.asarray(self.snippet.data), n=self.fft_len
+                        ),
+                        self.fft_len,
+                    )
+                )
             else:
                 self._sample_f_cache = jnp.fft.rfft(
                     jnp.asarray(self.snippet.data), n=self.fft_len

@@ -153,3 +153,72 @@ def correlate(
     if scale:
         out = out / jnp.sum(sample * sample)
     return out
+
+
+# ------------------------------------------------ packed-inverse XLA path
+def full_spectrum(s_half: jax.Array, n: int) -> jax.Array:
+    """Hermitian-extend an rfft spectrum [..., n//2+1] to full length n."""
+    mid = s_half[..., 1:-1]
+    return jnp.concatenate([s_half, jnp.conj(mid[..., ::-1])], axis=-1)
+
+
+def packed_query_spectra(padded_snippets: jax.Array, fft_len: int):
+    """[Q, m] query snippets → [ceil(Q/2), fft_len] complex T with
+    T[j] = conj(S_{2j}) + i·conj(S_{2j+1}).
+
+    The correlation spectrum of any window against the query pair is then
+    V = X_full · T[j], whose single complex inverse FFT yields BOTH real
+    correlations (ifft(Ca + i·Cb) = ca + i·cb). XLA's TPU irFFT is priced
+    as a full complex transform (measured, benches/probe_fft.py), so this
+    halves the dominant inverse-FFT work with ONE multiply — V is linear
+    in X, so the packing costs nothing extra.
+    """
+    Q = padded_snippets.shape[0]
+    S = jnp.fft.rfft(padded_snippets, n=fft_len)
+    Sf = full_spectrum(S, fft_len)
+    if Q % 2:
+        Sf = jnp.pad(Sf, ((0, 1), (0, 0)))
+    return jnp.conj(Sf[0::2]) + 1j * jnp.conj(Sf[1::2])
+
+
+def corr_slab_xla_packed(
+    windows: jax.Array,  # [B, W] f32
+    t_spec: jax.Array,  # [Qh, n] complex — packed_query_spectra output
+    valid_max: int,
+) -> jax.Array:
+    """All (window, query) correlations with half the inverse FFTs.
+
+    Returns [B, 2·Qh, valid_max]; the caller slices off a padded odd query.
+    """
+    n = t_spec.shape[-1]
+    B = windows.shape[0]
+    X = jnp.fft.rfft(windows, n=n)
+    Xf = full_spectrum(X, n)
+    v = jnp.fft.ifft(Xf[:, None, :] * t_spec[None])  # [B, Qh, n]
+    c = jnp.stack(
+        [jnp.real(v[..., :valid_max]), jnp.imag(v[..., :valid_max])],
+        axis=2,
+    )
+    return c.reshape(B, -1, valid_max)
+
+
+def corr_single_query_packed(
+    windows: jax.Array,  # [B, W] f32
+    s_full_conj: jax.Array,  # [n] complex — conj(full spectrum) of the query
+    valid_max: int,
+) -> jax.Array:
+    """Single-query variant: WINDOW pairs pack into one complex transform
+    each way (fft(w0 + i·w1) is the packed forward; the product against
+    one hermitian query spectrum keeps the pair separable on inverse).
+    Returns [B, valid_max].
+    """
+    B = windows.shape[0]
+    n = s_full_conj.shape[-1]
+    if B % 2:
+        windows = jnp.pad(windows, ((0, 1), (0, 0)))
+    z = windows[0::2] + 1j * windows[1::2]
+    v = jnp.fft.ifft(jnp.fft.fft(z, n=n) * s_full_conj[None])
+    c = jnp.stack(
+        [jnp.real(v[..., :valid_max]), jnp.imag(v[..., :valid_max])], axis=1
+    )
+    return c.reshape(-1, valid_max)[:B]

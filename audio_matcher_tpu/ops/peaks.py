@@ -345,9 +345,10 @@ def pick_peaks_pallas(
     """
     from .pallas_kernels import local_max_block_reduce
 
-    # kernel input blocks are (8 rows, 128 tiles); tiles beyond 512 cols
-    # would blow the ~16 MB VMEM budget with the elementwise temporaries
-    block = min(block, 512)
+    # kernel input blocks are (8 rows, 128 tiles); tiles beyond 256 cols
+    # blow the 16 MB scoped-VMEM budget with the elementwise temporaries
+    # (measured: 512-col tiles OOM at 18.1M)
+    block = min(block, 256)
     x = x.astype(jnp.float32)
     B, V = x.shape
     if V % block:
@@ -448,7 +449,7 @@ def peaks_crop_width(valid_max: int, block: int, impl: str) -> int:
     its (tile=min(block,512)) x (128-tile group) input block so neither a
     padding copy nor an in-kernel pad pass is needed downstream."""
     if impl == "pallas":
-        unit = min(block, 512) * 128
+        unit = min(block, 256) * 128
         return -(-valid_max // unit) * unit
     return valid_max
 

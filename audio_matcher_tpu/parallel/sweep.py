@@ -119,6 +119,11 @@ def resident_match_step(
                 c = corr_slab_mxu(
                     windows, sample_f[0], sample_f[1], crop
                 )  # [B, Q, V] — matmul FFT, window+corr pair packing
+            elif fft_impl == "xla_packed":
+                from ..ops.correlate import corr_slab_xla_packed
+
+                Q = inv_ac.shape[0]
+                c = corr_slab_xla_packed(windows, sample_f, crop)[:, :Q]
             else:
                 x = jnp.fft.rfft(windows, n=fft_len)  # [B, F] — shared fwd
                 spec = x[:, None, :] * jnp.conj(sample_f)[None, :, :]
@@ -519,16 +524,25 @@ class ShardedScanner:
 
     @property
     def _sample_f_resident(self):
-        """Spectra in the form the resident step expects: rfft spectra
-        for "xla", full-length split spectra for "mxu"."""
-        if self.config.fft_impl != "mxu":
+        """Spectra in the form the resident step expects: rfft spectra for
+        "xla", packed pair spectra for "xla_packed", scrambled split
+        spectra for "mxu"."""
+        impl = self.config.fft_impl
+        if impl == "xla":
             return self._sample_f
         if self._sample_f_full_cache is None:
-            from ..ops.mxu_fft import scrambled_spectra_parts
+            if impl == "mxu":
+                from ..ops.mxu_fft import scrambled_spectra_parts
 
-            self._sample_f_full_cache = jax.jit(
-                scrambled_spectra_parts, static_argnames=("n",)
-            )(self._sample_padded, self.fft_len)
+                self._sample_f_full_cache = jax.jit(
+                    scrambled_spectra_parts, static_argnames=("n",)
+                )(self._sample_padded, self.fft_len)
+            else:  # xla_packed
+                from ..ops.correlate import packed_query_spectra
+
+                self._sample_f_full_cache = jax.jit(
+                    packed_query_spectra, static_argnames=("fft_len",)
+                )(self._sample_padded, self.fft_len)
         return self._sample_f_full_cache
 
     # -- resident single-chip batch path (BASELINE config #3) -----------

@@ -92,6 +92,22 @@ def main():
     bench("corr MXU fft [8x8] DEFAULT", jax.jit(mxu_corr_def),
           windows, Sr, Si)
 
+    # XLA packed: query-pair spectra -> half the inverse FFTs
+    from audio_matcher_tpu.ops.correlate import (
+        corr_slab_xla_packed,
+        packed_query_spectra,
+    )
+
+    T = jax.jit(
+        lambda s: packed_query_spectra(s, FFT)
+    )(snips)
+    jax.block_until_ready(T)
+
+    def xp_corr(w, t):
+        return s1(corr_slab_xla_packed(w, t, VALID)[:, :Q])
+
+    bench("corr XLA-PACKED [8x8]", jax.jit(xp_corr), windows, T)
+
     # full body: MXU corr + peak pick (jnp and pallas pickers)
     from audio_matcher_tpu.ops.peaks import (
         peaks_crop_width,
@@ -113,8 +129,25 @@ def main():
             sum(jnp.sum(x.astype(jnp.float32)) for x in jax.tree.leaves(out))
         ).reshape(1)
 
-    bench("full slab MXU corr + jnp peaks", jax.jit(mxu_body),
-          windows, Sr, Si, m)
+    def xp_body(w, t, mq, pallas=True):
+        crop = peaks_crop_width(VALID, BLOCK, "pallas" if pallas else "jnp")
+        c = corr_slab_xla_packed(w, t, crop)[:, :Q]
+        vq = jnp.maximum(
+            jnp.full((SLAB, Q), WINDOW, jnp.int32) - mq[None, :] + 1, 0
+        )
+        from audio_matcher_tpu.ops.peaks import pick_peaks_dispatch
+
+        out = pick_peaks_dispatch(
+            c, vq, DIST, N_PEAKS, BLOCK, "pallas" if pallas else "jnp"
+        )
+        return jnp.sum(
+            sum(jnp.sum(x.astype(jnp.float32)) for x in jax.tree.leaves(out))
+        ).reshape(1)
+
+    bench("full slab XLA-PACKED + PALLAS peaks",
+          jax.jit(lambda w, t, mq: xp_body(w, t, mq, True)), windows, T, m)
+    bench("full slab XLA-PACKED + jnp peaks",
+          jax.jit(lambda w, t, mq: xp_body(w, t, mq, False)), windows, T, m)
     bench("full slab MXU corr + PALLAS peaks",
           jax.jit(lambda w, a, b, mq: mxu_body(w, a, b, mq, pallas=True)),
           windows, Sr, Si, m)

@@ -175,3 +175,37 @@ def test_sharded_scanner_multi_query_mxu(rng):
             px = [(p.position, round(p.height, 4)) for p in got_x[e][q]]
             assert pm == px, (e, q)
         assert any(p.position == (e + 1) * SR for p in got_m[e][0])
+
+
+def test_xla_packed_impl_equality(rng):
+    """fft_impl='xla_packed' (two correlations per inverse FFT) matches
+    'xla' exactly enough for identical peaks, single- and multi-query."""
+    from audio_matcher_tpu.models.matcher import MatchConfig, SnippetMatcher
+    from audio_matcher_tpu.parallel.mesh import make_mesh
+    from audio_matcher_tpu.parallel.sweep import ShardedScanner
+
+    SR = 1000
+    snippet = (rng.standard_normal(SR // 2) * 0.2).astype(np.float32)
+    episode = (rng.standard_normal(8 * SR) * 0.05).astype(np.float32)
+    episode[3 * SR : 3 * SR + len(snippet)] = snippet
+    base = dict(chunk_secs=1.0, distance_secs=2.0, slab=4, block=256)
+    got = {}
+    for impl in ("xla", "xla_packed"):
+        m = SnippetMatcher(snippet, SR, MatchConfig(fft_impl=impl, **base))
+        got[impl] = [(p.position, round(p.height, 5)) for p in m.match(episode)]
+    assert got["xla_packed"] == got["xla"]
+    assert got["xla"][0][0] == 3 * SR
+
+    # multi-query (odd Q exercises the pad-query slice)
+    snippets = [snippet, (rng.standard_normal(SR // 4) * 0.2).astype(np.float32),
+                (rng.standard_normal(SR // 3) * 0.2).astype(np.float32)]
+    eps = [episode, episode]
+    outs = {}
+    for impl in ("xla", "xla_packed"):
+        cfg = MatchConfig(fft_impl=impl, **base)
+        sc = ShardedScanner(snippets, SR, cfg, make_mesh(1))
+        outs[impl] = [
+            [[(p.position, round(p.height, 5)) for p in pk] for pk in per_q]
+            for per_q in sc.scan_resident(eps)
+        ]
+    assert outs["xla_packed"] == outs["xla"]
