@@ -129,13 +129,16 @@ def resident_match_step(
                 spec = x[:, None, :] * jnp.conj(sample_f)[None, :, :]
                 c = jnp.fft.irfft(spec, n=fft_len)[..., :crop]
             c = c * inv_ac[None, :, None]
-            c = jnp.swapaxes(c, 0, 1)  # [Q, B, V]
-            vq = jnp.maximum(win_len[None, :] - m[:, None] + 1, 0).astype(
+            # peaks run in [B, Q] order (no [B,Q,V]→[Q,B,V] copy of the
+            # correlation volume); only the tiny [B,Q,S] outputs transpose
+            vq = jnp.maximum(win_len[:, None] - m[None, :] + 1, 0).astype(
                 jnp.int32
-            )  # [Q, B]
-
-            return pick_peaks_dispatch(
+            )  # [B, Q]
+            out = pick_peaks_dispatch(
                 c, vq, distance, n_peaks, block, peaks_impl
+            )
+            return jax.tree.map(
+                lambda a: jnp.swapaxes(a, 0, 1), out
             )  # [Q, B, S] triplets
 
         pos, h, prom = jax.lax.map(
