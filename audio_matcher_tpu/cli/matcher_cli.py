@@ -81,6 +81,18 @@ def build_parser() -> argparse.ArgumentParser:
         "(the reference errors instead)",
     )
     p.add_argument(
+        "--fft-impl", choices=("xla", "xla_packed", "mxu"),
+        default="xla_packed", metavar="IMPL",
+        help="correlation FFT implementation (xla_packed: two real "
+        "correlations per complex inverse transform — measured fastest "
+        "on v5e; mxu: matmul four-step FFT)",
+    )
+    p.add_argument(
+        "--peaks-impl", choices=("jnp", "pallas"), default="pallas",
+        metavar="IMPL",
+        help="peak-pick implementation (pallas: single-HBM-pass kernel)",
+    )
+    p.add_argument(
         "--mode", choices=("pcm", "spectrogram"), default="pcm",
         help="matching domain: raw-PCM correlation (reference semantics) or "
         "log-mel fingerprint NCC (noise-robust, frame-accurate)",
@@ -124,6 +136,8 @@ def run(args: argparse.Namespace) -> int:
         prominence=args.prominence,
         overlap_secs=s_duration,
         transfer_dtype=args.transfer,
+        fft_impl=args.fft_impl,
+        peaks_impl=args.peaks_impl,
     )
     def build_matcher(snip, rate):
         if args.mode == "spectrogram":

@@ -78,6 +78,18 @@ def build_parser() -> argparse.ArgumentParser:
         help="staging wire format (default int16: lossless vs 16-bit source)",
     )
     p.add_argument(
+        "--fft-impl", choices=("xla", "xla_packed", "mxu"),
+        default="xla_packed", metavar="IMPL",
+        help="correlation FFT implementation (xla_packed: two real "
+        "correlations per complex inverse transform — measured fastest "
+        "on v5e; mxu: matmul four-step FFT)",
+    )
+    p.add_argument(
+        "--peaks-impl", choices=("jnp", "pallas"), default="pallas",
+        metavar="IMPL",
+        help="peak-pick implementation (pallas: single-HBM-pass kernel)",
+    )
+    p.add_argument(
         "--mode", choices=("pcm", "spectrogram"), default="pcm",
         help="matching domain (spectrogram = noise-robust log-mel NCC)",
     )
@@ -115,6 +127,8 @@ def run(args: argparse.Namespace) -> int:
         distance_secs=float(args.distance),
         prominence=args.prominence,
         transfer_dtype=args.transfer,
+        fft_impl=args.fft_impl,
+        peaks_impl=args.peaks_impl,
     )
     mesh = make_mesh(args.devices)
 

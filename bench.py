@@ -110,7 +110,7 @@ def measure_tpu(episode, snippets, config, n_episodes=None):
         f"{t_compute / n_pairs * 1e3:.0f} ms)",
         file=sys.stderr,
     )
-    return (t_stage + t_compute) / n_pairs, peaks
+    return ((t_stage + t_compute) / n_pairs, t_compute / n_pairs), peaks
 
 
 def measure_cpu_baseline(episode, snippet, config):
@@ -126,16 +126,23 @@ def measure_cpu_baseline(episode, snippet, config):
     inv_ac = 1.0 / float(np.sum(snippet.astype(np.float64) ** 2))
     distance = int(config.distance_secs) * SR
 
-    t0 = time.perf_counter()
-    for k in range(BASELINE_WINDOWS):
-        win = episode[k * chunk : k * chunk + window]
-        x = scipy.fft.rfft(win, L, workers=1)
-        c = scipy.fft.irfft(x * sf, L, workers=1)[: len(win) - m + 1]
-        c *= inv_ac
-        scipy.signal.find_peaks(
-            c, distance=min(distance, len(c) - 1), prominence=(0.13, None)
+    # best-of-3: the 1-vCPU bench host is noisy (relay + python share it);
+    # give the CPU baseline its least-starved showing so vs_baseline is
+    # conservative rather than inflated by host contention
+    per_window = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for k in range(BASELINE_WINDOWS):
+            win = episode[k * chunk : k * chunk + window]
+            x = scipy.fft.rfft(win, L, workers=1)
+            c = scipy.fft.irfft(x * sf, L, workers=1)[: len(win) - m + 1]
+            c *= inv_ac
+            scipy.signal.find_peaks(
+                c, distance=min(distance, len(c) - 1), prominence=(0.13, None)
+            )
+        per_window = min(
+            per_window, (time.perf_counter() - t0) / BASELINE_WINDOWS
         )
-    per_window = (time.perf_counter() - t0) / BASELINE_WINDOWS
     windows_per_hour = 3600.0 / config.chunk_secs
     return 1.0 / (per_window * windows_per_hour)  # audio-hours/sec
 
@@ -161,11 +168,16 @@ def main() -> int:
     config = MatchConfig(
         slab=int(os.environ.get("BENCH_SLAB", "8")),
         transfer_dtype=os.environ.get("BENCH_TRANSFER_DTYPE", "int16"),
+        # measured winners on v5e (benches/probe_mxu.py): pair-packed
+        # inverse FFTs + the single-pass pallas peak kernel
+        fft_impl=os.environ.get("BENCH_FFT_IMPL", "xla_packed"),
+        peaks_impl=os.environ.get("BENCH_PEAKS_IMPL", "pallas"),
     )
 
-    per_pair, peaks = measure_tpu(episode, snippets, config)
+    (per_pair, per_pair_scan), peaks = measure_tpu(episode, snippets, config)
     hours = EPISODE_SECS / 3600.0
     value = hours / per_pair  # pair audio-hours per second
+    value_scan = hours / per_pair_scan  # device-resident (staging excluded)
 
     got = sorted(p.position for p in peaks if p.height > 0.5)
     want = sorted(int(o * SR) for o in offsets)
@@ -179,7 +191,8 @@ def main() -> int:
     baseline = measure_cpu_baseline(episode, snippets[0], config)
     print(
         f"[bench] {hours:.2f} pair-hours per {per_pair:.2f}s "
-        f"({value:.3f} pair-h/s); cpu single-core baseline {baseline:.4f} "
+        f"({value:.3f} pair-h/s end-to-end, {value_scan:.3f} pair-h/s "
+        f"device-resident); cpu single-core baseline {baseline:.4f} "
         f"pair-h/s; matches {'OK' if ok else 'WRONG'}",
         file=sys.stderr,
     )
@@ -192,6 +205,8 @@ def main() -> int:
                 "value": round(value, 4),
                 "unit": "pair_audio_hours/s",
                 "vs_baseline": round(value / baseline, 2),
+                "device_resident_value": round(value_scan, 4),
+                "device_resident_vs_baseline": round(value_scan / baseline, 2),
             }
         )
     )
