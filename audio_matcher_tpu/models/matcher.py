@@ -179,50 +179,6 @@ def _match_slab(
     )
 
 
-@partial(
-    jax.jit,
-    static_argnames=(
-        "chunk", "window", "m", "fft_len", "valid_max",
-        "distance", "n_peaks", "block", "slab",
-    ),
-)
-def _match_slab_resident(
-    episode,  # [Npad] f32 — device-resident, transferred once per episode
-    n,  # scalar i32 — true stream length
-    base,  # scalar i32 — first window index of this slab (traced: no recompile)
-    sample_f,  # [F] complex64
-    inv_ac,  # scalar f32
-    chunk: int,
-    window: int,
-    m: int,
-    fft_len: int,
-    valid_max: int,
-    distance: int,
-    n_peaks: int,
-    block: int,
-    slab: int,
-):
-    """Device-side overlap-save windowing + correlate + peak pick.
-
-    The episode lives in HBM; each slab gathers its windows with
-    ``dynamic_slice`` instead of shipping overlapped copies from the host
-    (HBM-bandwidth-friendly: the host→device link only ever sees the flat
-    stream once).
-    """
-    starts = (base + jnp.arange(slab, dtype=jnp.int32)) * chunk
-    windows = jax.vmap(
-        lambda s: jax.lax.dynamic_slice(episode, (s,), (window,))
-    )(starts)
-    win_len = jnp.clip(n - starts, 0, window)
-    valid = jnp.maximum(win_len - m + 1, 0).astype(jnp.int32)
-    x = jnp.fft.rfft(windows, n=fft_len)
-    c = jnp.fft.irfft(x * jnp.conj(sample_f), n=fft_len)[..., :valid_max]
-    c = c * inv_ac
-    return pick_peaks_core(
-        c, valid, distance=distance, n_peaks=n_peaks, block=block
-    )
-
-
 def _corr_windows(windows, sample_f, fft_len: int, valid_max: int,
                   fft_impl: str):
     """[B, W] windows × one query → [B, valid_max] correlations.

@@ -266,20 +266,6 @@ def scrambled_spectra_parts(
     return cfft_scrambled_parts(x, jnp.zeros_like(x), factors, precision)
 
 
-def full_spectra_parts(x, n: int, precision=DEFAULT_PRECISION):
-    """FULL-length (non-hermitian-compressed) spectra of real rows.
-
-    x: [..., T] real → (Sr, Si) each [..., n]. Run once per query set;
-    the scan keeps query spectra full-length so the packed inverse needs
-    no symmetry reconstruction.
-    """
-    x = jnp.asarray(x, jnp.float32)
-    if x.shape[-1] < n:
-        pad = [(0, 0)] * (x.ndim - 1) + [(0, n - x.shape[-1])]
-        x = jnp.pad(x, pad)
-    return cfft_parts(x, jnp.zeros_like(x), precision=precision)
-
-
 def corr_slab_mxu(
     windows,  # [B, W] f32 (W ≤ n; zero-padded)
     s_scr_r,  # [Q, n] f32 — DIGIT-REVERSED query spectra (real part),
@@ -328,51 +314,3 @@ def corr_slab_mxu(
     yr, yi = icfft_scrambled_parts(Vr, Vi, factors, precision)  # [P/2, n]
     c = jnp.stack([yr[..., :valid_max], yi[..., :valid_max]], axis=1)
     return c.reshape(-1, valid_max)[:P].reshape(B, Q, valid_max)
-
-
-def rfft_pair_parts(x2, n: int, precision=DEFAULT_PRECISION):
-    """rFFT of PAIRS of real rows via one complex transform.
-
-    x2: [..., 2, T] real (T ≤ n; zero-padded to n). Returns
-    (Ar, Ai, Br, Bi) each [..., n//2 + 1]: the rfft of row 0 and row 1.
-    Uses z = a + i·b; hermitian split recovers both spectra.
-    """
-    T = x2.shape[-1]
-    if T < n:
-        pad = [(0, 0)] * (x2.ndim - 1) + [(0, n - T)]
-        x2 = jnp.pad(x2, pad)
-    zr = x2[..., 0, :]
-    zi = x2[..., 1, :]
-    yr, yi = cfft_parts(zr, zi, inverse=False, precision=precision)
-    h = n // 2 + 1
-    # Z[-k] with k in [0, h): index (n - k) mod n
-    rev_r = jnp.concatenate([yr[..., :1], yr[..., :0:-1]], axis=-1)[..., :h]
-    rev_i = jnp.concatenate([yi[..., :1], yi[..., :0:-1]], axis=-1)[..., :h]
-    fr, fi = yr[..., :h], yi[..., :h]
-    ar = 0.5 * (fr + rev_r)
-    ai = 0.5 * (fi - rev_i)
-    br = 0.5 * (fi + rev_i)
-    bi = 0.5 * (rev_r - fr)
-    return ar, ai, br, bi
-
-
-def irfft_pair_parts(ar, ai, br, bi, n: int, precision=DEFAULT_PRECISION):
-    """Inverse of two hermitian spectra → two real signals, via ONE complex
-    inverse transform: icfft(A + i·B) = a + i·b when a, b are real.
-
-    a*, b*: [..., n//2 + 1] split spectra. Returns (a, b) each [..., n].
-    """
-    h = n // 2 + 1
-    zr = ar - bi
-    zi = ai + br
-    # extend to full length by hermitian symmetry of A and B:
-    # Z[n-k] = conj(A[k]) + i·conj(B[k]) for k in [1, n/2)
-    tr = ar[..., 1:-1][..., ::-1]
-    ti = ai[..., 1:-1][..., ::-1]
-    ur = br[..., 1:-1][..., ::-1]
-    ui = bi[..., 1:-1][..., ::-1]
-    zr_full = jnp.concatenate([zr, tr + ui], axis=-1)
-    zi_full = jnp.concatenate([zi, ur - ti], axis=-1)
-    del h
-    yr, yi = cfft_parts(zr_full, zi_full, inverse=True, precision=precision)
-    return yr, yi

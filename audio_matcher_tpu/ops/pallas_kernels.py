@@ -139,47 +139,6 @@ def local_max_block_reduce(
     return bv[:B, :nb], bp[:B, :nb], bmin[:B, :nb], bmax[:B, :nb]
 
 
-def _conj_mult_scale_kernel(scale_ref, xr, xi, sr, si, or_, oi_):
-    """Fused spectrum multiply out = x·conj(s)·scale on split real/imag
-    planes (Pallas has no complex refs; split-complex is also the natural
-    VPU layout). XLA fuses the jnp equivalent — this is the explicit-VMEM
-    reference implementation + microbenchmark hook."""
-    k = scale_ref[0, 0]
-    a, b = xr[:], xi[:]
-    c, d = sr[:], si[:]
-    or_[:] = (a * c + b * d) * k
-    oi_[:] = (b * c - a * d) * k
-
-
-@partial(jax.jit, static_argnames=("interpret",))
-def conj_mult_scale(x, s, scale, interpret: bool = False):
-    """x, s: complex64 arrays of equal shape → x * conj(s) * scale."""
-    scale_arr = jnp.asarray(scale, jnp.float32).reshape(1, 1)
-    planes = (
-        jnp.real(x).astype(jnp.float32),
-        jnp.imag(x).astype(jnp.float32),
-        jnp.real(s).astype(jnp.float32),
-        jnp.imag(s).astype(jnp.float32),
-    )
-    out_r, out_i = pl.pallas_call(
-        _conj_mult_scale_kernel,
-        in_specs=[
-            pl.BlockSpec((1, 1), memory_space=pltpu.SMEM),
-            *[pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(4)],
-        ],
-        out_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct(x.shape, jnp.float32),
-            jax.ShapeDtypeStruct(x.shape, jnp.float32),
-        ],
-        interpret=interpret,
-    )(scale_arr, *planes)
-    return jax.lax.complex(out_r, out_i)
-
-
 def seam_repair_host(x: np.ndarray, valid_len: int, block: int):
     """Reference (numpy) for the caller-side seam contract: local maxima at
     tile boundaries that the kernel skips."""

@@ -4,12 +4,7 @@ because HIGHEST-precision matmuls are f32-equivalent on both backends)."""
 import numpy as np
 import pytest
 
-from audio_matcher_tpu.ops.mxu_fft import (
-    cfft,
-    default_factors,
-    irfft_pair_parts,
-    rfft_pair_parts,
-)
+from audio_matcher_tpu.ops.mxu_fft import cfft, default_factors
 
 
 @pytest.mark.parametrize("n", [256, 1024, 4096, 1 << 14, 1 << 18])
@@ -39,63 +34,6 @@ def test_default_factors():
     assert np.prod(default_factors(1 << 23)) == 1 << 23
     with pytest.raises(ValueError):
         default_factors(1000)
-
-
-def test_rfft_pair_matches_numpy(rng):
-    n, T = 4096, 3000
-    x2 = rng.standard_normal((5, 2, T)).astype(np.float32)
-    ar, ai, br, bi = (np.asarray(v) for v in rfft_pair_parts(x2, n))
-    wa = np.fft.rfft(x2[:, 0], n)
-    wb = np.fft.rfft(x2[:, 1], n)
-    scale = max(np.max(np.abs(wa)), np.max(np.abs(wb)))
-    assert np.max(np.abs(ar + 1j * ai - wa)) / scale < 2e-6
-    assert np.max(np.abs(br + 1j * bi - wb)) / scale < 2e-6
-
-
-def test_irfft_pair_roundtrip(rng):
-    n = 1 << 14
-    a = rng.standard_normal(n).astype(np.float32)
-    b = rng.standard_normal(n).astype(np.float32)
-    A = np.fft.rfft(a)
-    B = np.fft.rfft(b)
-    ga, gb = irfft_pair_parts(
-        np.real(A).astype(np.float32)[None],
-        np.imag(A).astype(np.float32)[None],
-        np.real(B).astype(np.float32)[None],
-        np.imag(B).astype(np.float32)[None],
-        n,
-    )
-    assert np.max(np.abs(np.asarray(ga)[0] - a)) < 2e-5
-    assert np.max(np.abs(np.asarray(gb)[0] - b)) < 2e-5
-
-
-def test_end_to_end_correlation_equivalence(rng):
-    """The scan's actual use: rfft pairs -> conj-mult -> irfft pairs must
-    reproduce the linear correlation computed by numpy."""
-    n = 1 << 14
-    w = rng.standard_normal(10000).astype(np.float32)
-    s = rng.standard_normal(800).astype(np.float32)
-    # reference: full linear correlation via numpy fft
-    want = np.fft.irfft(
-        np.fft.rfft(w, n) * np.conj(np.fft.rfft(s, n)), n
-    )[: 10000 - 800 + 1]
-
-    x2 = np.stack([w, w])[None]  # pair both = w (any pairing works)
-    ar, ai, br, bi = rfft_pair_parts(x2, n)
-    S = np.fft.rfft(s, n)
-    Sr = np.real(S).astype(np.float32)
-    Si = np.imag(S).astype(np.float32)
-    # (A)(conj(S)) split-complex
-    cr = ar * Sr + ai * Si
-    ci = ai * Sr - ar * Si
-    dr = br * Sr + bi * Si
-    di = bi * Sr - br * Si
-    ga, gb = irfft_pair_parts(cr, ci, dr, di, n)
-    got = np.asarray(ga)[0][: 10000 - 800 + 1]
-    scale = np.max(np.abs(want))
-    assert np.max(np.abs(got - want)) / scale < 3e-6
-    got_b = np.asarray(gb)[0][: 10000 - 800 + 1]
-    assert np.max(np.abs(got_b - want)) / scale < 3e-6
 
 
 def test_corr_slab_mxu_matches_numpy(rng):

@@ -6,24 +6,11 @@ import numpy as np
 import pytest
 
 from audio_matcher_tpu.ops.pallas_kernels import (
-    conj_mult_scale,
     local_max_block_reduce,
     seam_repair_host,
 )
 
 INTERPRET = jax.default_backend() != "tpu"
-
-
-def test_conj_mult_scale_matches_jnp(rng):
-    x = (rng.standard_normal((4, 256)) + 1j * rng.standard_normal((4, 256))).astype(
-        np.complex64
-    )
-    s = (rng.standard_normal((4, 256)) + 1j * rng.standard_normal((4, 256))).astype(
-        np.complex64
-    )
-    got = conj_mult_scale(jnp.asarray(x), jnp.asarray(s), 0.5, interpret=INTERPRET)
-    want = x * np.conj(s) * 0.5
-    np.testing.assert_allclose(np.asarray(got), want, atol=1e-6)
 
 
 def test_block_reduce_finds_interior_peaks(rng):
