@@ -17,7 +17,6 @@ from __future__ import annotations
 
 import dataclasses
 import logging
-from functools import partial
 from typing import Sequence
 
 import jax
@@ -210,15 +209,6 @@ def resident_sharded_step(
 class _Query:
     m: int
     inv_autocorr: float
-
-
-@partial(jax.jit, static_argnames=("n_pad",))
-def _pack_uploaded(episodes, n_pad: int):
-    """Stack raw per-episode uploads into the [E, Npad] scan layout on
-    device (HBM-speed; runs after every upload has ridden the relay's
-    pre-execution fast path)."""
-    stacked = jnp.stack(episodes)
-    return jnp.pad(stacked, ((0, 0), (0, n_pad - stacked.shape[1])))
 
 
 class ShardedSpectrogramScanner:
@@ -578,25 +568,6 @@ class ShardedScanner:
         # pad the episode count to fill the flattened mesh
         n_dev = int(self.mesh.devices.size)
         e_pad = -(-len(episodes) // n_dev) * n_dev if episodes else 0
-        # zero-host-copy fast path: equal-length wire-dtype episodes upload
-        # RAW (the relay streams the numpy buffers as-is) and are
-        # padded+stacked ON DEVICE — the host-side repack costs ~0.4 s per
-        # 680 MB batch on the 1-vCPU bench host. Single-chip meshes only
-        # (the sharded path needs the host-packed global array).
-        if (
-            episodes
-            and e_pad == len(episodes)
-            and n_dev == 1
-            and all(
-                isinstance(e, np.ndarray)
-                and e.dtype == dtype
-                and e.shape == episodes[0].shape
-                and e.flags["C_CONTIGUOUS"]
-                for e in episodes
-            )
-        ):
-            devs = tuple(jax.device_put(e) for e in episodes)
-            return _pack_uploaded(devs, n_pad), ns, len(episodes)
         buf = np.zeros((e_pad, n_pad), dtype)
         for i, ep in enumerate(episodes):
             ep = np.asarray(ep)
