@@ -180,3 +180,14 @@ class Inputs:
                 prompt += f"[{initial}] "
             line = input(prompt)
             return line or (initial or "")
+
+
+def resolve_peaks_impl(choice: str) -> str:
+    """CLI "auto" → pallas on TPU (compiled kernel), jnp elsewhere (the
+    pallas interpreter on CPU is orders of magnitude slower than the jnp
+    path it exists to beat)."""
+    if choice != "auto":
+        return choice
+    import jax
+
+    return "pallas" if jax.default_backend() == "tpu" else "jnp"

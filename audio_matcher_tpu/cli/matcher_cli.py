@@ -88,9 +88,10 @@ def build_parser() -> argparse.ArgumentParser:
         "on v5e; mxu: matmul four-step FFT)",
     )
     p.add_argument(
-        "--peaks-impl", choices=("jnp", "pallas"), default="pallas",
+        "--peaks-impl", choices=("auto", "jnp", "pallas"), default="auto",
         metavar="IMPL",
-        help="peak-pick implementation (pallas: single-HBM-pass kernel)",
+        help="peak-pick implementation (pallas: single-HBM-pass kernel; "
+        "auto = pallas on TPU, jnp elsewhere)",
     )
     p.add_argument(
         "--mode", choices=("pcm", "spectrogram"), default="pcm",
@@ -137,7 +138,7 @@ def run(args: argparse.Namespace) -> int:
         overlap_secs=s_duration,
         transfer_dtype=args.transfer,
         fft_impl=args.fft_impl,
-        peaks_impl=args.peaks_impl,
+        peaks_impl=common.resolve_peaks_impl(args.peaks_impl),
     )
     def build_matcher(snip, rate):
         if args.mode == "spectrogram":

@@ -85,9 +85,10 @@ def build_parser() -> argparse.ArgumentParser:
         "on v5e; mxu: matmul four-step FFT)",
     )
     p.add_argument(
-        "--peaks-impl", choices=("jnp", "pallas"), default="pallas",
+        "--peaks-impl", choices=("auto", "jnp", "pallas"), default="auto",
         metavar="IMPL",
-        help="peak-pick implementation (pallas: single-HBM-pass kernel)",
+        help="peak-pick implementation (pallas: single-HBM-pass kernel; "
+        "auto = pallas on TPU, jnp elsewhere)",
     )
     p.add_argument(
         "--mode", choices=("pcm", "spectrogram"), default="pcm",
@@ -128,7 +129,7 @@ def run(args: argparse.Namespace) -> int:
         prominence=args.prominence,
         transfer_dtype=args.transfer,
         fft_impl=args.fft_impl,
-        peaks_impl=args.peaks_impl,
+        peaks_impl=common.resolve_peaks_impl(args.peaks_impl),
     )
     mesh = make_mesh(args.devices)
 
