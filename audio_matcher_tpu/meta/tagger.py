@@ -225,6 +225,8 @@ class Id3Tag:
                 tag.frames[fid_s] = _decode_text(payload)
             elif fid_s == "CHAP":
                 tag._parse_chap(payload, major)
+            elif fid_s == "CTOC":
+                pass  # regenerated from self.chapters on render
             else:
                 tag.other_frames.append((fid_s, keep_flags, payload))
         return tag
@@ -291,6 +293,13 @@ class Id3Tag:
                 # of >127-byte chapter titles depend on this)
                 payload += b"TIT2" + _syncsafe(len(sub)) + b"\x00\x00" + sub
             frames += frame("CHAP", payload)
+        if indices:
+            # CTOC table of contents (top-level, ordered) referencing the
+            # CHAP element IDs — spec-recommended for chapter navigation
+            toc = b"toc\x00" + bytes([0x03, len(indices)])
+            for idx in indices:
+                toc += f"chp{idx}".encode("latin-1") + b"\x00"
+            frames += frame("CTOC", toc)
         for fid, fflags, payload in self.other_frames:
             frames += frame(fid, payload, fflags)
         return b"ID3\x04\x00\x00" + _syncsafe(len(frames)) + frames
