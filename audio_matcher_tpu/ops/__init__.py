@@ -12,4 +12,5 @@ from .peaks import (  # noqa: F401
     pick_peaks_batch,
     pick_peaks_core,
 )
+from .resample import resample_poly_device  # noqa: F401
 from .stft import fingerprint_scores, log_mel, mel_filterbank  # noqa: F401
