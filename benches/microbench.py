@@ -27,6 +27,9 @@ import numpy as np
 sys.path.insert(0, str(Path(__file__).parent.parent))
 
 
+_HISTORY: list[dict] = []
+
+
 def timeit(fn, repeat=5, warmup=1):
     for _ in range(warmup):
         fn()
@@ -40,6 +43,10 @@ def timeit(fn, repeat=5, warmup=1):
 
 def row(name, best, med, note=""):
     print(f"{name:<44} {best * 1e3:>10.3f} ms {med * 1e3:>10.3f} ms  {note}")
+    _HISTORY.append(
+        {"name": name, "best_ms": round(best * 1e3, 3),
+         "median_ms": round(med * 1e3, 3), "note": note}
+    )
 
 
 def bench_correlate_vs_lib():
@@ -96,6 +103,34 @@ def bench_match_vs_distance(quick: bool):
         )
 
 
+def bench_impl_matrix(quick: bool):
+    """Full match across (fft_impl, peaks_impl) — the round-2 options."""
+    import jax
+
+    from audio_matcher_tpu.models import MatchConfig, SnippetMatcher
+
+    sr = 44100 if not quick else 8000
+    secs = 300 if not quick else 30
+    rng = np.random.default_rng(3)
+    snippet = (rng.standard_normal(7 * sr) * 0.2).astype(np.float32)
+    episode = (rng.standard_normal(secs * sr) * 0.05).astype(np.float32)
+    episode[11 * sr : 11 * sr + len(snippet)] = snippet
+    on_tpu = jax.default_backend() == "tpu"
+    peak_impls = ("jnp", "pallas") if on_tpu else ("jnp",)
+    for fft_impl in ("xla", "xla_packed", "mxu"):
+        for peaks_impl in peak_impls:
+            cfg = MatchConfig(
+                distance_secs=60.0, fft_impl=fft_impl, peaks_impl=peaks_impl
+            )
+            matcher = SnippetMatcher(snippet, sr, cfg)
+            matcher.match(episode)  # compile
+            best, med = timeit(lambda: matcher.match(episode), repeat=3)
+            row(
+                f"match {fft_impl}+{peaks_impl} ({secs}s ep)", best, med,
+                f"{secs / 3600 / med:.2f} audio-h/s",
+            )
+
+
 def bench_duration_probe(tmpdir: Path):
     from audio_matcher_tpu.hostio.decode import (
         audio_duration,
@@ -142,6 +177,12 @@ def bench_decode(tmpdir: Path):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
+    ap.add_argument(
+        "--history", type=Path, default=Path(__file__).parent / "history.jsonl",
+        help="append results here for cross-round regression diffing "
+        "(criterion-style tracked history); pass /dev/null to disable",
+    )
+    ap.add_argument("--tag", default="", help="label stored with the run")
     args = ap.parse_args()
     import tempfile
 
@@ -152,6 +193,26 @@ def main():
         bench_duration_probe(Path(d))
         bench_decode(Path(d))
     bench_match_vs_distance(args.quick)
+    bench_impl_matrix(args.quick)
+
+    if str(args.history) != "/dev/null":
+        import datetime
+        import json
+
+        import jax
+
+        record = {
+            "tag": args.tag,
+            "backend": jax.default_backend(),
+            "when": datetime.datetime.now(datetime.timezone.utc).isoformat(
+                timespec="seconds"
+            ),
+            "quick": args.quick,
+            "rows": _HISTORY,
+        }
+        with open(args.history, "a") as f:
+            f.write(json.dumps(record) + "\n")
+        print(f"[history] appended {len(_HISTORY)} rows to {args.history}")
 
 
 if __name__ == "__main__":
