@@ -192,8 +192,15 @@ def corr_slab_xla_packed(
     """
     n = t_spec.shape[-1]
     B = windows.shape[0]
-    X = jnp.fft.rfft(windows, n=n)
-    Xf = full_spectrum(X, n)
+    # forward also packs window PAIRS: fft(w0 + i·w1) then a full-length
+    # hermitian split (Z[-k] = Z[(n-k) mod n]) recovers both spectra —
+    # halves the forward transforms on top of the halved inverses
+    wp = jnp.pad(windows, ((0, B % 2), (0, 0)))
+    z = jnp.fft.fft(wp[0::2] + 1j * wp[1::2], n=n)  # [Bp/2, n]
+    zrev = jnp.conj(jnp.roll(z[:, ::-1], 1, axis=1))
+    x_even = 0.5 * (z + zrev)
+    x_odd = -0.5j * (z - zrev)
+    Xf = jnp.stack([x_even, x_odd], axis=1).reshape(-1, n)[:B]
     v = jnp.fft.ifft(Xf[:, None, :] * t_spec[None])  # [B, Qh, n]
     c = jnp.stack(
         [jnp.real(v[..., :valid_max]), jnp.imag(v[..., :valid_max])],
