@@ -25,6 +25,11 @@ class SpectrogramConfig:
     n_mels: int = 64
     distance_secs: float = 8 * 60.0  # reference default match spacing
     min_score: float = 0.4  # NCC threshold (scores in [-1, 1])
+    # staging wire format for the sharded batch scanner (see
+    # MatchConfig.transfer_dtype): NCC scores are scale-invariant;
+    # int16 staging keeps positions identical, scores shift <1% (the
+    # log-mel amplifies the 16-bit grid noise at quiet frames)
+    transfer_dtype: str = "float32"
 
 
 class SpectrogramMatcher:

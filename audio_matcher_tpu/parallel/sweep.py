@@ -248,6 +248,8 @@ class ShardedSpectrogramScanner:
         self._step_cache: dict = {}
 
     def stage_resident(self, episodes: Sequence[np.ndarray]):
+        from ..models.matcher import _WIRE_DTYPES, quantize_wire
+
         ns = np.array([len(e) for e in episodes], np.int32)
         n_max = int(ns.max()) if len(ns) else 0
         cfg = self.config
@@ -256,9 +258,16 @@ class ShardedSpectrogramScanner:
         n_pad = max(-(-max(n_max, cfg.n_fft) // bucket) * bucket, bucket)
         n_dev = int(self.mesh.devices.size)
         e_pad = -(-len(episodes) // n_dev) * n_dev if episodes else 0
-        buf = np.zeros((e_pad, n_pad), np.float32)
+        dtype = _WIRE_DTYPES[getattr(cfg, "transfer_dtype", "float32")]
+        buf = np.zeros((e_pad, n_pad), dtype)
         for i, ep in enumerate(episodes):
-            buf[i, : len(ep)] = np.asarray(ep, np.float32)
+            ep = np.asarray(ep)
+            if ep.dtype == dtype:
+                buf[i, : len(ep)] = ep
+            else:
+                buf[i, : len(ep)] = quantize_wire(
+                    ep, getattr(cfg, "transfer_dtype", "float32")
+                )
         ns_pad = np.zeros(e_pad, np.int32)
         ns_pad[: len(ns)] = ns
         return jnp.asarray(buf), ns_pad, len(episodes)
@@ -277,8 +286,10 @@ class ShardedSpectrogramScanner:
         dist = self.distance_frames
 
         def per_episode(ep, n, fb, snip_fps):
+            from ..models.matcher import dequantize_on_device
+
             fp = stft_log_mel_core(
-                ep, fb, cfg.n_fft, cfg.hop, n_frames_pad
+                dequantize_on_device(ep), fb, cfg.n_fft, cfg.hop, n_frames_pad
             )
             n_frames = jnp.maximum(
                 1 + (n - cfg.n_fft) // cfg.hop, 0
