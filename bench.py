@@ -150,12 +150,15 @@ def measure_cpu_baseline(episode, snippet, config):
 def main() -> int:
     os.environ.setdefault("OMP_NUM_THREADS", "8")
     rng = np.random.default_rng(42)
-    n_queries = int(os.environ.get("BENCH_QUERIES", "8"))
-    # query lengths 10–13.5 s: varied (exercises per-query valid masking)
-    # while keeping the FFT bucket at 2^22
+    n_episodes = int(os.environ.get("BENCH_EPISODES", "4"))
+    n_queries = int(os.environ.get("BENCH_QUERIES", "16"))
+    # query lengths 10-13.5 s: varied (exercises per-query valid masking)
+    # while keeping the FFT bucket at 2^22 for any query count
     snippets = [
         np.clip(
-            rng.standard_normal(int((SNIPPET_SECS + 0.5 * q) * SR)) * 0.15,
+            rng.standard_normal(
+                int((SNIPPET_SECS + 0.5 * (q % 8)) * SR)
+            ) * 0.15,
             -0.45, 0.45,
         ).astype(np.float32)
         for q in range(n_queries)
@@ -199,9 +202,9 @@ def main() -> int:
     print(
         json.dumps(
             {
-                "metric": "(episode,snippet)-pair audio-hours scanned/sec/chip "
-                "(batch scan: 4 episodes x 8 query snippets, 44.1kHz; "
-                "staging included)",
+                "metric": "(episode,snippet)-pair audio-hours scanned/sec/"
+                f"chip (batch scan: {n_episodes} episodes x "
+                f"{n_queries} query snippets, 44.1kHz; staging included)",
                 "value": round(value, 4),
                 "unit": "pair_audio_hours/s",
                 "vs_baseline": round(value / baseline, 2),
