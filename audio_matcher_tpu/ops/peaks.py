@@ -262,12 +262,17 @@ def pick_peaks_core(
 
 
 def _gather_window(x, starts, width: int):
-    """[B] starts → [B, width] rows via clamped dynamic slices (HBM gather)."""
+    """[B] starts → [B, width] rows via clamped dynamic slices (HBM gather).
+
+    ``width`` is clamped to the row length (degenerate single-tile rows);
+    callers track true column indices, so short windows stay correct.
+    """
+    width = min(width, x.shape[1])
 
     def one(row, s):
         return jax.lax.dynamic_slice(row, (s,), (width,))
 
-    return jax.vmap(one)(x, jnp.clip(starts, 0, x.shape[1] - width))
+    return jax.vmap(one)(x, jnp.clip(starts, 0, max(x.shape[1] - width, 0)))
 
 
 def _merge_seams(x, valid_len, bv, bp, block: int):
@@ -308,9 +313,10 @@ def _rescan_tile(x, valid_len, picked_pos, tile, d, block):
     start = t * block
     # halo window; the slice start clamps near the array edges, so column
     # indices are tracked explicitly and masked back to the tile
-    p0 = jnp.clip(start - 1, 0, V - (block + 2))
-    win = _gather_window(x, p0, block + 2)
-    cols = p0[:, None] + 1 + jnp.arange(block, dtype=jnp.int32)[None, :]
+    width = min(block + 2, V)
+    p0 = jnp.clip(start - 1, 0, max(V - width, 0))
+    win = _gather_window(x, p0, width)
+    cols = p0[:, None] + 1 + jnp.arange(width - 2, dtype=jnp.int32)[None, :]
     c = win[:, 1:-1]
     left = win[:, :-2]
     right = win[:, 2:]

@@ -168,3 +168,22 @@ def test_fuzz_pallas_vs_jnp_vs_scipy(rng):
         assert sorted(got_live) == sorted(by_height[: len(got_live)]) or (
             set(got_live) <= set(idx)
         ), f"trial {trial}: {got_live} vs scipy {list(idx)}"
+
+
+def test_pick_peaks_pallas_single_tile_rows(rng):
+    """Degenerate V == block (one tile per row): the rescan window clamps
+    instead of producing negative slice bounds."""
+    from audio_matcher_tpu.ops.peaks import pick_peaks_core, pick_peaks_pallas
+
+    block = 128
+    x = (rng.standard_normal((2, block)) * 0.1).astype(np.float32)
+    x[0, 40] = 3.0
+    x[0, 90] = 2.5
+    valid = np.asarray([block, 100], np.int32)
+    want = pick_peaks_core(jnp.asarray(x), jnp.asarray(valid), 30, 3, block)
+    got = pick_peaks_pallas(jnp.asarray(x), jnp.asarray(valid), 30, 3, block,
+                            interpret=INTERPRET)
+    for a, b in zip(want, got):
+        na, nb = np.asarray(a, np.float64), np.asarray(b, np.float64)
+        live = np.isfinite(np.asarray(want[1]))
+        np.testing.assert_allclose(nb[live], na[live], rtol=1e-6)
