@@ -53,6 +53,11 @@ def init_distributed(
         return False
     kwargs = {}
     if coordinator:
+        if num_processes < 1 or process_id is None:
+            raise ValueError(
+                "AM_COORDINATOR is set but AM_NUM_PROCESSES/AM_PROCESS_ID "
+                "are missing — every process in the cluster needs all three"
+            )
         kwargs = dict(
             coordinator_address=coordinator,
             num_processes=num_processes,
