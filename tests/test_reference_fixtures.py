@@ -74,3 +74,20 @@ def test_baseline_config1_opus_snippet_in_mp3():
     # codec delays shift the alignment by a few tens of ms around 1.0 s
     assert abs(best / sr_m - 1.0) < 0.1
     assert scores[best] > 0.8
+
+
+def test_progress_reads_reference_fixture(tmp_path):
+    """The reference's own res/progress.txt (its worker tests assert these
+    states, worker/mod.rs:342-392) parses identically in our store."""
+    import shutil
+
+    from audio_matcher_tpu.meta.progress import Progress, State
+
+    work = tmp_path / "progress.txt"
+    shutil.copy(REF / "progress.txt", work)
+    p = Progress(work)
+    assert p.get("element 1") == State.DONE
+    assert p.get("element 2") == State.LOADED
+    assert p.get("element 3") == State.DONE
+    assert p.get("element 4") == State.NAMED
+    assert p.get("element 5") is None
