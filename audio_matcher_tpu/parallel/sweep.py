@@ -370,7 +370,7 @@ def sweep_archive(
     mesh: Mesh | None = None,
     progress_path=None,
     write_labels_for=None,
-    prefetch_depth: int = 3,
+    prefetch_depth: int | None = None,
     resample_mismatched: bool = False,
     mode: str = "pcm",
     spectrogram_config=None,
@@ -421,6 +421,9 @@ def sweep_archive(
     # the remaining chips (r1 VERDICT weak #6: a (4,2) mesh ran groups of 4
     # padded to 8, half the mesh scanning zeros)
     group_size = max(int(scanner.mesh.devices.size), 1)
+    if prefetch_depth is None:
+        # decode the NEXT group fully while the current one scans on device
+        prefetch_depth = max(group_size, 3)
     results = {}
     group: list = []
 
