@@ -1,0 +1,213 @@
+"""Pallas VPU FFT: two-factor DIF decomposition in scrambled order.
+
+XLA's TPU FFT prices a 4M-point transform at ~1.7 ms — ~13× off the HBM
+roofline (measured, benches/probe_fft.py) — and the MXU matmul route ties
+it (compute-bound at the precision the scan needs). This module builds the
+transform directly on the VPU instead: N = A·M splits into two radix-2
+DIF passes whose butterflies run entirely in VMEM on [R, 128] tiles,
+with the cross twiddle folded into the first pass. No pass ever
+materializes order-corrected data — the spectrum stays in digit/bit-
+reversed ("scrambled") layout, which convolution never notices, and the
+inverse consumes it directly (reversed DIF with conjugate twiddles).
+
+Layout contract (forward, x [N] viewed [A, M], a-major):
+    Y[r, q] = X[brev_A(r) + A · brev_M(q)]
+verified against np.fft in tests/test_pallas_fft.py.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TILE = 128  # lane-width column tiles
+
+
+@lru_cache(maxsize=8)
+def _brev_host(n: int) -> np.ndarray:
+    L = n.bit_length() - 1
+    out = np.zeros(n, np.int64)
+    for i in range(n):
+        v, x = 0, i
+        for _ in range(L):
+            v = (v << 1) | (x & 1)
+            x >>= 1
+        out[i] = v
+    return out
+
+
+def _dif_stages(xr, xi, R: int, inverse: bool):
+    """Radix-2 DIF over axis 0 of [R, C] planes, in VMEM values.
+
+    Forward: natural → bit-reversed, unscaled. Inverse: bit-reversed →
+    natural, unscaled (caller folds 1/R).
+    """
+    C = xr.shape[-1]
+    L = R.bit_length() - 1
+    stages = range(L) if not inverse else reversed(range(L))
+    sign = -1.0 if not inverse else 1.0
+    for t in stages:
+        m = R >> (t + 1)
+        j = jax.lax.broadcasted_iota(jnp.float32, (1, m, C), 1)
+        ph = (sign * np.pi / m) * j  # 2π·j / (2m)
+        wr, wi = jnp.cos(ph), jnp.sin(ph)
+        vr = xr.reshape(1 << t, 2 * m, C)
+        vi = xi.reshape(1 << t, 2 * m, C)
+        ar, ai = vr[:, :m], vi[:, :m]
+        br, bi = vr[:, m:], vi[:, m:]
+        if not inverse:
+            tr, ti = ar + br, ai + bi
+            dr, di = ar - br, ai - bi
+            or_, oi_ = dr * wr - di * wi, dr * wi + di * wr
+            xr = jnp.concatenate([tr, or_], axis=1).reshape(R, C)
+            xi = jnp.concatenate([ti, oi_], axis=1).reshape(R, C)
+        else:
+            bwr = br * wr - bi * wi
+            bwi = br * wi + bi * wr
+            xr = jnp.concatenate([ar + bwr, ar - bwr], axis=1).reshape(R, C)
+            xi = jnp.concatenate([ai + bwi, ai - bwi], axis=1).reshape(R, C)
+    return xr, xi
+
+
+def _major_kernel(
+    sa_ref,  # [1, A] f32 — brev_A as floats (exact ≤ 2^24)
+    xr_ref,  # [1, A, TILE]
+    xi_ref,
+    or_ref,
+    oi_ref,
+    *,
+    A: int,
+    n: int,
+    inverse: bool,
+    cross: bool,
+):
+    j = pl.program_id(1)
+    b0 = j * TILE
+    xr = xr_ref[0]
+    xi = xi_ref[0]
+    if inverse and cross:
+        # conjugate cross twiddle BEFORE undoing the major FFT
+        sa = sa_ref[0, :]
+        b = b0 + jax.lax.broadcasted_iota(jnp.float32, (A, TILE), 1)
+        ph = (2.0 * np.pi / n) * (sa[:, None] * b)
+        cr, ci = jnp.cos(ph), jnp.sin(ph)
+        xr, xi = xr * cr - xi * ci, xr * ci + xi * cr
+    yr, yi = _dif_stages(xr, xi, A, inverse)
+    if not inverse and cross:
+        # physical row r holds c1 = brev(r); twiddle W_n^{c1·b}
+        sa = sa_ref[0, :]
+        b = b0 + jax.lax.broadcasted_iota(jnp.float32, (A, TILE), 1)
+        ph = (-2.0 * np.pi / n) * (sa[:, None] * b)
+        cr, ci = jnp.cos(ph), jnp.sin(ph)
+        yr, yi = yr * cr - yi * ci, yr * ci + yi * cr
+    or_ref[0] = yr
+    oi_ref[0] = yi
+
+
+@partial(
+    jax.jit,
+    static_argnames=("A", "n", "inverse", "cross", "interpret"),
+)
+def fft_major(
+    xr,  # [P, A, M] f32
+    xi,
+    A: int,
+    n: int,
+    inverse: bool = False,
+    cross: bool = True,
+    interpret: bool = False,
+):
+    """DIF pass over the A axis for every (batch, column), with the
+    four-step cross twiddle folded in (forward: after; inverse: before)."""
+    P, A_, M = xr.shape
+    assert A_ == A and M % TILE == 0
+    sa = jnp.asarray(_brev_host(A), jnp.float32)[None, :]
+    grid = (P, M // TILE)
+    spec = pl.BlockSpec(
+        (1, A, TILE), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM
+    )
+    return pl.pallas_call(
+        partial(_major_kernel, A=A, n=n, inverse=inverse, cross=cross),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, A), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            spec,
+            spec,
+        ],
+        out_specs=[spec, spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((P, A, M), jnp.float32),
+            jax.ShapeDtypeStruct((P, A, M), jnp.float32),
+        ],
+        interpret=interpret,
+    )(sa, xr, xi)
+
+
+def _minor_kernel(xr_ref, xi_ref, or_ref, oi_ref, *, M: int, inverse: bool):
+    xr = jnp.swapaxes(xr_ref[0], 0, 1)  # [M, TILE_R]
+    xi = jnp.swapaxes(xi_ref[0], 0, 1)
+    yr, yi = _dif_stages(xr, xi, M, inverse)
+    or_ref[0] = jnp.swapaxes(yr, 0, 1)
+    oi_ref[0] = jnp.swapaxes(yi, 0, 1)
+
+
+@partial(jax.jit, static_argnames=("M", "inverse", "interpret"))
+def fft_minor(
+    xr,  # [P, A, M] f32
+    xi,
+    M: int,
+    inverse: bool = False,
+    interpret: bool = False,
+):
+    """DIF pass over the M (minor) axis for every (batch, row): tiles of
+    128 rows transpose in VMEM, transform, transpose back."""
+    P, A, M_ = xr.shape
+    assert M_ == M and A % TILE == 0
+    grid = (P, A // TILE)
+    spec = pl.BlockSpec(
+        (1, TILE, M), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+    )
+    return pl.pallas_call(
+        partial(_minor_kernel, M=M, inverse=inverse),
+        grid=grid,
+        in_specs=[spec, spec],
+        out_specs=[spec, spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((P, A, M), jnp.float32),
+            jax.ShapeDtypeStruct((P, A, M), jnp.float32),
+        ],
+        interpret=interpret,
+    )(xr, xi)
+
+
+def split_factors(n: int) -> tuple[int, int]:
+    """n = A·M with both factors TILE-divisible and as square as possible."""
+    if n & (n - 1):
+        raise ValueError(f"pallas fft needs a power of two, got {n}")
+    e = n.bit_length() - 1
+    a = e // 2
+    A, M = 1 << a, 1 << (e - a)
+    if A < TILE or M < TILE:
+        raise ValueError(f"n = {n} too small for the two-factor VPU fft")
+    return A, M
+
+
+def fft2_scrambled(xr, xi, n: int, inverse: bool = False, interpret=False):
+    """[P, n] planes → scrambled [P, n] (forward) or natural (inverse,
+    unscaled — fold 1/n wherever convenient)."""
+    A, M = split_factors(n)
+    P = xr.shape[0]
+    xr = xr.reshape(P, A, M)
+    xi = xi.reshape(P, A, M)
+    if not inverse:
+        xr, xi = fft_major(xr, xi, A, n, interpret=interpret)
+        xr, xi = fft_minor(xr, xi, M, interpret=interpret)
+    else:
+        xr, xi = fft_minor(xr, xi, M, inverse=True, interpret=interpret)
+        xr, xi = fft_major(xr, xi, A, n, inverse=True, interpret=interpret)
+    return xr.reshape(P, n), xi.reshape(P, n)

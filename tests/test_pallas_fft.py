@@ -1,0 +1,67 @@
+"""Pallas VPU FFT oracle tests (interpret on CPU, compiled on TPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from audio_matcher_tpu.ops.pallas_fft import (
+    _brev_host,
+    fft2_scrambled,
+    split_factors,
+)
+
+INTERPRET = jax.default_backend() != "tpu"
+
+
+def _layout_ref(X, n):
+    A, M = split_factors(n)
+    sa, sm = _brev_host(A), _brev_host(M)
+    return X.reshape(-1, n)[:, (sa[:, None] + A * sm[None, :]).reshape(-1)]
+
+
+@pytest.mark.parametrize("n", [1 << 15, 1 << 16])
+def test_forward_matches_numpy_layout(rng, n):
+    x = (rng.standard_normal((2, n)) + 1j * rng.standard_normal((2, n)))
+    yr, yi = fft2_scrambled(
+        jnp.asarray(np.real(x), jnp.float32),
+        jnp.asarray(np.imag(x), jnp.float32),
+        n, interpret=INTERPRET,
+    )
+    got = np.asarray(yr) + 1j * np.asarray(yi)
+    want = _layout_ref(np.fft.fft(x), n)
+    scale = np.max(np.abs(want))
+    assert np.max(np.abs(got - want)) / scale < 3e-6
+
+
+def test_roundtrip_and_convolution(rng):
+    n = 1 << 16
+    w = rng.standard_normal(40000).astype(np.float32)
+    s = rng.standard_normal(3000).astype(np.float32)
+    # pack both real signals in one complex transform
+    xr = jnp.asarray(np.pad(w, (0, n - len(w))))[None]
+    xi = jnp.asarray(np.pad(s, (0, n - len(s))))[None]
+    Zr, Zi = fft2_scrambled(xr, xi, n, interpret=INTERPRET)
+    # roundtrip
+    br, bi = fft2_scrambled(Zr, Zi, n, inverse=True, interpret=INTERPRET)
+    assert np.max(np.abs(np.asarray(br)[0] / n - np.pad(w, (0, n - len(w))))) < 1e-4
+    assert np.max(np.abs(np.asarray(bi)[0] / n - np.pad(s, (0, n - len(s))))) < 1e-4
+
+    # correlation: conj(S) product in scrambled layout == np oracle
+    Sr, Si = fft2_scrambled(
+        jnp.asarray(np.pad(s, (0, n - len(s))))[None],
+        jnp.zeros((1, n), jnp.float32), n, interpret=INTERPRET,
+    )
+    Xr, Xi = fft2_scrambled(
+        jnp.asarray(np.pad(w, (0, n - len(w))))[None],
+        jnp.zeros((1, n), jnp.float32), n, interpret=INTERPRET,
+    )
+    Cr = Xr * Sr + Xi * Si
+    Ci = Xi * Sr - Xr * Si
+    cr, ci = fft2_scrambled(Cr, Ci, n, inverse=True, interpret=INTERPRET)
+    valid = len(w) - len(s) + 1
+    got = np.asarray(cr)[0][:valid] / n
+    want = np.fft.irfft(
+        np.fft.rfft(w, n) * np.conj(np.fft.rfft(s, n)), n
+    )[:valid]
+    assert np.max(np.abs(got - want)) / np.max(np.abs(want)) < 3e-6
