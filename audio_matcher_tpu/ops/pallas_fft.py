@@ -41,37 +41,46 @@ def _brev_host(n: int) -> np.ndarray:
     return out
 
 
-def _dif_stages(xr, xi, R: int, inverse: bool):
-    """Radix-2 DIF over axis 0 of [R, C] planes, in VMEM values.
+def _dif_stage_once(xr, xi, R: int, C: int, t: int, inverse: bool):
+    """One radix-2 DIF stage over axis 0 of [R, C] value planes."""
+    m = R >> (t + 1)
+    sign = -1.0 if not inverse else 1.0
+    j = jax.lax.broadcasted_iota(jnp.int32, (1, m, C), 1).astype(jnp.float32)
+    ph = (sign * np.pi / m) * j  # 2π·j / (2m)
+    wr, wi = jnp.cos(ph), jnp.sin(ph)
+    vr = xr.reshape(1 << t, 2 * m, C)
+    vi = xi.reshape(1 << t, 2 * m, C)
+    ar, ai = vr[:, :m], vi[:, :m]
+    br, bi = vr[:, m:], vi[:, m:]
+    if not inverse:
+        tr, ti = ar + br, ai + bi
+        dr, di = ar - br, ai - bi
+        or_, oi_ = dr * wr - di * wi, dr * wi + di * wr
+        return (
+            jnp.concatenate([tr, or_], axis=1).reshape(R, C),
+            jnp.concatenate([ti, oi_], axis=1).reshape(R, C),
+        )
+    bwr = br * wr - bi * wi
+    bwi = br * wi + bi * wr
+    return (
+        jnp.concatenate([ar + bwr, ar - bwr], axis=1).reshape(R, C),
+        jnp.concatenate([ai + bwi, ai - bwi], axis=1).reshape(R, C),
+    )
 
-    Forward: natural → bit-reversed, unscaled. Inverse: bit-reversed →
-    natural, unscaled (caller folds 1/R).
+
+def _dif_stages_ref(sr_ref, si_ref, R: int, C: int, inverse: bool):
+    """Radix-2 DIF over axis 0 of the [R, C] scratch refs, in place.
+
+    Each stage round-trips through the scratch so Mosaic's scoped-VMEM
+    allocator can retire the previous stage's temporaries (a pure value
+    chain keeps every concat live and OOMs at 11 stages × 3 MB).
     """
-    C = xr.shape[-1]
     L = R.bit_length() - 1
     stages = range(L) if not inverse else reversed(range(L))
-    sign = -1.0 if not inverse else 1.0
     for t in stages:
-        m = R >> (t + 1)
-        j = jax.lax.broadcasted_iota(jnp.float32, (1, m, C), 1)
-        ph = (sign * np.pi / m) * j  # 2π·j / (2m)
-        wr, wi = jnp.cos(ph), jnp.sin(ph)
-        vr = xr.reshape(1 << t, 2 * m, C)
-        vi = xi.reshape(1 << t, 2 * m, C)
-        ar, ai = vr[:, :m], vi[:, :m]
-        br, bi = vr[:, m:], vi[:, m:]
-        if not inverse:
-            tr, ti = ar + br, ai + bi
-            dr, di = ar - br, ai - bi
-            or_, oi_ = dr * wr - di * wi, dr * wi + di * wr
-            xr = jnp.concatenate([tr, or_], axis=1).reshape(R, C)
-            xi = jnp.concatenate([ti, oi_], axis=1).reshape(R, C)
-        else:
-            bwr = br * wr - bi * wi
-            bwi = br * wi + bi * wr
-            xr = jnp.concatenate([ar + bwr, ar - bwr], axis=1).reshape(R, C)
-            xi = jnp.concatenate([ai + bwi, ai - bwi], axis=1).reshape(R, C)
-    return xr, xi
+        xr, xi = _dif_stage_once(sr_ref[...], si_ref[...], R, C, t, inverse)
+        sr_ref[...] = xr
+        si_ref[...] = xi
 
 
 def _major_kernel(
@@ -80,6 +89,8 @@ def _major_kernel(
     xi_ref,
     or_ref,
     oi_ref,
+    sr_ref,  # [A, TILE] VMEM scratch (ping)
+    si_ref,
     *,
     A: int,
     n: int,
@@ -93,15 +104,23 @@ def _major_kernel(
     if inverse and cross:
         # conjugate cross twiddle BEFORE undoing the major FFT
         sa = sa_ref[0, :]
-        b = b0 + jax.lax.broadcasted_iota(jnp.float32, (A, TILE), 1)
+        b = b0 + jax.lax.broadcasted_iota(jnp.int32, (A, TILE), 1).astype(
+            jnp.float32
+        )
         ph = (2.0 * np.pi / n) * (sa[:, None] * b)
         cr, ci = jnp.cos(ph), jnp.sin(ph)
         xr, xi = xr * cr - xi * ci, xr * ci + xi * cr
-    yr, yi = _dif_stages(xr, xi, A, inverse)
+    sr_ref[...] = xr
+    si_ref[...] = xi
+    _dif_stages_ref(sr_ref, si_ref, A, TILE, inverse)
+    yr = sr_ref[...]
+    yi = si_ref[...]
     if not inverse and cross:
         # physical row r holds c1 = brev(r); twiddle W_n^{c1·b}
         sa = sa_ref[0, :]
-        b = b0 + jax.lax.broadcasted_iota(jnp.float32, (A, TILE), 1)
+        b = b0 + jax.lax.broadcasted_iota(jnp.int32, (A, TILE), 1).astype(
+            jnp.float32
+        )
         ph = (-2.0 * np.pi / n) * (sa[:, None] * b)
         cr, ci = jnp.cos(ph), jnp.sin(ph)
         yr, yi = yr * cr - yi * ci, yr * ci + yi * cr
@@ -144,16 +163,22 @@ def fft_major(
             jax.ShapeDtypeStruct((P, A, M), jnp.float32),
             jax.ShapeDtypeStruct((P, A, M), jnp.float32),
         ],
+        scratch_shapes=[
+            pltpu.VMEM((A, TILE), jnp.float32),
+            pltpu.VMEM((A, TILE), jnp.float32),
+        ],
         interpret=interpret,
     )(sa, xr, xi)
 
 
-def _minor_kernel(xr_ref, xi_ref, or_ref, oi_ref, *, M: int, inverse: bool):
-    xr = jnp.swapaxes(xr_ref[0], 0, 1)  # [M, TILE_R]
-    xi = jnp.swapaxes(xi_ref[0], 0, 1)
-    yr, yi = _dif_stages(xr, xi, M, inverse)
-    or_ref[0] = jnp.swapaxes(yr, 0, 1)
-    oi_ref[0] = jnp.swapaxes(yi, 0, 1)
+def _minor_kernel(
+    xr_ref, xi_ref, or_ref, oi_ref, sr_ref, si_ref, *, M: int, inverse: bool
+):
+    sr_ref[...] = jnp.swapaxes(xr_ref[0], 0, 1)  # [M, TILE_R]
+    si_ref[...] = jnp.swapaxes(xi_ref[0], 0, 1)
+    _dif_stages_ref(sr_ref, si_ref, M, TILE, inverse)
+    or_ref[0] = jnp.swapaxes(sr_ref[...], 0, 1)
+    oi_ref[0] = jnp.swapaxes(si_ref[...], 0, 1)
 
 
 @partial(jax.jit, static_argnames=("M", "inverse", "interpret"))
@@ -180,6 +205,10 @@ def fft_minor(
         out_shape=[
             jax.ShapeDtypeStruct((P, A, M), jnp.float32),
             jax.ShapeDtypeStruct((P, A, M), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((M, TILE), jnp.float32),
+            pltpu.VMEM((M, TILE), jnp.float32),
         ],
         interpret=interpret,
     )(xr, xi)
