@@ -27,6 +27,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 TILE = 128  # lane-width column tiles
 
+# Mosaic's scoped-VMEM default (16 MB) is conservative; the unrolled
+# 11-stage butterfly chain peaks at ~33 MB of value temporaries, well
+# within the chip's physical VMEM once the cap is raised.
+_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
 
 @lru_cache(maxsize=8)
 def _brev_host(n: int) -> np.ndarray:
@@ -167,6 +172,7 @@ def fft_major(
             pltpu.VMEM((A, TILE), jnp.float32),
             pltpu.VMEM((A, TILE), jnp.float32),
         ],
+        compiler_params=_PARAMS,
         interpret=interpret,
     )(sa, xr, xi)
 
@@ -210,6 +216,7 @@ def fft_minor(
             pltpu.VMEM((M, TILE), jnp.float32),
             pltpu.VMEM((M, TILE), jnp.float32),
         ],
+        compiler_params=_PARAMS,
         interpret=interpret,
     )(xr, xi)
 

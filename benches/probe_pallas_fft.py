@@ -36,7 +36,9 @@ def main():
             jnp.sum(p[..., ::1009].astype(jnp.float32)) for p in parts
         ).reshape(1)
 
-    for P in (8, 32):
+    from audio_matcher_tpu.ops.pallas_fft import fft_major, fft_minor
+
+    for P in (8, 16, 32, 64):
         xr = jax.device_put(rng.standard_normal((P, N)).astype(np.float32))
         xi = jax.device_put(rng.standard_normal((P, N)).astype(np.float32))
         jax.block_until_ready((xr, xi))
@@ -61,6 +63,24 @@ def main():
             return s1((jnp.real(z), jnp.imag(z)))
 
         bench(f"XLA cfft [{P}, 2^22]", jax.jit(xfft), xr, xi)
+
+        A = 2048
+
+        def pmaj(a, b):
+            yr, yi = fft_major(
+                a.reshape(P, A, N // A), b.reshape(P, A, N // A), A, N
+            )
+            return s1((yr.reshape(P, N), yi.reshape(P, N)))
+
+        bench(f"pallas major-only [{P}]", jax.jit(pmaj), xr, xi)
+
+        def pmin(a, b):
+            yr, yi = fft_minor(
+                a.reshape(P, A, N // A), b.reshape(P, A, N // A), N // A
+            )
+            return s1((yr.reshape(P, N), yi.reshape(P, N)))
+
+        bench(f"pallas minor-only [{P}]", jax.jit(pmin), xr, xi)
 
     # numerics on TPU (compiled kernels, not interpret)
     x = rng.standard_normal(N).astype(np.float32)
