@@ -25,12 +25,16 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TILE = 128  # lane-width column tiles
+TILE = 256  # column-tile width (wider = longer contiguous HBM runs in
+# the major pass's strided column reads; VMEM temps scale with it)
 
 # Mosaic's scoped-VMEM default (16 MB) is conservative; the unrolled
 # 11-stage butterfly chain peaks at ~33 MB of value temporaries, well
 # within the chip's physical VMEM once the cap is raised.
-_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+_PARAMS = pltpu.CompilerParams(
+    vmem_limit_bytes=100 * 1024 * 1024,
+    dimension_semantics=("parallel", "parallel"),
+)
 
 
 @lru_cache(maxsize=8)
@@ -90,26 +94,27 @@ def _dif_stages_ref(sr_ref, si_ref, R: int, C: int, inverse: bool):
 
 def _major_kernel(
     sa_ref,  # [1, A] f32 — brev_A as floats (exact ≤ 2^24)
-    xr_ref,  # [1, A, TILE]
+    xr_ref,  # [1, A, tile]
     xi_ref,
     or_ref,
     oi_ref,
-    sr_ref,  # [A, TILE] VMEM scratch (ping)
+    sr_ref,  # [A, tile] VMEM scratch
     si_ref,
     *,
     A: int,
     n: int,
+    tile: int,
     inverse: bool,
     cross: bool,
 ):
     j = pl.program_id(1)
-    b0 = j * TILE
+    b0 = j * tile
     xr = xr_ref[0]
     xi = xi_ref[0]
     if inverse and cross:
         # conjugate cross twiddle BEFORE undoing the major FFT
         sa = sa_ref[0, :]
-        b = b0 + jax.lax.broadcasted_iota(jnp.int32, (A, TILE), 1).astype(
+        b = b0 + jax.lax.broadcasted_iota(jnp.int32, (A, tile), 1).astype(
             jnp.float32
         )
         ph = (2.0 * np.pi / n) * (sa[:, None] * b)
@@ -117,13 +122,13 @@ def _major_kernel(
         xr, xi = xr * cr - xi * ci, xr * ci + xi * cr
     sr_ref[...] = xr
     si_ref[...] = xi
-    _dif_stages_ref(sr_ref, si_ref, A, TILE, inverse)
+    _dif_stages_ref(sr_ref, si_ref, A, tile, inverse)
     yr = sr_ref[...]
     yi = si_ref[...]
     if not inverse and cross:
         # physical row r holds c1 = brev(r); twiddle W_n^{c1·b}
         sa = sa_ref[0, :]
-        b = b0 + jax.lax.broadcasted_iota(jnp.int32, (A, TILE), 1).astype(
+        b = b0 + jax.lax.broadcasted_iota(jnp.int32, (A, tile), 1).astype(
             jnp.float32
         )
         ph = (-2.0 * np.pi / n) * (sa[:, None] * b)
@@ -149,14 +154,17 @@ def fft_major(
     """DIF pass over the A axis for every (batch, column), with the
     four-step cross twiddle folded in (forward: after; inverse: before)."""
     P, A_, M = xr.shape
-    assert A_ == A and M % TILE == 0
+    tile = min(TILE, M)
+    assert A_ == A and M % tile == 0
     sa = jnp.asarray(_brev_host(A), jnp.float32)[None, :]
-    grid = (P, M // TILE)
+    grid = (P, M // tile)
     spec = pl.BlockSpec(
-        (1, A, TILE), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM
+        (1, A, tile), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM
     )
     return pl.pallas_call(
-        partial(_major_kernel, A=A, n=n, inverse=inverse, cross=cross),
+        partial(
+            _major_kernel, A=A, n=n, tile=tile, inverse=inverse, cross=cross
+        ),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, A), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
@@ -169,8 +177,8 @@ def fft_major(
             jax.ShapeDtypeStruct((P, A, M), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((A, TILE), jnp.float32),
-            pltpu.VMEM((A, TILE), jnp.float32),
+            pltpu.VMEM((A, tile), jnp.float32),
+            pltpu.VMEM((A, tile), jnp.float32),
         ],
         compiler_params=_PARAMS,
         interpret=interpret,
@@ -178,11 +186,12 @@ def fft_major(
 
 
 def _minor_kernel(
-    xr_ref, xi_ref, or_ref, oi_ref, sr_ref, si_ref, *, M: int, inverse: bool
+    xr_ref, xi_ref, or_ref, oi_ref, sr_ref, si_ref, *,
+    M: int, tile: int, inverse: bool,
 ):
-    sr_ref[...] = jnp.swapaxes(xr_ref[0], 0, 1)  # [M, TILE_R]
+    sr_ref[...] = jnp.swapaxes(xr_ref[0], 0, 1)  # [M, tile]
     si_ref[...] = jnp.swapaxes(xi_ref[0], 0, 1)
-    _dif_stages_ref(sr_ref, si_ref, M, TILE, inverse)
+    _dif_stages_ref(sr_ref, si_ref, M, tile, inverse)
     or_ref[0] = jnp.swapaxes(sr_ref[...], 0, 1)
     oi_ref[0] = jnp.swapaxes(si_ref[...], 0, 1)
 
@@ -198,13 +207,14 @@ def fft_minor(
     """DIF pass over the M (minor) axis for every (batch, row): tiles of
     128 rows transpose in VMEM, transform, transpose back."""
     P, A, M_ = xr.shape
-    assert M_ == M and A % TILE == 0
-    grid = (P, A // TILE)
+    tile = min(TILE, A)
+    assert M_ == M and A % tile == 0
+    grid = (P, A // tile)
     spec = pl.BlockSpec(
-        (1, TILE, M), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+        (1, tile, M), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
     )
     return pl.pallas_call(
-        partial(_minor_kernel, M=M, inverse=inverse),
+        partial(_minor_kernel, M=M, tile=tile, inverse=inverse),
         grid=grid,
         in_specs=[spec, spec],
         out_specs=[spec, spec],
@@ -213,8 +223,8 @@ def fft_minor(
             jax.ShapeDtypeStruct((P, A, M), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((M, TILE), jnp.float32),
-            pltpu.VMEM((M, TILE), jnp.float32),
+            pltpu.VMEM((M, tile), jnp.float32),
+            pltpu.VMEM((M, tile), jnp.float32),
         ],
         compiler_params=_PARAMS,
         interpret=interpret,
@@ -228,7 +238,7 @@ def split_factors(n: int) -> tuple[int, int]:
     e = n.bit_length() - 1
     a = e // 2
     A, M = 1 << a, 1 << (e - a)
-    if A < TILE or M < TILE:
+    if A < 128 or M < 128:
         raise ValueError(f"n = {n} too small for the two-factor VPU fft")
     return A, M
 
