@@ -81,7 +81,7 @@ def build_parser() -> argparse.ArgumentParser:
         "(the reference errors instead)",
     )
     p.add_argument(
-        "--fft-impl", choices=("xla", "xla_packed", "mxu"),
+        "--fft-impl", choices=("xla", "xla_packed", "mxu", "vpu"),
         default="xla_packed", metavar="IMPL",
         help="correlation FFT implementation (xla_packed: two real "
         "correlations per complex inverse transform — measured fastest "

@@ -78,7 +78,7 @@ def build_parser() -> argparse.ArgumentParser:
         help="staging wire format (default int16: lossless vs 16-bit source)",
     )
     p.add_argument(
-        "--fft-impl", choices=("xla", "xla_packed", "mxu"),
+        "--fft-impl", choices=("xla", "xla_packed", "mxu", "vpu"),
         default="xla_packed", metavar="IMPL",
         help="correlation FFT implementation (xla_packed: two real "
         "correlations per complex inverse transform — measured fastest "

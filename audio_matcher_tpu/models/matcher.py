@@ -84,6 +84,9 @@ class MatchConfig:
     #          identical peaks, ~0.6x the FFT work of "xla"
     #  "mxu" — matmul four-step FFT with the same packing
     #          (ops/mxu_fft.py); measured ≈ "xla" at HIGHEST precision
+    #  "vpu" — pallas two-factor DIF FFT (ops/pallas_fft.py): butterflies
+    #          in VMEM, scrambled order end-to-end; measured 1.25-2.2×
+    #          XLA's FFT on v5e. Falls back to xla_packed below 2^14
     fft_impl: str = "xla"
     # peak-pick implementation: "jnp" (multi-pass, ops/peaks.py) or
     # "pallas" (single HBM pass + block-array rounds, identical results)
@@ -197,6 +200,14 @@ def _corr_windows(windows, sample_f, fft_len: int, valid_max: int,
         from ..ops.correlate import corr_single_query_packed
 
         return corr_single_query_packed(windows, sample_f, valid_max)
+    if fft_impl == "vpu":
+        from ..ops.pallas_fft import corr_single_query_vpu
+
+        interpret = jax.default_backend() != "tpu"
+        return corr_single_query_vpu(
+            windows, sample_f[0], sample_f[1], valid_max,
+            interpret=interpret,
+        )
     x = jnp.fft.rfft(windows, n=fft_len)
     return jnp.fft.irfft(x * jnp.conj(sample_f), n=fft_len)[..., :valid_max]
 
@@ -369,6 +380,12 @@ class SnippetMatcher:
         self.window = self.chunk + self.overlap
         self.valid = self.window - self.snippet.m + 1
         self.fft_len = fft_length(self.window + self.snippet.m - 1)
+        self.fft_impl = cfg.fft_impl
+        if self.fft_impl == "vpu":
+            from ..ops.pallas_fft import MIN_N
+
+            if self.fft_len < MIN_N:
+                self.fft_impl = "xla_packed"  # too small for two factors
         # whole-second truncation parity (audio_matcher.rs:228)
         self.distance_samples = int(cfg.distance_secs) * self.sr
         per_chunk = self.valid // max(self.distance_samples, 1) + 2
@@ -385,13 +402,20 @@ class SnippetMatcher:
     @property
     def _sample_f(self):
         if self._sample_f_cache is None:
-            if self.config.fft_impl == "mxu":
+            if self.fft_impl == "vpu":
+                from ..ops.pallas_fft import scrambled_query_spectra
+
+                self._sample_f_cache = jax.jit(
+                    scrambled_query_spectra,
+                    static_argnames=("fft_len", "pack"),
+                )(self.snippet.data[None, :], self.fft_len, False)
+            elif self.config.fft_impl == "mxu":
                 from ..ops.mxu_fft import scrambled_spectra_parts
 
                 self._sample_f_cache = jax.jit(
                     scrambled_spectra_parts, static_argnames=("n",)
                 )(self.snippet.data[None, :], self.fft_len)
-            elif self.config.fft_impl == "xla_packed":
+            elif self.fft_impl == "xla_packed":
                 from ..ops.correlate import full_spectrum
 
                 self._sample_f_cache = jnp.conj(
@@ -534,7 +558,7 @@ class SnippetMatcher:
             block=cfg.block,
             slab=B,
             n_slabs=n_windows_pad // B,
-            fft_impl=cfg.fft_impl,
+            fft_impl=self.fft_impl,
             peaks_impl=cfg.peaks_impl,
         )
         pos, h, prom = np.asarray(pos), np.asarray(h), np.asarray(prom)
@@ -567,7 +591,7 @@ class SnippetMatcher:
             block=cfg.block,
             slab=B,
             n_slabs=n_windows_pad // B,
-            fft_impl=cfg.fft_impl,
+            fft_impl=self.fft_impl,
             peaks_impl=cfg.peaks_impl,
         )
         pos, h, prom = np.asarray(pos), np.asarray(h), np.asarray(prom)

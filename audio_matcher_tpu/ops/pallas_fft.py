@@ -257,3 +257,87 @@ def fft2_scrambled(xr, xi, n: int, inverse: bool = False, interpret=False):
         xr, xi = fft_minor(xr, xi, M, inverse=True, interpret=interpret)
         xr, xi = fft_major(xr, xi, A, n, inverse=True, interpret=interpret)
     return xr.reshape(P, n), xi.reshape(P, n)
+
+
+MIN_N = 1 << 14  # two 128-wide factors; callers fall back below this
+
+
+def scramble_index(n: int) -> np.ndarray:
+    """Natural→scrambled gather index: scrambled[i] = natural[idx[i]]."""
+    A, M = split_factors(n)
+    sa, sm = _brev_host(A), _brev_host(M)
+    return (sa[:, None] + A * sm[None, :]).reshape(n)
+
+
+def scrambled_query_spectra(padded_snippets, fft_len: int, pack: bool):
+    """Query spectra for the VPU-FFT correlation, permuted into the
+    scrambled layout with conj and the inverse-transform 1/n folded in.
+
+    pack=True → query-pair spectra T[j] = (conj(S_2j) + i·conj(S_2j+1))/n
+    (multi-query); pack=False → conj(S)/n per query (single-query window
+    packing). Returns (Tr, Ti) f32 [rows, fft_len].
+    """
+    S = jnp.fft.rfft(jnp.asarray(padded_snippets, jnp.float32), n=fft_len)
+    mid = S[..., 1:-1]
+    Sf = jnp.concatenate([S, jnp.conj(mid[..., ::-1])], axis=-1)
+    T = jnp.conj(Sf) * jnp.float32(1.0 / fft_len)
+    if pack:
+        Q = T.shape[0]
+        if Q % 2:
+            T = jnp.pad(T, ((0, 1), (0, 0)))
+        T = T[0::2] + 1j * T[1::2]
+    idx = jnp.asarray(scramble_index(fft_len))
+    T = T[:, idx]
+    return jnp.real(T).astype(jnp.float32), jnp.imag(T).astype(jnp.float32)
+
+
+def corr_slab_vpu(
+    windows,  # [B, W] f32
+    t_r,  # [Qh, n] f32 — scrambled_query_spectra(pack=True)
+    t_i,
+    valid_max: int,
+    interpret: bool = False,
+):
+    """All (window, query) correlations with every FFT on the VPU pallas
+    kernels; query pairs pack into each inverse transform (V = X·T is
+    linear in X). Returns [B, 2·Qh, valid_max] (caller slices odd Q)."""
+    B, W = windows.shape
+    Qh, n = t_r.shape
+    if W < n:
+        windows = jnp.pad(windows, ((0, 0), (0, n - W)))
+    Xr, Xi = fft2_scrambled(
+        windows, jnp.zeros_like(windows), n, interpret=interpret
+    )
+    Vr = Xr[:, None] * t_r[None] - Xi[:, None] * t_i[None]
+    Vi = Xr[:, None] * t_i[None] + Xi[:, None] * t_r[None]
+    yr, yi = fft2_scrambled(
+        Vr.reshape(B * Qh, n), Vi.reshape(B * Qh, n), n,
+        inverse=True, interpret=interpret,
+    )
+    c = jnp.stack([yr[..., :valid_max], yi[..., :valid_max]], axis=1)
+    return c.reshape(B, 2 * Qh, valid_max)
+
+
+def corr_single_query_vpu(
+    windows,  # [B, W] f32
+    s_r,  # [1, n] f32 — scrambled_query_spectra(pack=False), one query
+    s_i,
+    valid_max: int,
+    interpret: bool = False,
+):
+    """Single-query variant: WINDOW pairs pack both directions
+    (fft(w0 + i·w1); both correlation outputs are real). → [B, valid]."""
+    B, W = windows.shape
+    n = s_r.shape[-1]
+    if W < n:
+        windows = jnp.pad(windows, ((0, 0), (0, n - W)))
+    if B % 2:
+        windows = jnp.pad(windows, ((0, 1), (0, 0)))
+    Zr, Zi = fft2_scrambled(
+        windows[0::2], windows[1::2], n, interpret=interpret
+    )
+    Vr = Zr * s_r - Zi * s_i
+    Vi = Zr * s_i + Zi * s_r
+    yr, yi = fft2_scrambled(Vr, Vi, n, inverse=True, interpret=interpret)
+    c = jnp.stack([yr[..., :valid_max], yi[..., :valid_max]], axis=1)
+    return c.reshape(-1, valid_max)[:B]

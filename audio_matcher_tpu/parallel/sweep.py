@@ -124,6 +124,15 @@ def resident_match_step(
 
                 Q = inv_ac.shape[0]
                 c = corr_slab_xla_packed(windows, sample_f, crop)[:, :Q]
+            elif fft_impl == "vpu":
+                from ..ops.pallas_fft import corr_slab_vpu
+
+                Q = inv_ac.shape[0]
+                interpret = jax.default_backend() != "tpu"
+                c = corr_slab_vpu(
+                    windows, sample_f[0], sample_f[1], crop,
+                    interpret=interpret,
+                )[:, :Q]
             else:
                 x = jnp.fft.rfft(windows, n=fft_len)  # [B, F] — shared fwd
                 spec = x[:, None, :] * jnp.conj(sample_f)[None, :, :]
@@ -504,6 +513,12 @@ class ShardedScanner:
         self.window = self.chunk + self.overlap
         self.valid = self.window - self.m_min + 1
         self.fft_len = fft_length(self.window + self.m_max - 1)
+        self.fft_impl = cfg.fft_impl
+        if self.fft_impl == "vpu":
+            from ..ops.pallas_fft import MIN_N
+
+            if self.fft_len < MIN_N:
+                self.fft_impl = "xla_packed"
         self.distance_samples = int(cfg.distance_secs) * self.sr
         self.n_peaks = min(
             self.valid // max(self.distance_samples, 1) + 2,
@@ -547,11 +562,18 @@ class ShardedScanner:
         """Spectra in the form the resident step expects: rfft spectra for
         "xla", packed pair spectra for "xla_packed", scrambled split
         spectra for "mxu"."""
-        impl = self.config.fft_impl
+        impl = self.fft_impl
         if impl == "xla":
             return self._sample_f
         if self._sample_f_full_cache is None:
-            if impl == "mxu":
+            if impl == "vpu":
+                from ..ops.pallas_fft import scrambled_query_spectra
+
+                self._sample_f_full_cache = jax.jit(
+                    scrambled_query_spectra,
+                    static_argnames=("fft_len", "pack"),
+                )(self._sample_padded, self.fft_len, True)
+            elif impl == "mxu":
                 from ..ops.mxu_fft import scrambled_spectra_parts
 
                 self._sample_f_full_cache = jax.jit(
@@ -611,7 +633,7 @@ class ShardedScanner:
             args = (
                 self.chunk, self.window, self.fft_len, self.valid,
                 self.distance_samples, self.n_peaks, cfg.block, slab,
-                n_slabs, cfg.fft_impl, cfg.peaks_impl,
+                n_slabs, self.fft_impl, cfg.peaks_impl,
             )
             if multi:
                 self._resident_cache[key] = resident_sharded_step(

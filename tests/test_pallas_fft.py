@@ -65,3 +65,54 @@ def test_roundtrip_and_convolution(rng):
         np.fft.rfft(w, n) * np.conj(np.fft.rfft(s, n)), n
     )[:valid]
     assert np.max(np.abs(got - want)) / np.max(np.abs(want)) < 3e-6
+
+
+def test_vpu_impl_equality_matcher_and_scanner(rng):
+    """fft_impl='vpu' (pallas VPU FFT) finds identical peaks to 'xla' in
+    both the single-query matcher and the multi-query sharded scanner
+    (shapes large enough for the two-factor transform)."""
+    from audio_matcher_tpu.models.matcher import MatchConfig, SnippetMatcher
+    from audio_matcher_tpu.parallel.mesh import make_mesh
+    from audio_matcher_tpu.parallel.sweep import ShardedScanner
+
+    SR = 8000
+    snippet = (rng.standard_normal(2 * SR) * 0.2).astype(np.float32)
+    episode = (rng.standard_normal(45 * SR) * 0.05).astype(np.float32)
+    for off in (7, 30):
+        episode[off * SR : off * SR + len(snippet)] = snippet
+
+    base = dict(chunk_secs=10, distance_secs=15, slab=2)
+    got = {}
+    for impl in ("xla", "vpu"):
+        m = SnippetMatcher(snippet, SR, MatchConfig(fft_impl=impl, **base))
+        if impl == "vpu":
+            assert m.fft_impl == "vpu" and m.fft_len >= 1 << 14
+        got[impl] = [(p.position, round(p.height, 5)) for p in m.match(episode)]
+    assert got["vpu"] == got["xla"]
+    assert [p for p, _ in got["xla"]] == [7 * SR, 30 * SR]
+
+    snippets = [snippet, (rng.standard_normal(SR) * 0.2).astype(np.float32)]
+    eps = [episode, episode[: 40 * SR]]
+    outs = {}
+    for impl in ("xla", "vpu"):
+        cfg = MatchConfig(fft_impl=impl, **base)
+        sc = ShardedScanner(snippets, SR, cfg, make_mesh(1))
+        outs[impl] = [
+            [[(p.position, round(p.height, 5)) for p in pk] for pk in per_q]
+            for per_q in sc.scan_resident(eps)
+        ]
+    assert outs["vpu"] == outs["xla"]
+
+
+def test_vpu_small_fft_falls_back(rng):
+    from audio_matcher_tpu.models.matcher import MatchConfig, SnippetMatcher
+
+    SR = 500
+    snippet = (rng.standard_normal(SR) * 0.2).astype(np.float32)
+    m = SnippetMatcher(
+        snippet, SR, MatchConfig(chunk_secs=2, distance_secs=4, fft_impl="vpu")
+    )
+    assert m.fft_impl == "xla_packed"  # fft too small for two 128 factors
+    episode = (rng.standard_normal(10 * SR) * 0.05).astype(np.float32)
+    episode[3 * SR : 4 * SR] = snippet
+    assert [p.position for p in m.match(episode)] == [3 * SR]
