@@ -151,7 +151,7 @@ def main() -> int:
     os.environ.setdefault("OMP_NUM_THREADS", "8")
     rng = np.random.default_rng(42)
     n_episodes = int(os.environ.get("BENCH_EPISODES", "4"))
-    n_queries = int(os.environ.get("BENCH_QUERIES", "16"))
+    n_queries = int(os.environ.get("BENCH_QUERIES", "32"))
     # query lengths 10-13.5 s: varied (exercises per-query valid masking)
     # while keeping the FFT bucket at 2^22 for any query count
     snippets = [
@@ -171,9 +171,10 @@ def main() -> int:
     config = MatchConfig(
         slab=int(os.environ.get("BENCH_SLAB", "8")),
         transfer_dtype=os.environ.get("BENCH_TRANSFER_DTYPE", "int16"),
-        # measured winners on v5e (benches/probe_mxu.py): pair-packed
-        # inverse FFTs + the single-pass pallas peak kernel
-        fft_impl=os.environ.get("BENCH_FFT_IMPL", "xla_packed"),
+        # measured winners on v5e (benches/probe_pallas_fft.py + bench A/B):
+        # the pallas VPU FFT (9.81 pair-h/s e2e vs 9.18 with xla_packed)
+        # + the single-pass pallas peak kernel
+        fft_impl=os.environ.get("BENCH_FFT_IMPL", "vpu"),
         peaks_impl=os.environ.get("BENCH_PEAKS_IMPL", "pallas"),
     )
 
