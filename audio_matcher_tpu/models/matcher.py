@@ -256,6 +256,25 @@ def _match_episode_resident(
         )(starts)
         win_len = jnp.clip(n - starts, 0, window)
         valid = jnp.maximum(win_len - m + 1, 0).astype(jnp.int32)
+        if fft_impl == "vpu" and peaks_impl == "pallas":
+            # fully-fused path: correlation planes stay pair-packed; the
+            # de-interleave + inv_ac scale fold into the peak kernel's read
+            from ..ops.pallas_fft import corr_single_query_vpu_planes
+            from ..ops.peaks import pick_peaks_pallas_packed
+
+            interpret = jax.default_backend() != "tpu"
+            yr, yi = corr_single_query_vpu_planes(
+                windows, sample_f[0], sample_f[1], crop,
+                interpret=interpret,
+            )
+            L = 2 * yr.shape[0]  # logical rows incl. odd-slab pad
+            pos, h, prom = pick_peaks_pallas_packed(
+                yr, yi,
+                jnp.broadcast_to(jnp.float32(inv_ac), (L,)),
+                jnp.pad(valid, (0, L - slab)),  # pad rows emit nothing
+                distance, n_peaks, block, interpret=interpret,
+            )
+            return pos[:slab], h[:slab], prom[:slab]
         c = _corr_windows(windows, sample_f, fft_len, crop, fft_impl)
         c = c * inv_ac
         return pick_peaks_dispatch(

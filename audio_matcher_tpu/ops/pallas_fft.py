@@ -54,7 +54,10 @@ def _dif_stage_once(xr, xi, R: int, C: int, t: int, inverse: bool):
     """One radix-2 DIF stage over axis 0 of [R, C] value planes."""
     m = R >> (t + 1)
     sign = -1.0 if not inverse else 1.0
-    j = jax.lax.broadcasted_iota(jnp.int32, (1, m, C), 1).astype(jnp.float32)
+    # twiddles depend only on the row index j — compute the m distinct
+    # values once per stage ([1, m, 1]) and let the butterfly broadcast
+    # them over the C lanes (a [1, m, C] iota would pay m·C cos/sin)
+    j = jax.lax.broadcasted_iota(jnp.int32, (1, m, 1), 1).astype(jnp.float32)
     ph = (sign * np.pi / m) * j  # 2π·j / (2m)
     wr, wi = jnp.cos(ph), jnp.sin(ph)
     vr = xr.reshape(1 << t, 2 * m, C)
@@ -108,6 +111,7 @@ def _major_kernel(
     cross: bool,
 ):
     j = pl.program_id(1)
+    a_crop = or_ref.shape[1]  # < A: natural-order output rows cropped
     b0 = j * tile
     xr = xr_ref[0]
     xi = xi_ref[0]
@@ -134,13 +138,13 @@ def _major_kernel(
         ph = (-2.0 * np.pi / n) * (sa[:, None] * b)
         cr, ci = jnp.cos(ph), jnp.sin(ph)
         yr, yi = yr * cr - yi * ci, yr * ci + yi * cr
-    or_ref[0] = yr
-    oi_ref[0] = yi
+    or_ref[0] = yr[:a_crop]
+    oi_ref[0] = yi[:a_crop]
 
 
 @partial(
     jax.jit,
-    static_argnames=("A", "n", "inverse", "cross", "interpret"),
+    static_argnames=("A", "n", "inverse", "cross", "interpret", "a_crop"),
 )
 def fft_major(
     xr,  # [P, A, M] f32
@@ -150,16 +154,28 @@ def fft_major(
     inverse: bool = False,
     cross: bool = True,
     interpret: bool = False,
+    a_crop: int | None = None,
 ):
     """DIF pass over the A axis for every (batch, column), with the
-    four-step cross twiddle folded in (forward: after; inverse: before)."""
+    four-step cross twiddle folded in (forward: after; inverse: before).
+
+    ``a_crop`` (inverse only) truncates the natural-order output to the
+    first ``a_crop`` of the A rows — correlation callers only consume the
+    leading valid region of the time-domain result, so the kernel skips
+    ~35% of its HBM writes instead of writing rows a slice would drop.
+    """
     P, A_, M = xr.shape
     tile = min(TILE, M)
     assert A_ == A and M % tile == 0
+    out_a = A if a_crop is None else a_crop
+    assert out_a == A or inverse, "a_crop only applies to the inverse pass"
     sa = jnp.asarray(_brev_host(A), jnp.float32)[None, :]
     grid = (P, M // tile)
     spec = pl.BlockSpec(
         (1, A, tile), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM
+    )
+    ospec = pl.BlockSpec(
+        (1, out_a, tile), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM
     )
     return pl.pallas_call(
         partial(
@@ -171,10 +187,10 @@ def fft_major(
             spec,
             spec,
         ],
-        out_specs=[spec, spec],
+        out_specs=[ospec, ospec],
         out_shape=[
-            jax.ShapeDtypeStruct((P, A, M), jnp.float32),
-            jax.ShapeDtypeStruct((P, A, M), jnp.float32),
+            jax.ShapeDtypeStruct((P, out_a, M), jnp.float32),
+            jax.ShapeDtypeStruct((P, out_a, M), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((A, tile), jnp.float32),
@@ -229,6 +245,77 @@ def fft_minor(
         compiler_params=_PARAMS,
         interpret=interpret,
     )(xr, xi)
+
+
+def _minor_product_kernel(
+    xr_ref,  # [1, tile, M] — window spectrum rows (scrambled major axis)
+    xi_ref,
+    tr_ref,  # [1, tile, M] — query-pair spectrum rows
+    ti_ref,
+    or_ref, oi_ref, sr_ref, si_ref, *,
+    M: int, tile: int,
+):
+    """Inverse minor pass with the correlation product fused into the
+    first read: V = X·T is computed in VMEM, so the [B·Qh, n] product
+    planes never exist in HBM (the grid iterates queries fastest, so each
+    X block is fetched once and stays resident across all Qh queries)."""
+    xr = xr_ref[0]
+    xi = xi_ref[0]
+    tr = tr_ref[0]
+    ti = ti_ref[0]
+    sr_ref[...] = jnp.swapaxes(xr * tr - xi * ti, 0, 1)  # [M, tile]
+    si_ref[...] = jnp.swapaxes(xr * ti + xi * tr, 0, 1)
+    _dif_stages_ref(sr_ref, si_ref, M, tile, inverse=True)
+    or_ref[0] = jnp.swapaxes(sr_ref[...], 0, 1)
+    oi_ref[0] = jnp.swapaxes(si_ref[...], 0, 1)
+
+
+@partial(jax.jit, static_argnames=("M", "interpret"))
+def ifft_minor_product(
+    xr,  # [B, A, M] f32 — forward spectra (scrambled)
+    xi,
+    tr,  # [Qh, A, M] f32 — query spectra (scrambled, conj + 1/n folded)
+    ti,
+    M: int,
+    interpret: bool = False,
+):
+    """[B] windows × [Qh] query pairs → inverse-minor-transformed products
+    [B·Qh, A, M] (row order b·Qh + q), ready for ``fft_major(inverse)``."""
+    B, A, M_ = xr.shape
+    Qh = tr.shape[0]
+    tile = min(TILE, A)
+    assert M_ == M and A % tile == 0
+    grid = (B, A // tile, Qh)  # q fastest: X block reused across queries
+    xspec = pl.BlockSpec(
+        (1, tile, M), lambda b, j, q: (b, j, 0), memory_space=pltpu.VMEM
+    )
+    tspec = pl.BlockSpec(
+        (1, tile, M), lambda b, j, q: (q, j, 0), memory_space=pltpu.VMEM
+    )
+    ospec = pl.BlockSpec(
+        (1, tile, M),
+        lambda b, j, q: (b * Qh + q, j, 0),
+        memory_space=pltpu.VMEM,
+    )
+    return pl.pallas_call(
+        partial(_minor_product_kernel, M=M, tile=tile),
+        grid=grid,
+        in_specs=[xspec, xspec, tspec, tspec],
+        out_specs=[ospec, ospec],
+        out_shape=[
+            jax.ShapeDtypeStruct((B * Qh, A, M), jnp.float32),
+            jax.ShapeDtypeStruct((B * Qh, A, M), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((M, tile), jnp.float32),
+            pltpu.VMEM((M, tile), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(xr, xi, tr, ti)
 
 
 def split_factors(n: int) -> tuple[int, int]:
@@ -305,17 +392,93 @@ def corr_slab_vpu(
     Qh, n = t_r.shape
     if W < n:
         windows = jnp.pad(windows, ((0, 0), (0, n - W)))
+    A, M = split_factors(n)
     Xr, Xi = fft2_scrambled(
         windows, jnp.zeros_like(windows), n, interpret=interpret
     )
-    Vr = Xr[:, None] * t_r[None] - Xi[:, None] * t_i[None]
-    Vi = Xr[:, None] * t_i[None] + Xi[:, None] * t_r[None]
-    yr, yi = fft2_scrambled(
-        Vr.reshape(B * Qh, n), Vi.reshape(B * Qh, n), n,
-        inverse=True, interpret=interpret,
+    # inverse minor pass with the correlation product fused into its first
+    # read — the [B·Qh, n] product planes never round-trip through HBM
+    Vr, Vi = ifft_minor_product(
+        Xr.reshape(B, A, M), Xi.reshape(B, A, M),
+        t_r.reshape(Qh, A, M), t_i.reshape(Qh, A, M),
+        M, interpret=interpret,
     )
+    yr, yi = fft_major(Vr, Vi, A, n, inverse=True, interpret=interpret)
+    yr = yr.reshape(B * Qh, n)
+    yi = yi.reshape(B * Qh, n)
     c = jnp.stack([yr[..., :valid_max], yi[..., :valid_max]], axis=1)
     return c.reshape(B, 2 * Qh, valid_max)
+
+
+def corr_slab_vpu_planes(
+    windows,  # [B, W] f32
+    t_r,  # [Qh, n] f32 — scrambled_query_spectra(pack=True)
+    t_i,
+    width: int,
+    interpret: bool = False,
+):
+    """Pair-packed correlation PLANES: row ``b·Qh + j`` of the returned
+    (yr, yi) holds the correlations of queries ``2j`` / ``2j+1`` against
+    window ``b``, truncated to ``width`` columns (must be a multiple of
+    the minor FFT factor; the inverse major pass skips writing the rows a
+    slice would drop). Consumers de-interleave lazily
+    (ops/peaks.pick_peaks_pallas_packed) — the [B, 2Qh, V] correlation
+    volume never exists in HBM."""
+    B, W = windows.shape
+    Qh, n = t_r.shape
+    if W < n:
+        windows = jnp.pad(windows, ((0, 0), (0, n - W)))
+    A, M = split_factors(n)
+    assert width % M == 0 and width <= n, (width, M, n)
+    Xr, Xi = fft2_scrambled(
+        windows, jnp.zeros_like(windows), n, interpret=interpret
+    )
+    Vr, Vi = ifft_minor_product(
+        Xr.reshape(B, A, M), Xi.reshape(B, A, M),
+        t_r.reshape(Qh, A, M), t_i.reshape(Qh, A, M),
+        M, interpret=interpret,
+    )
+    yr, yi = fft_major(
+        Vr, Vi, A, n, inverse=True, interpret=interpret,
+        a_crop=width // M,
+    )
+    return yr.reshape(B * Qh, width), yi.reshape(B * Qh, width)
+
+
+def corr_single_query_vpu_planes(
+    windows,  # [B, W] f32
+    s_r,  # [1, n] f32 — scrambled_query_spectra(pack=False), one query
+    s_i,
+    width: int,
+    interpret: bool = False,
+):
+    """Single-query correlation PLANES: window pairs pack both directions
+    (fft(w0 + i·w1); both correlation outputs are real), so logical row
+    ``2p`` of (yr, yi) is window ``2p``'s correlation and ``2p+1`` is
+    window ``2p+1``'s, truncated to ``width``. Rows beyond B (odd-B pad)
+    carry garbage — mask them with valid_len=0."""
+    B, W = windows.shape
+    n = s_r.shape[-1]
+    if W < n:
+        windows = jnp.pad(windows, ((0, 0), (0, n - W)))
+    if B % 2:
+        windows = jnp.pad(windows, ((0, 1), (0, 0)))
+    A, M = split_factors(n)
+    assert width % M == 0 and width <= n, (width, M, n)
+    Zr, Zi = fft2_scrambled(
+        windows[0::2], windows[1::2], n, interpret=interpret
+    )
+    P = Zr.shape[0]
+    Vr, Vi = ifft_minor_product(
+        Zr.reshape(P, A, M), Zi.reshape(P, A, M),
+        s_r.reshape(1, A, M), s_i.reshape(1, A, M),
+        M, interpret=interpret,
+    )
+    yr, yi = fft_major(
+        Vr, Vi, A, n, inverse=True, interpret=interpret,
+        a_crop=width // M,
+    )
+    return yr.reshape(P, width), yi.reshape(P, width)
 
 
 def corr_single_query_vpu(
@@ -327,17 +490,12 @@ def corr_single_query_vpu(
 ):
     """Single-query variant: WINDOW pairs pack both directions
     (fft(w0 + i·w1); both correlation outputs are real). → [B, valid]."""
-    B, W = windows.shape
+    B = windows.shape[0]
     n = s_r.shape[-1]
-    if W < n:
-        windows = jnp.pad(windows, ((0, 0), (0, n - W)))
-    if B % 2:
-        windows = jnp.pad(windows, ((0, 1), (0, 0)))
-    Zr, Zi = fft2_scrambled(
-        windows[0::2], windows[1::2], n, interpret=interpret
+    A, M = split_factors(n)
+    width = -(-valid_max // M) * M  # planes truncate on M-row boundaries
+    yr, yi = corr_single_query_vpu_planes(
+        windows, s_r, s_i, min(width, n), interpret=interpret
     )
-    Vr = Zr * s_r - Zi * s_i
-    Vi = Zr * s_i + Zi * s_r
-    yr, yi = fft2_scrambled(Vr, Vi, n, inverse=True, interpret=interpret)
     c = jnp.stack([yr[..., :valid_max], yi[..., :valid_max]], axis=1)
     return c.reshape(-1, valid_max)[:B]

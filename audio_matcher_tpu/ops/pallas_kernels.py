@@ -35,22 +35,17 @@ ROWS = 8
 GROUP = 128
 
 
-def _block_reduce_kernel(
-    valid_ref,  # [ROWS, GROUP] VMEM — per-row valid length (broadcast)
-    x_ref,  # [ROWS, GROUP*block] VMEM — 128 tiles of 8 rows
-    best_val_ref,  # [ROWS, GROUP] out
-    best_pos_ref,  # [ROWS, GROUP] out (int32, global columns)
-    bmin_ref,  # [ROWS, GROUP] out
-    bmax_ref,  # [ROWS, GROUP] out
-    *,
+def _reduce_rows(
+    x,  # [rows, GROUP*block] VMEM value
+    valid,  # [rows, 1]
+    base,  # scalar: global column of x[:, 0]
+    rows: int,
     block: int,
+    best_val_ref, best_pos_ref, bmin_ref, bmax_ref,
 ):
-    j = pl.program_id(1)  # tile-group index along V
+    """Shared reduce body: per-tile best strict local max + masked extrema."""
     width = GROUP * block
-    base = j * width
-    valid = valid_ref[:, 0:1]  # [ROWS, 1]
-    x = x_ref[:, :]
-    cols = jax.lax.broadcasted_iota(jnp.int32, (ROWS, width), 1) + base
+    cols = jax.lax.broadcasted_iota(jnp.int32, (rows, width), 1) + base
     colvalid = cols < valid
 
     x_min = jnp.where(colvalid, x, float("inf"))
@@ -67,15 +62,33 @@ def _block_reduce_kernel(
     is_peak = (x > left) & (x > right) & interior & colvalid
     heights = jnp.where(is_peak, x, float("-inf"))
 
-    h3 = heights.reshape(ROWS, GROUP, block)
+    h3 = heights.reshape(rows, GROUP, block)
     best_val_ref[:, :] = jnp.max(h3, axis=-1)
-    r = jnp.argmax(h3, axis=-1).astype(jnp.int32)  # [ROWS, GROUP]
+    r = jnp.argmax(h3, axis=-1).astype(jnp.int32)  # [rows, GROUP]
     tile_base = base + jax.lax.broadcasted_iota(
-        jnp.int32, (ROWS, GROUP), 1
+        jnp.int32, (rows, GROUP), 1
     ) * block
     best_pos_ref[:, :] = tile_base + r
-    bmin_ref[:, :] = jnp.min(x_min.reshape(ROWS, GROUP, block), axis=-1)
-    bmax_ref[:, :] = jnp.max(x_max.reshape(ROWS, GROUP, block), axis=-1)
+    bmin_ref[:, :] = jnp.min(x_min.reshape(rows, GROUP, block), axis=-1)
+    bmax_ref[:, :] = jnp.max(x_max.reshape(rows, GROUP, block), axis=-1)
+
+
+def _block_reduce_kernel(
+    valid_ref,  # [ROWS, GROUP] VMEM — per-row valid length (broadcast)
+    x_ref,  # [ROWS, GROUP*block] VMEM — 128 tiles of 8 rows
+    best_val_ref,  # [ROWS, GROUP] out
+    best_pos_ref,  # [ROWS, GROUP] out (int32, global columns)
+    bmin_ref,  # [ROWS, GROUP] out
+    bmax_ref,  # [ROWS, GROUP] out
+    *,
+    block: int,
+):
+    j = pl.program_id(1)  # tile-group index along V
+    base = j * GROUP * block
+    _reduce_rows(
+        x_ref[:, :], valid_ref[:, 0:1], base, ROWS, block,
+        best_val_ref, best_pos_ref, bmin_ref, bmax_ref,
+    )
 
 
 @partial(jax.jit, static_argnames=("block", "interpret"))
@@ -137,6 +150,95 @@ def local_max_block_reduce(
         interpret=interpret,
     )(valid2d, x.astype(jnp.float32))
     return bv[:B, :nb], bp[:B, :nb], bmin[:B, :nb], bmax[:B, :nb]
+
+
+def _block_reduce_packed_kernel(
+    valid_ref,  # [2*PROWS, GROUP]
+    scale_ref,  # [2*PROWS, GROUP] — per logical row multiplier
+    yr_ref,  # [PROWS, GROUP*block] — even logical rows
+    yi_ref,  # [PROWS, GROUP*block] — odd logical rows
+    best_val_ref, best_pos_ref, bmin_ref, bmax_ref,  # [2*PROWS, GROUP] out
+    *,
+    block: int,
+):
+    j = pl.program_id(1)
+    width = GROUP * block
+    base = j * width
+    a = yr_ref[:, :]
+    b = yi_ref[:, :]
+    # de-interleave the packed-FFT planes in VMEM: logical row 2p ← yr[p],
+    # 2p+1 ← yi[p] — the [2P, V] correlation array never exists in HBM
+    x = jnp.stack([a, b], axis=1).reshape(2 * a.shape[0], width)
+    x = x * scale_ref[:, 0:1]
+    _reduce_rows(
+        x, valid_ref[:, 0:1], base, 2 * a.shape[0], block,
+        best_val_ref, best_pos_ref, bmin_ref, bmax_ref,
+    )
+
+
+@partial(jax.jit, static_argnames=("block", "interpret"))
+def local_max_block_reduce_packed(
+    yr: jax.Array,  # [P, V] — correlations of even logical rows
+    yi: jax.Array,  # [P, V] — odd logical rows
+    scale: jax.Array,  # [2P] f32 — per logical row (e.g. inv autocorr)
+    valid_len: jax.Array,  # [2P] int32
+    block: int = 512,
+    interpret: bool = False,
+):
+    """:func:`local_max_block_reduce` over the pair-packed inverse-FFT
+    planes: logical row ``2p`` is ``yr[p]·scale[2p]``, row ``2p+1`` is
+    ``yi[p]·scale[2p+1]``. The de-interleave and the scale happen in VMEM
+    on the kernel's single read — the stacked/scaled correlation volume is
+    never materialized. Returns block arrays shaped [2P, NB]."""
+    P, V = yr.shape
+    assert V % block == 0, "pad V to a multiple of block"
+    nb = V // block
+    prows = ROWS  # physical plane rows per grid cell → 16 logical rows
+    p_pad = -(-P // prows) * prows
+    nb_pad = -(-nb // GROUP) * GROUP
+    L = 2 * p_pad
+    if p_pad != P:
+        yr = jnp.pad(yr, ((0, p_pad - P), (0, 0)))
+        yi = jnp.pad(yi, ((0, p_pad - P), (0, 0)))
+        valid_len = jnp.pad(valid_len, (0, L - 2 * P))
+        scale = jnp.pad(scale, (0, L - 2 * P))
+    if nb_pad != nb:
+        yr = jnp.pad(yr, ((0, 0), (0, (nb_pad - nb) * block)))
+        yi = jnp.pad(yi, ((0, 0), (0, (nb_pad - nb) * block)))
+    valid2d = jnp.broadcast_to(
+        valid_len.astype(jnp.int32)[:, None], (L, nb_pad)
+    )
+    scale2d = jnp.broadcast_to(
+        scale.astype(jnp.float32)[:, None], (L, nb_pad)
+    )
+    grid = (p_pad // prows, nb_pad // GROUP)
+    out_shape = [
+        jax.ShapeDtypeStruct((L, nb_pad), jnp.float32),
+        jax.ShapeDtypeStruct((L, nb_pad), jnp.int32),
+        jax.ShapeDtypeStruct((L, nb_pad), jnp.float32),
+        jax.ShapeDtypeStruct((L, nb_pad), jnp.float32),
+    ]
+    lspec = pl.BlockSpec(
+        (2 * prows, GROUP), lambda i, j: (i, j), memory_space=pltpu.VMEM
+    )
+    pspec = pl.BlockSpec(
+        (prows, GROUP * block), lambda i, j: (i, j), memory_space=pltpu.VMEM
+    )
+    bv, bp, bmin, bmax = pl.pallas_call(
+        partial(_block_reduce_packed_kernel, block=block),
+        grid=grid,
+        in_specs=[lspec, lspec, pspec, pspec],
+        out_specs=[lspec for _ in range(4)],
+        out_shape=out_shape,
+        # 16 logical rows of elementwise temporaries exceed the 16 MB
+        # scoped-VMEM default (the dense kernel OOMs at half this already)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(valid2d, scale2d, yr.astype(jnp.float32), yi.astype(jnp.float32))
+    n = 2 * P
+    return bv[:n, :nb], bp[:n, :nb], bmin[:n, :nb], bmax[:n, :nb]
 
 
 def seam_repair_host(x: np.ndarray, valid_len: int, block: int):

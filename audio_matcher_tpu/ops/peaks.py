@@ -275,19 +275,109 @@ def _gather_window(x, starts, width: int):
     return jax.vmap(one)(x, jnp.clip(starts, 0, max(x.shape[1] - width, 0)))
 
 
-def _merge_seams(x, valid_len, bv, bp, block: int):
+class _DenseRows:
+    """Row source over a materialized [B, V] correlation array."""
+
+    def __init__(self, x):
+        self.x = x
+        self.shape = x.shape
+
+    def columns(self, p):  # [K] int32 → [B, K]
+        return self.x[:, p]
+
+    def slices(self, starts, width: int):  # [B] pre-clamped → [B, width]
+        def one(row, s):
+            return jax.lax.dynamic_slice(row, (s,), (width,))
+
+        return jax.vmap(one)(self.x, starts)
+
+    def slice_slots(self, starts, width: int):  # [B, S] → [B, S, width]
+        def one(row, ss):
+            return jax.vmap(
+                lambda s: jax.lax.dynamic_slice(row, (s,), (width,))
+            )(ss)
+
+        return jax.vmap(one)(self.x, starts)
+
+    def block_reduce(self, valid_len, block: int, interpret: bool):
+        from .pallas_kernels import local_max_block_reduce
+
+        return local_max_block_reduce(
+            self.x, valid_len, block=block, interpret=interpret
+        )
+
+
+def _interleave_rows(a, b):
+    """[P, ...] even rows + [P, ...] odd rows → [2P, ...]."""
+    return jnp.stack([a, b], axis=1).reshape(-1, *a.shape[1:])
+
+
+class _PackedPairRows:
+    """Row source over the pair-packed inverse-FFT planes: logical row 2p
+    is ``yr[p]·scale[2p]``, row 2p+1 is ``yi[p]·scale[2p+1]`` — the
+    de-interleaved correlation volume never exists in HBM (the kernel
+    fuses interleave+scale into its single read; host-side gathers stay
+    tiny). Scaling commutes with selection, so results are bit-identical
+    to picking on the materialized product."""
+
+    def __init__(self, yr, yi, scale):
+        assert yr.shape == yi.shape
+        self.yr = yr
+        self.yi = yi
+        self.scale = scale.astype(jnp.float32)  # [2P]
+        self.shape = (2 * yr.shape[0], yr.shape[1])
+
+    def columns(self, p):
+        x = _interleave_rows(self.yr[:, p], self.yi[:, p])
+        return x * self.scale[:, None]
+
+    def slices(self, starts, width: int):
+        def one(plane, s):
+            return jax.vmap(
+                lambda row, st: jax.lax.dynamic_slice(row, (st,), (width,))
+            )(plane, s)
+
+        x = _interleave_rows(
+            one(self.yr, starts[0::2]), one(self.yi, starts[1::2])
+        )
+        return x * self.scale[:, None]
+
+    def slice_slots(self, starts, width: int):
+        def one(plane, s2):
+            def per_row(row, ss):
+                return jax.vmap(
+                    lambda s: jax.lax.dynamic_slice(row, (s,), (width,))
+                )(ss)
+
+            return jax.vmap(per_row)(plane, s2)
+
+        x = _interleave_rows(
+            one(self.yr, starts[0::2]), one(self.yi, starts[1::2])
+        )
+        return x * self.scale[:, None, None]
+
+    def block_reduce(self, valid_len, block: int, interpret: bool):
+        from .pallas_kernels import local_max_block_reduce_packed
+
+        return local_max_block_reduce_packed(
+            self.yr, self.yi, self.scale, valid_len,
+            block=block, interpret=interpret,
+        )
+
+
+def _merge_seams(src, valid_len, bv, bp, block: int):
     """Fold tile-boundary local maxima (which the Pallas kernel's in-tile
     neighbor compare can't see) into the per-tile candidates."""
-    B, V = x.shape
+    B, V = src.shape
     NB = V // block
     if NB < 2:
         return bv, bp
     js = jnp.arange(1, NB, dtype=jnp.int32)
     for offs, strict in ((-1, True), (0, False)):
         p = js * block + offs  # [NB-1] columns to re-check
-        x0 = x[:, p]
-        xm1 = x[:, p - 1]
-        xp1 = x[:, p + 1]
+        x0 = src.columns(p)
+        xm1 = src.columns(p - 1)
+        xp1 = src.columns(p + 1)
         interior = (p[None, :] >= 1) & (p[None, :] <= valid_len[:, None] - 2)
         pk = (x0 > xm1) & (x0 > xp1) & interior
         h = jnp.where(pk, x0, _NEG)
@@ -304,18 +394,18 @@ def _merge_seams(x, valid_len, bv, bp, block: int):
     return bv, bp
 
 
-def _rescan_tile(x, valid_len, picked_pos, tile, d, block):
+def _rescan_tile(src, valid_len, picked_pos, tile, d, block):
     """Exact best surviving local max of one tile per row, excluding every
     already-picked exclusion interval (|col - p_j| < d). Exhausted picked
     slots hold a far-negative sentinel, so they exclude nothing."""
-    B, V = x.shape
+    B, V = src.shape
     t = jnp.clip(tile, 0, V // block - 1)
     start = t * block
     # halo window; the slice start clamps near the array edges, so column
     # indices are tracked explicitly and masked back to the tile
     width = min(block + 2, V)
     p0 = jnp.clip(start - 1, 0, max(V - width, 0))
-    win = _gather_window(x, p0, width)
+    win = src.slices(p0, width)
     cols = p0[:, None] + 1 + jnp.arange(width - 2, dtype=jnp.int32)[None, :]
     c = win[:, 1:-1]
     left = win[:, :-2]
@@ -349,8 +439,6 @@ def pick_peaks_pallas(
     exclusion set), and blockwise prominence — runs on [B, NB] block
     arrays plus tiny dynamic-slice gathers.
     """
-    from .pallas_kernels import local_max_block_reduce
-
     # kernel input blocks are (8 rows, 128 tiles); tiles beyond 256 cols
     # blow the 16 MB scoped-VMEM budget with the elementwise temporaries
     # (measured: 512-col tiles OOM at 18.1M)
@@ -361,13 +449,46 @@ def pick_peaks_pallas(
         # callers crop the correlation to a block multiple to avoid this
         # copy; fallback for ad-hoc shapes
         x = jnp.pad(x, ((0, 0), (0, block - V % block)))
-        V = x.shape[1]
+    return _pick_peaks_from_source(
+        _DenseRows(x), valid_len, distance, n_peaks, block, interpret
+    )
+
+
+def pick_peaks_pallas_packed(
+    yr: jax.Array,  # [P, V] — even logical rows (pair-packed inverse FFT)
+    yi: jax.Array,  # [P, V] — odd logical rows
+    scale: jax.Array,  # [2P] f32 per logical row (inverse autocorrelation)
+    valid_len: jax.Array,  # [2P] int32
+    distance: int,
+    n_peaks: int,
+    block: int = 2048,
+    interpret: bool = False,
+):
+    """:func:`pick_peaks_pallas` over pair-packed correlation planes.
+
+    Logical row ``2p`` = ``yr[p]·scale[2p]``, ``2p+1`` = ``yi[p]·scale[2p+1]``
+    — the de-interleave and the per-query scale fold into the peak kernel's
+    single HBM read, so the [2P, V] correlation volume never materializes.
+    V must be a multiple of ``min(block, 256)``. Returns [2P, S] triplets.
+    """
+    block = min(block, 256)
+    assert yr.shape[1] % block == 0, "crop planes to a block multiple"
+    return _pick_peaks_from_source(
+        _PackedPairRows(
+            yr.astype(jnp.float32), yi.astype(jnp.float32), scale
+        ),
+        valid_len, distance, n_peaks, block, interpret,
+    )
+
+
+def _pick_peaks_from_source(
+    src, valid_len, distance: int, n_peaks: int, block: int, interpret: bool
+):
+    B, V = src.shape
     NB = V // block
     valid_len = valid_len.astype(jnp.int32)
-    bv, bp, bmin, bmax = local_max_block_reduce(
-        x, valid_len, block=block, interpret=interpret
-    )
-    bv, bp = _merge_seams(x, valid_len, bv, bp, block)
+    bv, bp, bmin, bmax = src.block_reduce(valid_len, block, interpret)
+    bv, bp = _merge_seams(src, valid_len, bv, bp, block)
 
     d = max(int(distance), 1)
     tile_start = jnp.arange(NB, dtype=jnp.int32)[None, :] * block
@@ -392,7 +513,7 @@ def pick_peaks_pallas(
         bv = jnp.where(full, _NEG, bv)
         for edge in (lo // block, hi // block):
             in_range = (edge >= 0) & (edge < NB) & real
-            nv, npos = _rescan_tile(x, valid_len, picked, edge, d, block)
+            nv, npos = _rescan_tile(src, valid_len, picked, edge, d, block)
             t = jnp.clip(edge, 0, NB - 1)
             bv = bv.at[bi, t].set(jnp.where(in_range, nv, bv[bi, t]))
             bp = bp.at[bi, t].set(jnp.where(in_range, npos, bp[bi, t]))
@@ -409,18 +530,10 @@ def pick_peaks_pallas(
     cols = jnp.arange(block, dtype=jnp.int32)
 
     def gather_blocks(pb):
-        def one(row, vl, starts):
-            def per(s):
-                seg = jax.lax.dynamic_slice(row, (s * block,), (block,))
-                cv = (s * block + cols) < vl
-                return (
-                    jnp.where(cv, seg, _POS),
-                    jnp.where(cv, seg, _NEG),
-                )
-
-            return jax.vmap(per)(starts)
-
-        return jax.vmap(one)(x, valid_len, jnp.clip(pb, 0, NB - 1))
+        starts = jnp.clip(pb, 0, NB - 1) * block  # [B, S]
+        seg = src.slice_slots(starts, block)  # [B, S, block]
+        cv = (starts[..., None] + cols) < valid_len[:, None, None]
+        return jnp.where(cv, seg, _POS), jnp.where(cv, seg, _NEG)
 
     prom = _prominences_from_blocks(
         gather_blocks, bmin, bmax, jnp.clip(pos, 0), height, block

@@ -125,10 +125,43 @@ def resident_match_step(
                 Q = inv_ac.shape[0]
                 c = corr_slab_xla_packed(windows, sample_f, crop)[:, :Q]
             elif fft_impl == "vpu":
-                from ..ops.pallas_fft import corr_slab_vpu
-
                 Q = inv_ac.shape[0]
                 interpret = jax.default_backend() != "tpu"
+                if peaks_impl == "pallas":
+                    # fully-fused fast path: the correlation volume never
+                    # materializes — product folds into the inverse FFT's
+                    # minor pass, the de-interleave + per-query scale fold
+                    # into the peak kernel's single read
+                    from ..ops.pallas_fft import corr_slab_vpu_planes
+                    from ..ops.peaks import pick_peaks_pallas_packed
+
+                    yr, yi = corr_slab_vpu_planes(
+                        windows, sample_f[0], sample_f[1], crop,
+                        interpret=interpret,
+                    )
+                    B = windows.shape[0]
+                    Q2 = 2 * sample_f[0].shape[0]  # queries incl. odd-Q pad
+                    inv_pad = jnp.pad(inv_ac, (0, Q2 - Q))
+                    m_pad = jnp.pad(m, (0, Q2 - Q), constant_values=1)
+                    vq2 = jnp.maximum(
+                        win_len[:, None] - m_pad[None, :] + 1, 0
+                    ).astype(jnp.int32)
+                    if Q2 != Q:  # pad query emits nothing
+                        vq2 = vq2.at[:, Q:].set(0)
+                    pos, h, prom = pick_peaks_pallas_packed(
+                        yr, yi,
+                        jnp.tile(inv_pad, B),  # logical rows: q fastest
+                        vq2.reshape(-1),
+                        distance, n_peaks, block, interpret=interpret,
+                    )
+                    out = tuple(
+                        a.reshape(B, Q2, -1)[:, :Q] for a in (pos, h, prom)
+                    )
+                    return jax.tree.map(
+                        lambda a: jnp.swapaxes(a, 0, 1), out
+                    )  # [Q, B, S] triplets
+                from ..ops.pallas_fft import corr_slab_vpu
+
                 c = corr_slab_vpu(
                     windows, sample_f[0], sample_f[1], crop,
                     interpret=interpret,

@@ -187,3 +187,66 @@ def test_pick_peaks_pallas_single_tile_rows(rng):
         na, nb = np.asarray(a, np.float64), np.asarray(b, np.float64)
         live = np.isfinite(np.asarray(want[1]))
         np.testing.assert_allclose(nb[live], na[live], rtol=1e-6)
+
+
+def test_packed_block_reduce_matches_dense(rng):
+    """The pair-packed kernel (interleave + scale fused into its read)
+    returns the exact block arrays of the dense kernel on the
+    materialized, scaled correlation."""
+    from audio_matcher_tpu.ops.pallas_kernels import (
+        local_max_block_reduce_packed,
+    )
+
+    P, V, block = 5, 4096, 256  # odd P: pad planes to the 8-row grid
+    yr = rng.standard_normal((P, V)).astype(np.float32)
+    yi = rng.standard_normal((P, V)).astype(np.float32)
+    scale = (rng.uniform(0.5, 2.0, 2 * P)).astype(np.float32)
+    valid = rng.integers(10, V + 1, 2 * P).astype(np.int32)
+
+    x = np.empty((2 * P, V), np.float32)
+    x[0::2] = yr
+    x[1::2] = yi
+    x *= scale[:, None]
+
+    want = local_max_block_reduce(
+        jnp.asarray(x), jnp.asarray(valid), block=block, interpret=INTERPRET
+    )
+    got = local_max_block_reduce_packed(
+        jnp.asarray(yr), jnp.asarray(yi), jnp.asarray(scale),
+        jnp.asarray(valid), block=block, interpret=INTERPRET,
+    )
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+
+def test_pick_peaks_pallas_packed_matches_dense(rng):
+    from audio_matcher_tpu.ops.peaks import (
+        pick_peaks_pallas,
+        pick_peaks_pallas_packed,
+    )
+
+    P, V, block = 3, 2048, 256
+    yr = rng.standard_normal((P, V)).astype(np.float32) * 0.1
+    yi = rng.standard_normal((P, V)).astype(np.float32) * 0.1
+    yr[0, 300] = 4.0
+    yi[0, 900] = 3.0
+    yi[2, 2000] = 6.0
+    scale = (rng.uniform(0.5, 2.0, 2 * P)).astype(np.float32)
+    valid = np.array([V, V, 1000, 700, V, V], np.int32)
+
+    x = np.empty((2 * P, V), np.float32)
+    x[0::2] = yr
+    x[1::2] = yi
+    x *= scale[:, None]
+
+    want = pick_peaks_pallas(
+        jnp.asarray(x), jnp.asarray(valid), distance=200, n_peaks=4,
+        block=block, interpret=INTERPRET,
+    )
+    got = pick_peaks_pallas_packed(
+        jnp.asarray(yr), jnp.asarray(yi), jnp.asarray(scale),
+        jnp.asarray(valid), distance=200, n_peaks=4,
+        block=block, interpret=INTERPRET,
+    )
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w))

@@ -81,27 +81,41 @@ def test_vpu_impl_equality_matcher_and_scanner(rng):
     for off in (7, 30):
         episode[off * SR : off * SR + len(snippet)] = snippet
 
-    base = dict(chunk_secs=10, distance_secs=15, slab=2)
+    base = dict(chunk_secs=10, distance_secs=15, slab=3)  # odd: pad row
+    # ("vpu", "pallas") is the fully-fused production path: product in the
+    # inverse FFT's minor pass, de-interleave + scale in the peak kernel
+    impls = [("xla", "jnp"), ("vpu", "jnp"), ("vpu", "pallas")]
     got = {}
-    for impl in ("xla", "vpu"):
-        m = SnippetMatcher(snippet, SR, MatchConfig(fft_impl=impl, **base))
+    for impl, peaks in impls:
+        m = SnippetMatcher(
+            snippet, SR,
+            MatchConfig(fft_impl=impl, peaks_impl=peaks, **base),
+        )
         if impl == "vpu":
             assert m.fft_impl == "vpu" and m.fft_len >= 1 << 14
-        got[impl] = [(p.position, round(p.height, 5)) for p in m.match(episode)]
-    assert got["vpu"] == got["xla"]
-    assert [p for p, _ in got["xla"]] == [7 * SR, 30 * SR]
+        got[impl, peaks] = [
+            (p.position, round(p.height, 5)) for p in m.match(episode)
+        ]
+    assert got["vpu", "jnp"] == got["xla", "jnp"]
+    assert got["vpu", "pallas"] == got["xla", "jnp"]
+    assert [p for p, _ in got["xla", "jnp"]] == [7 * SR, 30 * SR]
 
-    snippets = [snippet, (rng.standard_normal(SR) * 0.2).astype(np.float32)]
+    snippets = [
+        snippet,
+        (rng.standard_normal(SR) * 0.2).astype(np.float32),
+        (rng.standard_normal(3 * SR // 2) * 0.2).astype(np.float32),
+    ]  # odd query count: exercises the packed pad query
     eps = [episode, episode[: 40 * SR]]
     outs = {}
-    for impl in ("xla", "vpu"):
-        cfg = MatchConfig(fft_impl=impl, **base)
+    for impl, peaks in impls:
+        cfg = MatchConfig(fft_impl=impl, peaks_impl=peaks, **base)
         sc = ShardedScanner(snippets, SR, cfg, make_mesh(1))
-        outs[impl] = [
+        outs[impl, peaks] = [
             [[(p.position, round(p.height, 5)) for p in pk] for pk in per_q]
             for per_q in sc.scan_resident(eps)
         ]
-    assert outs["vpu"] == outs["xla"]
+    assert outs["vpu", "jnp"] == outs["xla", "jnp"]
+    assert outs["vpu", "pallas"] == outs["xla", "jnp"]
 
 
 def test_vpu_small_fft_falls_back(rng):
