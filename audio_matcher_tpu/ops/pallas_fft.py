@@ -25,8 +25,11 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TILE = 256  # column-tile width (wider = longer contiguous HBM runs in
-# the major pass's strided column reads; VMEM temps scale with it)
+TILE = 256  # column-tile width for minor-pass kernels (measured at
+# ~1.6× the streaming roofline — wider doesn't help the contiguous reads)
+TILE_MAJOR = 512  # the major pass reads tile·4-byte strided runs of the
+# [A, M]-contiguous planes; 512 lengthens the runs to 2 KB (measured
+# −17% vs 256 at P=32; 1024's VMEM temporaries fail to compile)
 
 # Mosaic's scoped-VMEM default (16 MB) is conservative; the unrolled
 # 11-stage butterfly chain peaks at ~33 MB of value temporaries, well
@@ -144,7 +147,9 @@ def _major_kernel(
 
 @partial(
     jax.jit,
-    static_argnames=("A", "n", "inverse", "cross", "interpret", "a_crop"),
+    static_argnames=(
+        "A", "n", "inverse", "cross", "interpret", "a_crop", "tile"
+    ),
 )
 def fft_major(
     xr,  # [P, A, M] f32
@@ -155,6 +160,7 @@ def fft_major(
     cross: bool = True,
     interpret: bool = False,
     a_crop: int | None = None,
+    tile: int | None = None,
 ):
     """DIF pass over the A axis for every (batch, column), with the
     four-step cross twiddle folded in (forward: after; inverse: before).
@@ -165,7 +171,7 @@ def fft_major(
     ~35% of its HBM writes instead of writing rows a slice would drop.
     """
     P, A_, M = xr.shape
-    tile = min(TILE, M)
+    tile = min(TILE_MAJOR, M) if tile is None else tile
     assert A_ == A and M % tile == 0
     out_a = A if a_crop is None else a_crop
     assert out_a == A or inverse, "a_crop only applies to the inverse pass"
@@ -212,18 +218,19 @@ def _minor_kernel(
     oi_ref[0] = jnp.swapaxes(si_ref[...], 0, 1)
 
 
-@partial(jax.jit, static_argnames=("M", "inverse", "interpret"))
+@partial(jax.jit, static_argnames=("M", "inverse", "interpret", "tile"))
 def fft_minor(
     xr,  # [P, A, M] f32
     xi,
     M: int,
     inverse: bool = False,
     interpret: bool = False,
+    tile: int | None = None,
 ):
     """DIF pass over the M (minor) axis for every (batch, row): tiles of
     128 rows transpose in VMEM, transform, transpose back."""
     P, A, M_ = xr.shape
-    tile = min(TILE, A)
+    tile = min(TILE, A) if tile is None else tile
     assert M_ == M and A % tile == 0
     grid = (P, A // tile)
     spec = pl.BlockSpec(
@@ -270,7 +277,7 @@ def _minor_product_kernel(
     oi_ref[0] = jnp.swapaxes(si_ref[...], 0, 1)
 
 
-@partial(jax.jit, static_argnames=("M", "interpret"))
+@partial(jax.jit, static_argnames=("M", "interpret", "tile"))
 def ifft_minor_product(
     xr,  # [B, A, M] f32 — forward spectra (scrambled)
     xi,
@@ -278,12 +285,13 @@ def ifft_minor_product(
     ti,
     M: int,
     interpret: bool = False,
+    tile: int | None = None,
 ):
     """[B] windows × [Qh] query pairs → inverse-minor-transformed products
     [B·Qh, A, M] (row order b·Qh + q), ready for ``fft_major(inverse)``."""
     B, A, M_ = xr.shape
     Qh = tr.shape[0]
-    tile = min(TILE, A)
+    tile = min(TILE, A) if tile is None else tile
     assert M_ == M and A % tile == 0
     grid = (B, A // tile, Qh)  # q fastest: X block reused across queries
     xspec = pl.BlockSpec(

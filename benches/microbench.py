@@ -117,7 +117,7 @@ def bench_impl_matrix(quick: bool):
     episode[11 * sr : 11 * sr + len(snippet)] = snippet
     on_tpu = jax.default_backend() == "tpu"
     peak_impls = ("jnp", "pallas") if on_tpu else ("jnp",)
-    for fft_impl in ("xla", "xla_packed", "mxu"):
+    for fft_impl in ("xla", "xla_packed", "mxu", "vpu"):
         for peaks_impl in peak_impls:
             cfg = MatchConfig(
                 distance_secs=60.0, fft_impl=fft_impl, peaks_impl=peaks_impl

@@ -78,3 +78,48 @@ def test_duration_roundtrip_seconds():
         m, s = divmod(rem, 60)
         text = f"{h}h{m}m{s}s" if h else (f"{m}m{s}s" if m else f"{s}s")
         assert parse_duration(text) == float(secs)
+
+
+def test_parse_duration_model_differential_fuzz():
+    """Generate strings FROM the grammar (random unit subsets, long/short
+    suffix forms) and check the parsed value against an independent model
+    computing the reference's nested (h·60+m)·60+s ·1000+ms chain
+    (reference src/args.rs:80-121)."""
+    rng = random.Random(11)
+    suffix = {
+        "hour": ["h", "hour", "hours"],
+        "min": ["m", "min"],
+        "sec": ["s", "sec"],
+        "msec": ["ms", "msec"],
+    }
+    for _ in range(500):
+        parts = {
+            k: rng.randint(0, 500)
+            for k in ("hour", "min", "sec", "msec")
+            if rng.random() < 0.6
+        }
+        if not parts:
+            continue
+        text = "".join(
+            f"{parts[k]}{rng.choice(suffix[k])}"
+            for k in ("hour", "min", "sec", "msec")
+            if k in parts
+        )
+        want = (
+            (
+                (parts.get("hour", 0) * 60 + parts.get("min", 0)) * 60
+                + parts.get("sec", 0)
+            )
+            * 1000
+            + parts.get("msec", 0)
+        ) / 1000.0
+        assert parse_duration(text) == want, text
+
+
+def test_parse_duration_rejects_out_of_order_units():
+    for bad in (
+        "1m2h", "5s1m", "100ms5s", "1s1h", "3ms2m",
+        "h", "m", "s", "ms", "1h2h", "1.5s", "-3s", "1 h", "hms",
+    ):
+        with pytest.raises(NoMatchError):
+            parse_duration(bad)

@@ -245,3 +245,38 @@ def test_sweep_groups_fill_whole_mesh(rng, snippets, tmp_path, monkeypatch):
     for p in paths:
         got = [pk.position for pk in results[str(p)][0] if pk.height > 0.5]
         assert got == [SR]
+
+
+def test_resident_sharded_vpu_packed_on_mesh(rng, snippets):
+    """The fully-fused production path (pallas VPU FFT with the product
+    folded into the inverse minor pass + packed peak kernel) under
+    shard_map on the 8-device mesh matches the xla+jnp reference results.
+    Chunk size chosen so fft_len >= 2^14 (no xla_packed fallback)."""
+    base = dict(chunk_secs=8.0, distance_secs=10.0, slab=2, block=256)
+    episodes = []
+    for offsets in ([(0, 1.0), (1, 12.0)], [(0, 2.5)], []):
+        ep = (rng.standard_normal(SR * 20) * 0.05).astype(np.float32)
+        for q, off in offsets:
+            i = int(off * SR)
+            ep[i : i + len(snippets[q])] = snippets[q]
+        episodes.append(ep)
+
+    ref = ShardedScanner(
+        snippets, SR, MatchConfig(fft_impl="xla", peaks_impl="jnp", **base),
+        mesh=make_mesh(1),
+    )
+    fused = ShardedScanner(
+        snippets, SR,
+        MatchConfig(fft_impl="vpu", peaks_impl="pallas", **base),
+        mesh=make_mesh(8),
+    )
+    assert fused.fft_impl == "vpu"
+    want = ref.scan_resident(episodes)
+    got = fused.scan_resident(episodes)
+    for e in range(len(episodes)):
+        for q in range(len(snippets)):
+            g = [(p.position, round(p.height, 5)) for p in got[e][q]
+                 if p.height > 0.5]
+            w = [(p.position, round(p.height, 5)) for p in want[e][q]
+                 if p.height > 0.5]
+            assert g == w, (e, q)
