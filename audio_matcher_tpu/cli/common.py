@@ -191,3 +191,14 @@ def resolve_peaks_impl(choice: str) -> str:
     import jax
 
     return "pallas" if jax.default_backend() == "tpu" else "jnp"
+
+
+def resolve_fft_impl(choice: str) -> str:
+    """CLI "auto" → the Pallas VPU FFT on TPU (measured fastest; falls
+    back internally below 2^14), xla_packed elsewhere (interpret-mode
+    pallas FFTs on CPU are for tests, not production)."""
+    if choice != "auto":
+        return choice
+    import jax
+
+    return "vpu" if jax.default_backend() == "tpu" else "xla_packed"

@@ -81,11 +81,11 @@ def build_parser() -> argparse.ArgumentParser:
         "(the reference errors instead)",
     )
     p.add_argument(
-        "--fft-impl", choices=("xla", "xla_packed", "mxu", "vpu"),
-        default="xla_packed", metavar="IMPL",
-        help="correlation FFT implementation (xla_packed: two real "
-        "correlations per complex inverse transform — measured fastest "
-        "on v5e; mxu: matmul four-step FFT)",
+        "--fft-impl", choices=("auto", "xla", "xla_packed", "mxu", "vpu"),
+        default="auto", metavar="IMPL",
+        help="correlation FFT implementation (auto = the fused Pallas VPU "
+        "FFT on TPU — measured fastest on v5e — and xla_packed elsewhere; "
+        "mxu: matmul four-step FFT)",
     )
     p.add_argument(
         "--peaks-impl", choices=("auto", "jnp", "pallas"), default="auto",
@@ -137,7 +137,7 @@ def run(args: argparse.Namespace) -> int:
         prominence=args.prominence,
         overlap_secs=s_duration,
         transfer_dtype=args.transfer,
-        fft_impl=args.fft_impl,
+        fft_impl=common.resolve_fft_impl(args.fft_impl),
         peaks_impl=common.resolve_peaks_impl(args.peaks_impl),
     )
     def build_matcher(snip, rate):

@@ -78,11 +78,11 @@ def build_parser() -> argparse.ArgumentParser:
         help="staging wire format (default int16: lossless vs 16-bit source)",
     )
     p.add_argument(
-        "--fft-impl", choices=("xla", "xla_packed", "mxu", "vpu"),
-        default="xla_packed", metavar="IMPL",
-        help="correlation FFT implementation (xla_packed: two real "
-        "correlations per complex inverse transform — measured fastest "
-        "on v5e; mxu: matmul four-step FFT)",
+        "--fft-impl", choices=("auto", "xla", "xla_packed", "mxu", "vpu"),
+        default="auto", metavar="IMPL",
+        help="correlation FFT implementation (auto = the fused Pallas VPU "
+        "FFT on TPU — measured fastest on v5e — and xla_packed elsewhere; "
+        "mxu: matmul four-step FFT)",
     )
     p.add_argument(
         "--peaks-impl", choices=("auto", "jnp", "pallas"), default="auto",
@@ -128,7 +128,7 @@ def run(args: argparse.Namespace) -> int:
         distance_secs=float(args.distance),
         prominence=args.prominence,
         transfer_dtype=args.transfer,
-        fft_impl=args.fft_impl,
+        fft_impl=common.resolve_fft_impl(args.fft_impl),
         peaks_impl=common.resolve_peaks_impl(args.peaks_impl),
     )
     mesh = make_mesh(args.devices)

@@ -86,14 +86,24 @@ def _dif_stage_once(xr, xi, R: int, C: int, t: int, inverse: bool):
 def _dif_stages_ref(sr_ref, si_ref, R: int, C: int, inverse: bool):
     """Radix-2 DIF over axis 0 of the [R, C] scratch refs, in place.
 
-    Each stage round-trips through the scratch so Mosaic's scoped-VMEM
-    allocator can retire the previous stage's temporaries (a pure value
-    chain keeps every concat live and OOMs at 11 stages × 3 MB).
+    Stages run in PAIRS per scratch round-trip (a radix-4 step as the
+    literal composition of two radix-2 stages — float-identical): the
+    measured pass cost is butterfly-bound, not HBM-bound
+    (benches/probe_fft_parts.py), so halving the ref write-backs and
+    their copies pays. A pure value chain of all stages keeps every
+    temporary live and OOMs at 11 stages × 3 MB; two stages fit.
     """
     L = R.bit_length() - 1
-    stages = range(L) if not inverse else reversed(range(L))
-    for t in stages:
-        xr, xi = _dif_stage_once(sr_ref[...], si_ref[...], R, C, t, inverse)
+    ts = list(range(L)) if not inverse else list(reversed(range(L)))
+    i = 0
+    while i < len(ts):
+        xr, xi = _dif_stage_once(
+            sr_ref[...], si_ref[...], R, C, ts[i], inverse
+        )
+        if i + 1 < len(ts):
+            xr, xi = _dif_stage_once(xr, xi, R, C, ts[i + 1], inverse)
+            i += 1
+        i += 1
         sr_ref[...] = xr
         si_ref[...] = xi
 
