@@ -30,6 +30,9 @@ TILE = 256  # column-tile width for minor-pass kernels (measured at
 TILE_MAJOR = 512  # the major pass reads tile·4-byte strided runs of the
 # [A, M]-contiguous planes; 512 lengthens the runs to 2 KB (measured
 # −17% vs 256 at P=32; 1024's VMEM temporaries fail to compile)
+STAGE_GROUP = 2  # DIF stages per scratch round-trip (float-identical
+# regrouping; passes are butterfly-bound — probe_fft_parts.py — so fewer
+# write-backs pay until the live temporaries blow scoped VMEM)
 
 # Mosaic's scoped-VMEM default (16 MB) is conservative; the unrolled
 # 11-stage butterfly chain peaks at ~33 MB of value temporaries, well
@@ -95,15 +98,10 @@ def _dif_stages_ref(sr_ref, si_ref, R: int, C: int, inverse: bool):
     """
     L = R.bit_length() - 1
     ts = list(range(L)) if not inverse else list(reversed(range(L)))
-    i = 0
-    while i < len(ts):
-        xr, xi = _dif_stage_once(
-            sr_ref[...], si_ref[...], R, C, ts[i], inverse
-        )
-        if i + 1 < len(ts):
-            xr, xi = _dif_stage_once(xr, xi, R, C, ts[i + 1], inverse)
-            i += 1
-        i += 1
+    for i in range(0, len(ts), STAGE_GROUP):
+        xr, xi = sr_ref[...], si_ref[...]
+        for t in ts[i : i + STAGE_GROUP]:
+            xr, xi = _dif_stage_once(xr, xi, R, C, t, inverse)
         sr_ref[...] = xr
         si_ref[...] = xi
 

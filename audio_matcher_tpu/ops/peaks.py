@@ -366,13 +366,23 @@ class _PackedPairRows:
 
 
 def _merge_seams(src, valid_len, bv, bp, block: int):
-    """Fold tile-boundary local maxima (which the Pallas kernel's in-tile
-    neighbor compare can't see) into the per-tile candidates."""
+    """Fold SEGMENT-boundary local maxima into the per-tile candidates.
+
+    The reduce kernel's roll-based neighbor compare is correct for every
+    tile boundary INSIDE a grid cell's [rows, GROUP·block] segment (the
+    true neighbors are present in VMEM); only the two columns at each
+    segment edge see wrapped values and are excluded in-kernel. So only
+    boundaries at GROUP-tile multiples need the host-side re-check —
+    checking all NB boundaries is output-identical (the update rules are
+    idempotent for in-kernel candidates) but costs ~GROUP× the gathers.
+    """
+    from .pallas_kernels import GROUP
+
     B, V = src.shape
     NB = V // block
-    if NB < 2:
-        return bv, bp
-    js = jnp.arange(1, NB, dtype=jnp.int32)
+    if NB <= GROUP:
+        return bv, bp  # single segment: no in-kernel blind spots
+    js = jnp.arange(GROUP, NB, GROUP, dtype=jnp.int32)
     for offs, strict in ((-1, True), (0, False)):
         p = js * block + offs  # [NB-1] columns to re-check
         x0 = src.columns(p)
