@@ -35,15 +35,12 @@ ROWS = 8
 GROUP = 128
 
 
-def _reduce_rows(
-    x,  # [rows, GROUP*block] VMEM value
-    valid,  # [rows, 1]
-    base,  # scalar: global column of x[:, 0]
-    rows: int,
-    block: int,
-    best_val_ref, best_pos_ref, bmin_ref, bmax_ref,
-):
-    """Shared reduce body: per-tile best strict local max + masked extrema."""
+def _reduce_rows(x, valid, base, rows: int, block: int):
+    """Shared reduce body: per-tile best strict local max + masked extrema.
+
+    x: [rows, GROUP*block] VMEM value; valid: [rows, 1]; base: global
+    column of x[:, 0]. Returns (best_val, best_pos, bmin, bmax), each
+    [rows, GROUP]."""
     width = GROUP * block
     cols = jax.lax.broadcasted_iota(jnp.int32, (rows, width), 1) + base
     colvalid = cols < valid
@@ -51,26 +48,28 @@ def _reduce_rows(
     x_min = jnp.where(colvalid, x, float("inf"))
     x_max = jnp.where(colvalid, x, float("-inf"))
 
-    # strict local maxima with in-SEGMENT neighbours; every tile boundary
-    # (including segment edges) is re-checked by the caller's seam repair
+    # strict local maxima with in-SEGMENT neighbours; the two segment-edge
+    # columns see wrapped values and are re-checked by the caller's seam
+    # repair
     left = pltpu.roll(x_max, 1, 1)
     right = pltpu.roll(x_max, width - 1, 1)  # shift must be non-negative
     interior = (cols >= 1) & (cols <= valid - 2)
-    # segment-edge columns see wrapped neighbours — exclude them (the
-    # caller's seam repair re-checks every tile boundary exactly)
     interior &= (cols >= base + 1) & (cols <= base + width - 2)
     is_peak = (x > left) & (x > right) & interior & colvalid
     heights = jnp.where(is_peak, x, float("-inf"))
 
     h3 = heights.reshape(rows, GROUP, block)
-    best_val_ref[:, :] = jnp.max(h3, axis=-1)
+    best_val = jnp.max(h3, axis=-1)
     r = jnp.argmax(h3, axis=-1).astype(jnp.int32)  # [rows, GROUP]
     tile_base = base + jax.lax.broadcasted_iota(
         jnp.int32, (rows, GROUP), 1
     ) * block
-    best_pos_ref[:, :] = tile_base + r
-    bmin_ref[:, :] = jnp.min(x_min.reshape(rows, GROUP, block), axis=-1)
-    bmax_ref[:, :] = jnp.max(x_max.reshape(rows, GROUP, block), axis=-1)
+    return (
+        best_val,
+        tile_base + r,
+        jnp.min(x_min.reshape(rows, GROUP, block), axis=-1),
+        jnp.max(x_max.reshape(rows, GROUP, block), axis=-1),
+    )
 
 
 def _block_reduce_kernel(
@@ -85,10 +84,11 @@ def _block_reduce_kernel(
 ):
     j = pl.program_id(1)  # tile-group index along V
     base = j * GROUP * block
-    _reduce_rows(
-        x_ref[:, :], valid_ref[:, 0:1], base, ROWS, block,
-        best_val_ref, best_pos_ref, bmin_ref, bmax_ref,
-    )
+    outs = _reduce_rows(x_ref[:, :], valid_ref[:, 0:1], base, ROWS, block)
+    for ref, val in zip(
+        (best_val_ref, best_pos_ref, bmin_ref, bmax_ref), outs
+    ):
+        ref[:, :] = val
 
 
 @partial(jax.jit, static_argnames=("block", "interpret"))
@@ -147,13 +147,17 @@ def local_max_block_reduce(
         ],
         out_specs=out_specs,
         out_shape=out_shape,
+        # 512-col tiles exceed the 16 MB scoped-VMEM default
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         interpret=interpret,
     )(valid2d, x.astype(jnp.float32))
     return bv[:B, :nb], bp[:B, :nb], bmin[:B, :nb], bmax[:B, :nb]
 
 
 def _block_reduce_packed_kernel(
-    valid_ref,  # [2*PROWS, GROUP]
+    valid_ref,  # [2*PROWS, GROUP] — logical-row valid lengths (interleaved)
     scale_ref,  # [2*PROWS, GROUP] — per logical row multiplier
     yr_ref,  # [PROWS, GROUP*block] — even logical rows
     yi_ref,  # [PROWS, GROUP*block] — odd logical rows
@@ -162,18 +166,24 @@ def _block_reduce_packed_kernel(
     block: int,
 ):
     j = pl.program_id(1)
-    width = GROUP * block
-    base = j * width
-    a = yr_ref[:, :]
-    b = yi_ref[:, :]
-    # de-interleave the packed-FFT planes in VMEM: logical row 2p ← yr[p],
-    # 2p+1 ← yi[p] — the [2P, V] correlation array never exists in HBM
-    x = jnp.stack([a, b], axis=1).reshape(2 * a.shape[0], width)
-    x = x * scale_ref[:, 0:1]
-    _reduce_rows(
-        x, valid_ref[:, 0:1], base, 2 * a.shape[0], block,
-        best_val_ref, best_pos_ref, bmin_ref, bmax_ref,
+    base = j * GROUP * block
+    prows = yr_ref.shape[0]
+
+    # reduce each plane separately (logical rows don't interact) and
+    # interleave only the tiny [prows, GROUP] block outputs — a full-
+    # volume sublane shuffle would cost an extra pass over the segment
+    ev = _reduce_rows(
+        yr_ref[:, :] * scale_ref[0::2, 0:1],
+        valid_ref[0::2, 0:1], base, prows, block,
     )
+    ov = _reduce_rows(
+        yi_ref[:, :] * scale_ref[1::2, 0:1],
+        valid_ref[1::2, 0:1], base, prows, block,
+    )
+    for ref, e, o in zip(
+        (best_val_ref, best_pos_ref, bmin_ref, bmax_ref), ev, ov
+    ):
+        ref[:, :] = jnp.stack([e, o], axis=1).reshape(2 * prows, GROUP)
 
 
 @partial(jax.jit, static_argnames=("block", "interpret"))

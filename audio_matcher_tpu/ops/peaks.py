@@ -449,10 +449,10 @@ def pick_peaks_pallas(
     exclusion set), and blockwise prominence — runs on [B, NB] block
     arrays plus tiny dynamic-slice gathers.
     """
-    # kernel input blocks are (8 rows, 128 tiles); tiles beyond 256 cols
-    # blow the 16 MB scoped-VMEM budget with the elementwise temporaries
-    # (measured: 512-col tiles OOM at 18.1M)
-    block = min(block, 256)
+    # kernel input blocks are (8 rows, 128 tiles); 512-col tiles need the
+    # raised scoped-VMEM cap and measure ~30% faster than 256 (the block
+    # arrays and their per-round work halve; benches/probe_stage_group.py)
+    block = min(block, 512)
     x = x.astype(jnp.float32)
     B, V = x.shape
     if V % block:
@@ -481,7 +481,7 @@ def pick_peaks_pallas_packed(
     single HBM read, so the [2P, V] correlation volume never materializes.
     V must be a multiple of ``min(block, 256)``. Returns [2P, S] triplets.
     """
-    block = min(block, 256)
+    block = min(block, 512)
     assert yr.shape[1] % block == 0, "crop planes to a block multiple"
     return _pick_peaks_from_source(
         _PackedPairRows(
@@ -578,7 +578,7 @@ def peaks_crop_width(valid_max: int, block: int, impl: str) -> int:
     its (tile=min(block,512)) x (128-tile group) input block so neither a
     padding copy nor an in-kernel pad pass is needed downstream."""
     if impl == "pallas":
-        unit = min(block, 256) * 128
+        unit = min(block, 512) * 128
         return -(-valid_max // unit) * unit
     return valid_max
 
