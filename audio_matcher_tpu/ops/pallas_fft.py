@@ -263,26 +263,36 @@ def fft_minor(
 
 
 def _minor_product_kernel(
-    xr_ref,  # [1, tile, M] — window spectrum rows (scrambled major axis)
+    xr_ref,  # [GB, tile, M] — window spectrum rows (scrambled major axis)
     xi_ref,
     tr_ref,  # [1, tile, M] — query-pair spectrum rows
     ti_ref,
-    or_ref, oi_ref, sr_ref, si_ref, *,
+    or_ref,  # [GB, 1, tile, M]
+    oi_ref, sr_ref, si_ref, *,
     M: int, tile: int,
 ):
     """Inverse minor pass with the correlation product fused into the
     first read: V = X·T is computed in VMEM, so the [B·Qh, n] product
-    planes never exist in HBM (the grid iterates queries fastest, so each
-    X block is fetched once and stays resident across all Qh queries)."""
-    xr = xr_ref[0]
-    xi = xi_ref[0]
+    planes never exist in HBM. The grid iterates queries fastest (each
+    X block is fetched once and stays resident across all Qh queries)
+    and each cell carries GB windows, dividing the per-window re-fetch
+    of the query spectra by GB."""
     tr = tr_ref[0]
     ti = ti_ref[0]
-    sr_ref[...] = jnp.swapaxes(xr * tr - xi * ti, 0, 1)  # [M, tile]
-    si_ref[...] = jnp.swapaxes(xr * ti + xi * tr, 0, 1)
-    _dif_stages_ref(sr_ref, si_ref, M, tile, inverse=True)
-    or_ref[0] = jnp.swapaxes(sr_ref[...], 0, 1)
-    oi_ref[0] = jnp.swapaxes(si_ref[...], 0, 1)
+    for w in range(xr_ref.shape[0]):
+        xr = xr_ref[w]
+        xi = xi_ref[w]
+        sr_ref[...] = jnp.swapaxes(xr * tr - xi * ti, 0, 1)  # [M, tile]
+        si_ref[...] = jnp.swapaxes(xr * ti + xi * tr, 0, 1)
+        _dif_stages_ref(sr_ref, si_ref, M, tile, inverse=True)
+        or_ref[w, 0] = jnp.swapaxes(sr_ref[...], 0, 1)
+        oi_ref[w, 0] = jnp.swapaxes(si_ref[...], 0, 1)
+
+
+GB_MINOR = 1  # windows per minor-product grid cell. 2 halves the query-
+# spectra re-fetches but splits each cell's output into two strided
+# regions; measured net-neutral-to-worse on v5e (scan 2.56 → 2.64 s),
+# so single-window cells stay the default.
 
 
 @partial(jax.jit, static_argnames=("M", "interpret", "tile"))
@@ -301,26 +311,34 @@ def ifft_minor_product(
     Qh = tr.shape[0]
     tile = min(TILE, A) if tile is None else tile
     assert M_ == M and A % tile == 0
-    grid = (B, A // tile, Qh)  # q fastest: X block reused across queries
+    gb = GB_MINOR
+    b_pad = -(-B // gb) * gb
+    if b_pad != B:
+        xr = jnp.pad(xr, ((0, b_pad - B), (0, 0), (0, 0)))
+        xi = jnp.pad(xi, ((0, b_pad - B), (0, 0), (0, 0)))
+    grid = (b_pad // gb, A // tile, Qh)  # q fastest: X resident across q
     xspec = pl.BlockSpec(
-        (1, tile, M), lambda b, j, q: (b, j, 0), memory_space=pltpu.VMEM
+        (gb, tile, M), lambda b, j, q: (b, j, 0), memory_space=pltpu.VMEM
     )
     tspec = pl.BlockSpec(
         (1, tile, M), lambda b, j, q: (q, j, 0), memory_space=pltpu.VMEM
     )
+    # 4-D out [b_pad, Qh, A, M]: cell (b, j, q) writes rows (gb·b+w, q) —
+    # contiguous in dim 0 — and the caller's reshape to [B·Qh, A, M]
+    # (row order b·Qh + q) is a free view
     ospec = pl.BlockSpec(
-        (1, tile, M),
-        lambda b, j, q: (b * Qh + q, j, 0),
+        (gb, 1, tile, M),
+        lambda b, j, q: (b, q, j, 0),
         memory_space=pltpu.VMEM,
     )
-    return pl.pallas_call(
+    yr, yi = pl.pallas_call(
         partial(_minor_product_kernel, M=M, tile=tile),
         grid=grid,
         in_specs=[xspec, xspec, tspec, tspec],
         out_specs=[ospec, ospec],
         out_shape=[
-            jax.ShapeDtypeStruct((B * Qh, A, M), jnp.float32),
-            jax.ShapeDtypeStruct((B * Qh, A, M), jnp.float32),
+            jax.ShapeDtypeStruct((b_pad, Qh, A, M), jnp.float32),
+            jax.ShapeDtypeStruct((b_pad, Qh, A, M), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((M, tile), jnp.float32),
@@ -332,6 +350,9 @@ def ifft_minor_product(
         ),
         interpret=interpret,
     )(xr, xi, tr, ti)
+    yr = yr.reshape(b_pad * Qh, A, M)
+    yi = yi.reshape(b_pad * Qh, A, M)
+    return yr[: B * Qh], yi[: B * Qh]
 
 
 def split_factors(n: int) -> tuple[int, int]:
