@@ -467,6 +467,9 @@ def corr_slab_vpu_planes(
         windows = jnp.pad(windows, ((0, 0), (0, n - W)))
     A, M = split_factors(n)
     assert width % M == 0 and width <= n, (width, M, n)
+    # the cropped major-pass output block is [1, a_crop, tile]:
+    # a_crop must respect the 8-sublane f32 tile
+    assert (width // M) % 8 == 0 or width == n, (width, M)
     Xr, Xi = fft2_scrambled(
         windows, jnp.zeros_like(windows), n, interpret=interpret
     )
@@ -502,6 +505,9 @@ def corr_single_query_vpu_planes(
         windows = jnp.pad(windows, ((0, 1), (0, 0)))
     A, M = split_factors(n)
     assert width % M == 0 and width <= n, (width, M, n)
+    # the cropped major-pass output block is [1, a_crop, tile]:
+    # a_crop must respect the 8-sublane f32 tile
+    assert (width // M) % 8 == 0 or width == n, (width, M)
     Zr, Zi = fft2_scrambled(
         windows[0::2], windows[1::2], n, interpret=interpret
     )
@@ -530,7 +536,9 @@ def corr_single_query_vpu(
     B = windows.shape[0]
     n = s_r.shape[-1]
     A, M = split_factors(n)
-    width = -(-valid_max // M) * M  # planes truncate on M-row boundaries
+    # planes truncate on (8·M)-boundaries: a_crop must stay a multiple of
+    # the 8-sublane Mosaic tile of the major pass's output blocks
+    width = -(-valid_max // (8 * M)) * (8 * M)
     yr, yi = corr_single_query_vpu_planes(
         windows, s_r, s_i, min(width, n), interpret=interpret
     )
