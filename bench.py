@@ -37,20 +37,6 @@ def make_audio(rng, secs, snippet, offsets):
     return x
 
 
-def _enable_compile_cache():
-    import jax
-
-    cache = os.environ.get(
-        "JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp_cache"
-    )
-    try:
-        os.makedirs(cache, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", cache)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-    except Exception:
-        pass
-
-
 def measure_tpu(episode, snippets, config, n_episodes=None):
     """Stage-then-scan throughput over a batch of episodes × query
     snippets (the batch-scan regime, BASELINE config #3): all episode
@@ -63,7 +49,11 @@ def measure_tpu(episode, snippets, config, n_episodes=None):
         n_episodes = int(os.environ.get("BENCH_EPISODES", "4"))
     import jax
 
-    _enable_compile_cache()
+    # NOTE: deliberately NO persistent compilation cache here. The axon
+    # relay bypasses it on TPU, and on CPU a cache dir shared across
+    # heterogeneous hosts can load AOT executables compiled for another
+    # machine type — observed to produce silently WRONG peak results
+    # (XLA logs a feature-mismatch error but still runs the executable).
 
     from audio_matcher_tpu.parallel.mesh import make_mesh
     from audio_matcher_tpu.parallel.sweep import ShardedScanner
@@ -99,7 +89,8 @@ def measure_tpu(episode, snippets, config, n_episodes=None):
     t0 = time.perf_counter()
     results = scanner.scan_staged(staged, scale=True)
     t_compute = time.perf_counter() - t0
-    peaks = results[-1][0]  # last episode, primary query
+    # correctness: every episode must find the primary query's plants
+    peaks = [per_query[0] for per_query in results]
 
     n_pairs = n_episodes * len(snippets)
     print(
@@ -183,14 +174,30 @@ def main() -> int:
     value = hours / per_pair  # pair audio-hours per second
     value_scan = hours / per_pair_scan  # device-resident (staging excluded)
 
-    got = sorted(p.position for p in peaks if p.height > 0.5)
     want = sorted(int(o * SR) for o in offsets)
-    ok = len(got) == len(want) and all(abs(a - b) <= 1 for a, b in zip(got, want))
-    if not ok:
-        print(
-            f"bench correctness check failed: got {got}, want {want}",
-            file=sys.stderr,
-        )
+    # when a shrunken BENCH_EPISODE_SECS puts the plants within the
+    # min-distance, suppression legitimately keeps only one (and exact
+    # height ties make WHICH one nondeterministic on threaded-CPU runs);
+    # the default config keeps them ≥ distance apart → strict check
+    gaps_ok = (offsets[1] - offsets[0]) >= config.distance_secs
+    ok = True
+    for e, ep_peaks in enumerate(peaks):
+        got = sorted(p.position for p in ep_peaks if p.height > 0.5)
+        if gaps_ok:
+            good = len(got) == len(want) and all(
+                abs(a - b) <= 1 for a, b in zip(got, want)
+            )
+        else:
+            good = len(got) >= 1 and all(
+                any(abs(g - w) <= 1 for w in want) for g in got
+            )
+        if not good:
+            ok = False
+            print(
+                f"bench correctness check failed (episode {e}): "
+                f"got {got}, want {want}",
+                file=sys.stderr,
+            )
 
     baseline = measure_cpu_baseline(episode, snippets[0], config)
     print(
