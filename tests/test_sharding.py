@@ -280,3 +280,19 @@ def test_resident_sharded_vpu_packed_on_mesh(rng, snippets):
             w = [(p.position, round(p.height, 5)) for p in want[e][q]
                  if p.height > 0.5]
             assert g == w, (e, q)
+
+
+def test_two_plants_within_distance_keep_one(rng, snippets):
+    """Two equal-strength plants closer than the min-distance inside one
+    window: suppression must keep exactly one (observed transiently
+    violated on an oversubscribed CPU host — pin it)."""
+    cfg = MatchConfig(chunk_secs=4.0, distance_secs=3.0, slab=2, block=256)
+    ep = (rng.standard_normal(SR * 6) * 0.05).astype(np.float32)
+    for off in (1.0, 2.0):  # 1 s apart < distance 3 s, same window
+        i = int(off * SR)
+        ep[i : i + len(snippets[0])] = snippets[0]
+    sc = ShardedScanner(snippets, SR, cfg, mesh=make_mesh(1))
+    for _ in range(3):
+        res = sc.scan_resident([ep])
+        got = [p.position for p in res[0][0] if p.height > 0.5]
+        assert len(got) == 1 and got[0] in (SR, 2 * SR), got
