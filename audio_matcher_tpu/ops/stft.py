@@ -64,18 +64,37 @@ def stft_log_mel_core(x, fb, n_fft: int, hop: int, n_frames: int):
     if x.shape[-1] < needed:
         x = jnp.pad(x, (0, needed - x.shape[-1]))
     window = jnp.hanning(n_fft).astype(x.dtype)
-    local_idx = (
-        jnp.arange(_FRAME_BLOCK)[:, None] * hop + jnp.arange(n_fft)[None, :]
-    )
     fb_t = fb.T  # [n_bins, n_mels]
+    span_len = (_FRAME_BLOCK - 1) * hop + n_fft
+
+    if n_fft % hop == 0:
+        # overlapping frames as k static slices of a [rows, hop] view —
+        # no gather (TPU gathers of a [frames, n_fft] index matrix are
+        # orders of magnitude slower than slice+concat)
+        k = n_fft // hop
+
+        def frames_of(span):
+            rows = jnp.reshape(
+                jnp.pad(span, (0, (-span_len) % hop)), (-1, hop)
+            )
+            return jnp.concatenate(
+                [rows[s : s + _FRAME_BLOCK] for s in range(k)], axis=1
+            )
+    else:
+        local_idx = (
+            jnp.arange(_FRAME_BLOCK)[:, None] * hop
+            + jnp.arange(n_fft)[None, :]
+        )
+
+        def frames_of(span):
+            return span[local_idx]
 
     def block(b):
         start = b * _FRAME_BLOCK * hop
-        span = jax.lax.dynamic_slice(
-            x, (start,), ((_FRAME_BLOCK - 1) * hop + n_fft,)
-        )
-        frames = span[local_idx] * window[None, :]
-        power = jnp.abs(jnp.fft.rfft(frames, n=n_fft)) ** 2
+        span = jax.lax.dynamic_slice(x, (start,), (span_len,))
+        frames = frames_of(span) * window[None, :]
+        z = jnp.fft.rfft(frames, n=n_fft)
+        power = jnp.real(z) ** 2 + jnp.imag(z) ** 2
         return jnp.log(power @ fb_t + 1e-8)  # [_FRAME_BLOCK, n_mels]
 
     mel = jax.lax.map(block, jnp.arange(n_blocks))
@@ -189,6 +208,73 @@ def ncc_frames_tiled_core(
 _ncc_frames_tiled = jax.jit(
     ncc_frames_tiled_core, static_argnames=("t_s", "tile")
 )
+
+
+def ncc_frames_multi_core(
+    episode_fp,  # [T_e, M]
+    snip_fps,  # [Q, t_max, M] — zero-padded beyond each query's t_s
+    t_ss: tuple,  # static per-query snippet frame counts
+    tile: int = NCC_TILE,
+):
+    """Multi-query overlap-save ZNCC sharing the episode tile spectra.
+
+    The episode side of the FFT correlation (M forward transforms per
+    tile — the dominant cost) is computed ONCE and reused by every query;
+    per query only the pointwise product + one inverse transform + two
+    cumsum box filters remain. Scores are identical to
+    :func:`fingerprint_scores` per query (correlation is linear; zero
+    padding a zero-meaned snippet fingerprint adds zero terms; window
+    stats are window-local). Returns [Q, T_e - min(t_s) + 1]; entries at
+    lags ≥ T_e - t_s_q + 1 are garbage — mask with each query's valid.
+    """
+    t_e, n_mels = episode_fp.shape
+    t_max = max(t_ss)
+    valid_total = max(t_e - min(t_ss) + 1, 1)
+    tile = min(tile, valid_total)
+    win = tile + t_max - 1
+    L = fft_length(win + t_max - 1)
+    n_tiles = -(-valid_total // tile)
+    pad_to = (n_tiles - 1) * tile + win
+    ep = jnp.pad(episode_fp, ((0, max(pad_to - t_e, 0)), (0, 0)))
+
+    s_list, snorm_list = [], []
+    for q, t_s in enumerate(t_ss):
+        s0 = snip_fps[q, :t_s] - jnp.mean(snip_fps[q, :t_s])
+        snorm_list.append(jnp.sqrt(jnp.sum(s0 * s0)))
+        s_list.append(jnp.fft.rfft(s0.T, n=L))  # [M, F]
+    S = jnp.stack(s_list)  # [Q, M, F] — shared across tiles
+    patches = jnp.asarray(
+        [t_s * n_mels for t_s in t_ss], episode_fp.dtype
+    )
+
+    def per_tile(k):
+        seg = jax.lax.dynamic_slice(ep, (k * tile, 0), (win, n_mels)).T
+        E = jnp.fft.rfft(seg, n=L)  # [M, F] — ONE set for all queries
+        s1 = jnp.sum(seg, axis=0)
+        s2 = jnp.sum(seg * seg, axis=0)
+        rows = []
+        for q, t_s in enumerate(t_ss):
+            corr = jnp.fft.irfft(
+                jnp.sum(E * jnp.conj(S[q]), axis=0), n=L
+            )[:tile]
+            win_sum = _box_sums(s1, t_s)[:tile]
+            win_sq = _box_sums(s2, t_s)[:tile]
+            win_norm2 = jnp.maximum(
+                win_sq - win_sum * win_sum / patches[q], 0.0
+            )
+            rows.append(
+                corr / (jnp.sqrt(win_norm2) * snorm_list[q] + 1e-8)
+            )
+        return jnp.stack(rows)  # [Q, tile]
+
+    if n_tiles == 1:
+        scores = per_tile(jnp.int32(0))[None]
+    else:
+        scores = jax.lax.map(per_tile, jnp.arange(n_tiles))
+    # [n_tiles, Q, tile] → [Q, n_tiles·tile]
+    return (
+        jnp.swapaxes(scores, 0, 1).reshape(len(t_ss), -1)[:, :valid_total]
+    )
 
 
 def fingerprint_scores(

@@ -317,7 +317,7 @@ class ShardedSpectrogramScanner:
     def _step(self, n_pad: int):
         if n_pad in self._step_cache:
             return self._step_cache[n_pad]
-        from ..ops.stft import ncc_frames_tiled_core, stft_log_mel_core
+        from ..ops.stft import ncc_frames_multi_core, stft_log_mel_core
 
         cfg = self.config
         n_frames_pad = 1 + (n_pad - cfg.n_fft) // cfg.hop
@@ -336,18 +336,14 @@ class ShardedSpectrogramScanner:
             n_frames = jnp.maximum(
                 1 + (n - cfg.n_fft) // cfg.hop, 0
             ).astype(jnp.int32)
-            pos_l, h_l, prom_l = [], [], []
-            for q, t_s in enumerate(t_ss):  # static Q, static t_s per query
-                scores = ncc_frames_tiled_core(fp, snip_fps[q, :t_s], t_s)
-                valid = jnp.maximum(n_frames - t_s + 1, 0)
-                p, h, pr = pick_peaks_core(
-                    scores[None, :], valid[None], dist, n_peaks, 2048
-                )
-                pos_l.append(p[0])
-                h_l.append(h[0])
-                prom_l.append(pr[0])
-            return (
-                jnp.stack(pos_l), jnp.stack(h_l), jnp.stack(prom_l)
+            # episode tile spectra shared across queries (Q× fewer
+            # forward FFTs — the dominant cost); peaks batched over Q
+            scores = ncc_frames_multi_core(fp, snip_fps, t_ss)  # [Q, V]
+            valid = jnp.maximum(
+                n_frames - jnp.asarray(t_ss, jnp.int32) + 1, 0
+            )
+            return pick_peaks_core(
+                scores, valid, dist, n_peaks, 2048
             )  # [Q, S] each
 
         def local(episodes, ns, fb, snip_fps):

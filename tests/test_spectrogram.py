@@ -164,3 +164,37 @@ def test_sharded_spectrogram_int16_staging(rng):
     # grid noise slightly: scores shift <1%, positions are identical
     assert abs(outs["int16"].height - outs["float32"].height) < 2e-2
     assert abs(outs["float32"].position - at) <= 256
+
+
+def test_ncc_multi_query_matches_per_query(rng):
+    """The multi-query tiled ZNCC (shared episode tile spectra) produces
+    the same scores as the per-query reference path, including across
+    tile boundaries and for mixed snippet lengths."""
+    import jax.numpy as jnp
+
+    from audio_matcher_tpu.ops.stft import (
+        fingerprint_scores,
+        ncc_frames_multi_core,
+    )
+
+    M = 16
+    t_ss = (40, 25, 64)
+    t_e = 700
+    ep = rng.standard_normal((t_e, M)).astype(np.float32)
+    snips = np.zeros((len(t_ss), max(t_ss), M), np.float32)
+    for q, t_s in enumerate(t_ss):
+        snips[q, :t_s] = rng.standard_normal((t_s, M))
+
+    got = np.asarray(
+        ncc_frames_multi_core(
+            jnp.asarray(ep), jnp.asarray(snips), t_ss, tile=128
+        )
+    )
+    for q, t_s in enumerate(t_ss):
+        want = np.asarray(
+            fingerprint_scores(jnp.asarray(ep), jnp.asarray(snips[q, :t_s]))
+        )
+        valid = t_e - t_s + 1
+        np.testing.assert_allclose(
+            got[q, :valid], want, rtol=2e-4, atol=2e-5
+        )
