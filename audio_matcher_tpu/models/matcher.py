@@ -149,12 +149,20 @@ def quantize_wire(samples: np.ndarray, transfer_dtype: str) -> np.ndarray:
 
 
 def dequantize_on_device(episode: jax.Array) -> jax.Array:
-    """Device-side inverse of :func:`quantize_wire` (dtype-dispatched)."""
+    """Device-side inverse of :func:`quantize_wire` (dtype-dispatched).
+
+    μ-law expands arithmetically rather than via a 256-entry LUT gather:
+    TPU gathers over a whole episode are orders of magnitude slower than
+    a few elementwise ops (same lesson as the STFT framing, PERF.md).
+    """
     if episode.dtype == jnp.int16:
         return episode.astype(jnp.float32) * (1.0 / 65535.0)
     if episode.dtype == jnp.uint8:
-        _, dec = _ulaw_tables()
-        return jnp.asarray(dec)[episode.astype(jnp.int32)]
+        b = episode.astype(jnp.float32) * (1.0 / 127.5) - 1.0
+        u = jnp.sign(b) * jnp.expm1(
+            jnp.abs(b) * jnp.float32(np.log1p(_MU))
+        ) * jnp.float32(1.0 / _MU)
+        return u * jnp.float32(32768.0 / 65535.0)
     return episode
 
 

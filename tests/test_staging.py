@@ -117,3 +117,21 @@ def test_batch_scan_int16(fixture):
     batch = matcher.match_staged_batch(matcher.stage_batch(episodes))
     for got, offs in zip(batch, offsets):
         assert [p.position for p in got] == [int(o * SR) for o in offs]
+
+
+def test_mulaw_device_decode_matches_table():
+    """The arithmetic on-device μ-law expansion (no LUT gather) agrees
+    with the f64-derived decode table within f32 rounding."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from audio_matcher_tpu.models.matcher import (
+        _ulaw_tables, dequantize_on_device,
+    )
+
+    _, dec = _ulaw_tables()
+    codes = np.arange(256, dtype=np.uint8)
+    got = np.asarray(dequantize_on_device(jnp.asarray(codes)))
+    # f32 expm1 vs the f64 table: ≲1.6e-5 relative (μ-law's own step is
+    # ~2.2% — five hundred times coarser)
+    np.testing.assert_allclose(got, dec, rtol=2e-5, atol=5e-7)
