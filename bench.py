@@ -142,7 +142,7 @@ def main() -> int:
     os.environ.setdefault("OMP_NUM_THREADS", "8")
     rng = np.random.default_rng(42)
     n_episodes = int(os.environ.get("BENCH_EPISODES", "4"))
-    n_queries = int(os.environ.get("BENCH_QUERIES", "32"))
+    n_queries = int(os.environ.get("BENCH_QUERIES", "64"))
     # query lengths 10-13.5 s: varied (exercises per-query valid masking)
     # while keeping the FFT bucket at 2^22 for any query count
     snippets = [
