@@ -384,7 +384,7 @@ def _merge_seams(src, valid_len, bv, bp, block: int):
         return bv, bp  # single segment: no in-kernel blind spots
     js = jnp.arange(GROUP, NB, GROUP, dtype=jnp.int32)
     for offs, strict in ((-1, True), (0, False)):
-        p = js * block + offs  # [NB-1] columns to re-check
+        p = js * block + offs  # segment-boundary columns to re-check
         x0 = src.columns(p)
         xm1 = src.columns(p - 1)
         xp1 = src.columns(p + 1)
