@@ -130,3 +130,54 @@ def test_vpu_small_fft_falls_back(rng):
     episode = (rng.standard_normal(10 * SR) * 0.05).astype(np.float32)
     episode[3 * SR : 4 * SR] = snippet
     assert [p.position for p in m.match(episode)] == [3 * SR]
+
+
+def test_cross_impl_fuzz_random_configs(rng):
+    """All fft_impl × peaks_impl combinations agree on peak positions for
+    random configs whose fft_len clears the VPU two-factor minimum."""
+    from audio_matcher_tpu.models.matcher import MatchConfig, SnippetMatcher
+
+    SR = 4000
+    for trial in range(3):
+        m_secs = float(rng.uniform(0.8, 1.6))
+        chunk = float(rng.uniform(3.5, 6.0))
+        snippet = (rng.standard_normal(int(m_secs * SR)) * 0.2).astype(
+            np.float32
+        )
+        episode = (rng.standard_normal(int(25 * SR)) * 0.05).astype(
+            np.float32
+        )
+        # keep plants farther apart than any drawn distance (≤3 s): two
+        # equal-height plants within the suppression radius tie, and
+        # exact ties resolve nondeterministically on threaded-CPU hosts
+        while True:
+            offs = sorted(
+                rng.choice(np.arange(2, 22), size=2, replace=False).tolist()
+            )
+            if offs[1] - offs[0] >= 4:
+                break
+        for off in offs:
+            i = int(off * SR)
+            episode[i : i + len(snippet)] = snippet
+        base = dict(
+            chunk_secs=chunk,
+            distance_secs=float(rng.uniform(1.0, 3.0)),
+            slab=int(rng.integers(2, 4)),
+            block=256,
+        )
+        got = {}
+        for impl, peaks in (
+            ("xla", "jnp"), ("xla_packed", "pallas"),
+            ("vpu", "pallas"), ("mxu", "jnp"),
+        ):
+            mm = SnippetMatcher(
+                snippet, SR,
+                MatchConfig(fft_impl=impl, peaks_impl=peaks, **base),
+            )
+            got[impl, peaks] = [
+                p.position for p in mm.match(episode) if p.height > 0.5
+            ]
+        ref = got["xla", "jnp"]
+        assert set(int(o * SR) for o in offs) <= set(ref), (trial, ref)
+        for k, v in got.items():
+            assert v == ref, (trial, k, v, ref)
