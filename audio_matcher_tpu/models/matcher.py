@@ -166,6 +166,32 @@ def dequantize_on_device(episode: jax.Array) -> jax.Array:
     return episode
 
 
+def window_rows(window: int, chunk: int) -> int:
+    """Chunk-rows spanned by one overlap-save window (staging pads the
+    episode to whole chunk rows so windows build from static slices)."""
+    return -(-window // chunk)
+
+
+def windows_from_episode(episode, base, slab: int, chunk: int, window: int):
+    """[slab, window] overlap-save windows starting at ``base·chunk``.
+
+    Built as k static row-shifted slices of a [rows, chunk] view + one
+    concat — ``vmap(dynamic_slice)`` over per-window starts lowers to an
+    XLA gather, which on TPU costs ~4× the traffic it moves (the same
+    trap as the STFT framing; PERF.md). Requires the staged episode
+    padded to ``(n_windows_pad + k)`` whole chunks.
+    """
+    k = window_rows(window, chunk)
+    span = jax.lax.dynamic_slice(
+        episode, (base * chunk,), ((slab + k) * chunk,)
+    )
+    rows = span.reshape(slab + k, chunk)
+    wide = jnp.concatenate(
+        [rows[s : s + slab] for s in range(k)], axis=1
+    )  # [slab, k·chunk]
+    return wide[:, :window]
+
+
 @partial(
     jax.jit,
     static_argnames=("fft_len", "valid_max", "distance", "n_peaks", "block"),
@@ -254,14 +280,19 @@ def _match_episode_resident(
     the reference's PCM grid on device. Returns (pos, height, prom) each
     [n_slabs*slab, n_peaks].
     """
+    # pad to whole chunk rows ON DEVICE (one cheap HBM copy of the wire
+    # array) so windows build from static row slices; uploading the pad
+    # instead would cost relay bandwidth on every staging
+    k_rows = window_rows(window, chunk)
+    target = (n_slabs * slab + k_rows) * chunk
+    if episode.shape[0] < target:
+        episode = jnp.pad(episode, (0, target - episode.shape[0]))
     episode = dequantize_on_device(episode)
     crop = min(peaks_crop_width(valid_max, block, peaks_impl), fft_len)
 
     def body(base):
         starts = (base + jnp.arange(slab, dtype=jnp.int32)) * chunk
-        windows = jax.vmap(
-            lambda s: jax.lax.dynamic_slice(episode, (s,), (window,))
-        )(starts)
+        windows = windows_from_episode(episode, base, slab, chunk, window)
         win_len = jnp.clip(n - starts, 0, window)
         valid = jnp.maximum(win_len - m + 1, 0).astype(jnp.int32)
         if fft_impl == "vpu" and peaks_impl == "pallas":

@@ -103,15 +103,22 @@ def resident_match_step(
     crop = min(peaks_crop_width(valid_max, block, peaks_impl), fft_len)
 
     def per_episode(episode, n, sample_f, inv_ac, m):
-        from ..models.matcher import dequantize_on_device
+        from ..models.matcher import dequantize_on_device, window_rows
 
+        # pad to whole chunk rows ON DEVICE (cheap HBM copy of the wire
+        # array) so windows build from static row slices
+        target = (n_slabs * slab + window_rows(window, chunk)) * chunk
+        if episode.shape[0] < target:
+            episode = jnp.pad(episode, (0, target - episode.shape[0]))
         episode = dequantize_on_device(episode)
 
         def body(base):
+            from ..models.matcher import windows_from_episode
+
             starts = (base + jnp.arange(slab, dtype=jnp.int32)) * chunk
-            windows = jax.vmap(
-                lambda s: jax.lax.dynamic_slice(episode, (s,), (window,))
-            )(starts)
+            windows = windows_from_episode(
+                episode, base, slab, chunk, window
+            )
             win_len = jnp.clip(n - starts, 0, window)
             if fft_impl == "mxu":
                 from ..ops.mxu_fft import corr_slab_mxu
