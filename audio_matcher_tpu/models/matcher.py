@@ -40,7 +40,6 @@ from ..ops.peaks import (
     Peak,
     peaks_crop_width,
     pick_peaks_batch,
-    pick_peaks_core,
     pick_peaks_dispatch,
 )
 

@@ -20,7 +20,7 @@ Verified against numpy's FFT to ~1e-6 relative error (tests/test_mxu_fft.py).
 
 from __future__ import annotations
 
-from functools import lru_cache, partial
+from functools import partial
 
 import jax
 import jax.numpy as jnp
