@@ -43,6 +43,58 @@ _PARAMS = pltpu.CompilerParams(
 )
 
 
+DFT_MXU_W = 128  # run each W-row group's last log2(W) DIF stages as ONE
+# MXU matmul with the bit-reversed DFT-W matrix (the stages are a fixed
+# local linear map); the VPU keeps only the leading stages. 0 disables
+# (pure radix-2 chain, kept for A/B probes).
+
+
+def _dft_w_matrix(inverse: bool, w: int):
+    """Bit-reversed-order DFT-W as (real, imag) f32 value planes, built
+    IN-kernel (pallas rejects captured host constants; W² cos/sin per
+    grid cell is noise next to the stage work it replaces).
+
+    Forward: D[r, c] = W_w^{-brev(r)·c} — applying D to a W-row group
+    equals running its log2(W) local radix-2 DIF stages (bit-reversed
+    output). Inverse: the unscaled inverse chain equals conj(D)^T, i.e.
+    E[r, c] = W_w^{+brev(c)·r}.
+    """
+    bits = w.bit_length() - 1
+    r = jax.lax.broadcasted_iota(jnp.int32, (w, w), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (w, w), 1)
+    rev = r if not inverse else c
+    br = jnp.zeros_like(rev)
+    for b in range(bits):
+        br = br | (
+            ((rev >> b) & 1) << (bits - 1 - b)
+        )
+    other = c if not inverse else r
+    sign = -1.0 if not inverse else 1.0
+    # exact integer exponent reduced mod w BEFORE the f32 scale —
+    # large-angle f32 phases would cost ~5e-5 of twiddle accuracy
+    k = (br * other) % w
+    ph = (sign * 2.0 * np.pi / w) * k.astype(jnp.float32)
+    return jnp.cos(ph), jnp.sin(ph)
+
+
+def _dft_w_apply(xr, xi, R: int, C: int, inverse: bool, w: int):
+    """Multiply each consecutive W-row group by the (inverse) bit-
+    reversed DFT-W matrix on the MXU (HIGHEST precision — plain f32
+    would route through bf16 and blow the score tolerance)."""
+    dr, di = _dft_w_matrix(inverse, w)
+    g = R // w
+    vr = xr.reshape(g, w, C)
+    vi = xi.reshape(g, w, C)
+    hp = jax.lax.Precision.HIGHEST
+
+    def mm(m, v):
+        return jnp.einsum("rk,gkc->grc", m, v, precision=hp)
+
+    yr = mm(dr, vr) - mm(di, vi)
+    yi = mm(dr, vi) + mm(di, vr)
+    return yr.reshape(R, C), yi.reshape(R, C)
+
+
 @lru_cache(maxsize=8)
 def _brev_host(n: int) -> np.ndarray:
     L = n.bit_length() - 1
@@ -97,11 +149,23 @@ def _dif_stages_ref(sr_ref, si_ref, R: int, C: int, inverse: bool):
     temporary live and OOMs at 11 stages × 3 MB; two stages fit.
     """
     L = R.bit_length() - 1
-    ts = list(range(L)) if not inverse else list(reversed(range(L)))
+    w = DFT_MXU_W
+    use_mxu = bool(w) and R >= w
+    L_vpu = L - (w.bit_length() - 1) if use_mxu else L  # VPU stages
+    if use_mxu and inverse:
+        # inverse runs reversed: undo each W-group's local chain first
+        xr, xi = _dft_w_apply(sr_ref[...], si_ref[...], R, C, True, w)
+        sr_ref[...] = xr
+        si_ref[...] = xi
+    ts = list(range(L_vpu)) if not inverse else list(reversed(range(L_vpu)))
     for i in range(0, len(ts), STAGE_GROUP):
         xr, xi = sr_ref[...], si_ref[...]
         for t in ts[i : i + STAGE_GROUP]:
             xr, xi = _dif_stage_once(xr, xi, R, C, t, inverse)
+        sr_ref[...] = xr
+        si_ref[...] = xi
+    if use_mxu and not inverse:
+        xr, xi = _dft_w_apply(sr_ref[...], si_ref[...], R, C, False, w)
         sr_ref[...] = xr
         si_ref[...] = xi
 
