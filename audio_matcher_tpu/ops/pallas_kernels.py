@@ -53,8 +53,9 @@ def _reduce_rows(x, valid, base, rows: int, block: int):
     # repair
     left = pltpu.roll(x_max, 1, 1)
     right = pltpu.roll(x_max, width - 1, 1)  # shift must be non-negative
-    interior = (cols >= 1) & (cols <= valid - 2)
-    interior &= (cols >= base + 1) & (cols <= base + width - 2)
+    # (cols >= 1) is subsumed by (cols >= base + 1) for base >= 0
+    interior = (cols <= valid - 2) & (cols >= base + 1)
+    interior &= cols <= base + width - 2
     is_peak = (x > left) & (x > right) & interior & colvalid
     heights = jnp.where(is_peak, x, float("-inf"))
 

@@ -180,3 +180,30 @@ def test_small_but_valid_overlap_keeps_user_semantics(rng, snippet):
     assert matcher.overlap == int(5.0 * SR) + 2  # not raised
     peaks = matcher.match(episode)
     assert [p.position for p in peaks] == [11 * SR]
+
+
+def test_windows_from_episode_matches_naive(rng):
+    """The static-slice window builder equals per-window dynamic slices
+    for 1-, 2- and 3-chunk-row windows (overlap <, ≈, > chunk)."""
+    import jax
+    import jax.numpy as jnp
+
+    from audio_matcher_tpu.models.matcher import (
+        window_rows, windows_from_episode,
+    )
+
+    chunk = 64
+    for window in (64, 100, 128, 150, 190):
+        k = window_rows(window, chunk)
+        slab = 3
+        n = (slab * 2 + k) * chunk
+        ep = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+        for base in (0, slab):
+            got = np.asarray(
+                windows_from_episode(ep, jnp.int32(base), slab, chunk, window)
+            )
+            want = np.stack([
+                np.asarray(ep)[(base + i) * chunk:(base + i) * chunk + window]
+                for i in range(slab)
+            ])
+            np.testing.assert_array_equal(got, want, err_msg=str(window))
