@@ -81,6 +81,12 @@ def build_parser() -> argparse.ArgumentParser:
         "(the reference errors instead)",
     )
     p.add_argument(
+        "--resample-impl", choices=("auto", "device", "scipy"),
+        default="auto", metavar="IMPL",
+        help="resampler: device = polyphase as one MXU convolution, "
+        "scipy = host; auto picks device when an accelerator is attached",
+    )
+    p.add_argument(
         "--fft-impl", choices=("auto", "xla", "xla_packed", "mxu", "vpu"),
         default="auto", metavar="IMPL",
         help="correlation FFT implementation (auto = the fused Pallas VPU "
@@ -139,6 +145,7 @@ def run(args: argparse.Namespace) -> int:
         transfer_dtype=args.transfer,
         fft_impl=common.resolve_fft_impl(args.fft_impl),
         peaks_impl=common.resolve_peaks_impl(args.peaks_impl),
+        resample_impl=args.resample_impl,
     )
     def build_matcher(snip, rate):
         if args.mode == "spectrogram":
@@ -149,7 +156,10 @@ def run(args: argparse.Namespace) -> int:
 
             return SpectrogramMatcher(
                 snip, rate,
-                SpectrogramConfig(distance_secs=float(args.distance)),
+                SpectrogramConfig(
+                    distance_secs=float(args.distance),
+                    transfer_dtype=args.transfer,
+                ),
             )
         return SnippetMatcher(snip, rate, config)
 
@@ -160,7 +170,8 @@ def run(args: argparse.Namespace) -> int:
             from ..hostio.decode import resample
 
             matchers[rate] = build_matcher(
-                resample(s_samples, sr, rate), rate
+                resample(s_samples, sr, rate, impl=args.resample_impl),
+                rate,
             )
         return matchers[rate]
 

@@ -73,6 +73,13 @@ def build_parser() -> argparse.ArgumentParser:
         help="resample recordings whose rate differs from the snippets",
     )
     p.add_argument(
+        "--resample-impl", choices=("auto", "device", "scipy"),
+        default="auto", metavar="IMPL",
+        help="resampler: device = polyphase as one MXU convolution "
+        "(ops/resample.py), scipy = host; auto picks device when an "
+        "accelerator is attached",
+    )
+    p.add_argument(
         "--transfer", choices=("float32", "int16", "mulaw8"),
         default="int16", metavar="DTYPE",
         help="staging wire format (default int16: lossless vs 16-bit source)",
@@ -130,6 +137,7 @@ def run(args: argparse.Namespace) -> int:
         transfer_dtype=args.transfer,
         fft_impl=common.resolve_fft_impl(args.fft_impl),
         peaks_impl=common.resolve_peaks_impl(args.peaks_impl),
+        resample_impl=args.resample_impl,
     )
     mesh = make_mesh(args.devices)
 
@@ -149,7 +157,9 @@ def run(args: argparse.Namespace) -> int:
         from ..models.spectrogram import SpectrogramConfig
 
         spectrogram_config = SpectrogramConfig(
-            distance_secs=float(args.distance)
+            distance_secs=float(args.distance),
+            transfer_dtype=args.transfer,
+            resample_impl=args.resample_impl,
         )
     results = sweep_archive(
         paths,

@@ -249,20 +249,64 @@ def read_audio_int16(path: str | Path) -> tuple[int, np.ndarray]:
     ).astype(np.int16)
 
 
-def resample(samples: np.ndarray, sr_from: int, sr_to: int) -> np.ndarray:
+def device_resample_available() -> bool:
+    """True when the default JAX backend is an accelerator — the device
+    polyphase path only pays off when the conv doesn't run on this host's
+    (single) CPU core."""
+    try:
+        import jax
+
+        return jax.default_backend() != "cpu"
+    except Exception:
+        return False
+
+
+def resample(
+    samples: np.ndarray,
+    sr_from: int,
+    sr_to: int,
+    impl: str = "scipy",
+    wire_int16: bool = False,
+) -> np.ndarray:
     """Polyphase resampling (capability the reference lacks — its matcher
-    errors on sample-rate mismatch, matcher/errors.rs:8-11)."""
+    errors on sample-rate mismatch, matcher/errors.rs:8-11).
+
+    ``impl``: ``"scipy"`` (host), ``"device"`` (ops.resample — ONE dilated
+    convolution on the MXU, scipy-equivalent filter), or ``"auto"``
+    (device when an accelerator backend is attached, scipy otherwise).
+    ``wire_int16``: return int16 staging-wire values instead of f32 — on
+    the device path the quantization happens on-chip, halving the
+    readback; downstream staging accepts int16 wire directly
+    (quantize_wire / dequantize_on_device handle it for every transfer
+    format).
+    """
+    if impl == "auto":
+        impl = "device" if device_resample_available() else "scipy"
+    samples = np.asarray(samples)
+    if samples.dtype == np.int16:  # wire grid → reference PCM scale
+        samples = samples.astype(np.float32) / 65535.0
+    if impl == "device":
+        from ..ops.resample import resample_poly_device
+
+        return np.asarray(
+            resample_poly_device(samples, sr_from, sr_to, wire_int16)
+        )
     if sr_from == sr_to:
-        return np.asarray(samples, np.float32)
-    import math
+        out = samples.astype(np.float32)
+    else:
+        import math
 
-    import scipy.signal
+        import scipy.signal
 
-    g = math.gcd(sr_from, sr_to)
-    out = scipy.signal.resample_poly(
-        np.asarray(samples, np.float64), sr_to // g, sr_from // g
-    )
-    return out.astype(np.float32)
+        g = math.gcd(sr_from, sr_to)
+        out = scipy.signal.resample_poly(
+            samples.astype(np.float64), sr_to // g, sr_from // g
+        ).astype(np.float32)
+    if wire_int16:
+        return np.clip(
+            np.round(out * 65535.0), -32768, 32767
+        ).astype(np.int16)
+    return out
 
 
 def audio_duration(

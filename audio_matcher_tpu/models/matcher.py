@@ -90,6 +90,9 @@ class MatchConfig:
     # peak-pick implementation: "jnp" (multi-pass, ops/peaks.py) or
     # "pallas" (single HBM pass + block-array rounds, identical results)
     peaks_impl: str = "jnp"
+    # cross-rate resampling: "auto" (device polyphase when an accelerator
+    # is attached, scipy otherwise), "device", or "scipy"
+    resample_impl: str = "auto"
 
     @property
     def min_prominence(self) -> float:
@@ -147,6 +150,21 @@ def quantize_wire(samples: np.ndarray, transfer_dtype: str) -> np.ndarray:
     raise ValueError(f"unknown transfer_dtype {transfer_dtype!r}")
 
 
+def wire_silence(transfer_dtype: str) -> int:
+    """Wire value encoding silence: 0 for float32/int16, but mu-law's
+    code 0 decodes to ~-0.5 full scale — its zero is code 128."""
+    return 128 if transfer_dtype == "mulaw8" else 0
+
+
+def wire_buffer(shape, transfer_dtype: str) -> np.ndarray:
+    """Host staging buffer pre-filled with the wire encoding of silence."""
+    dtype = _WIRE_DTYPES[transfer_dtype]
+    fill = wire_silence(transfer_dtype)
+    if fill == 0:
+        return np.zeros(shape, dtype)
+    return np.full(shape, fill, dtype)
+
+
 def dequantize_on_device(episode: jax.Array) -> jax.Array:
     """Device-side inverse of :func:`quantize_wire` (dtype-dispatched).
 
@@ -163,6 +181,24 @@ def dequantize_on_device(episode: jax.Array) -> jax.Array:
         ) * jnp.float32(1.0 / _MU)
         return u * jnp.float32(32768.0 / 65535.0)
     return episode
+
+
+def pad_wire_on_device(episode: jax.Array, target: int) -> jax.Array:
+    """Pad a staged wire episode to ``target`` samples with SILENCE.
+
+    For int16/float32 wires silence is 0, but the mu-law code 0 decodes
+    to ~-0.5 full scale — padding uint8 with zeros would leave a large DC
+    step in the pad region. Valid-lag cropping (``valid = win_len - m + 1``)
+    means no correlation lag ever touches pad samples, but debug dumps or
+    future consumers reading past ``win_len`` should still see silence,
+    so uint8 pads with 128 (the mu-law encoding of 0).
+    """
+    if episode.shape[0] >= target:
+        return episode
+    pad = (0, target - episode.shape[0])
+    if episode.dtype == jnp.uint8:
+        return jnp.pad(episode, pad, constant_values=128)
+    return jnp.pad(episode, pad)
 
 
 def window_rows(window: int, chunk: int) -> int:
@@ -284,8 +320,7 @@ def _match_episode_resident(
     # instead would cost relay bandwidth on every staging
     k_rows = window_rows(window, chunk)
     target = (n_slabs * slab + k_rows) * chunk
-    if episode.shape[0] < target:
-        episode = jnp.pad(episode, (0, target - episode.shape[0]))
+    episode = pad_wire_on_device(episode, target)
     episode = dequantize_on_device(episode)
     crop = min(peaks_crop_width(valid_max, block, peaks_impl), fft_len)
 
@@ -517,7 +552,7 @@ class SnippetMatcher:
         n_windows_pad = -(-n_windows // self.config.slab) * self.config.slab
         n_pad = n_windows_pad * self.chunk + self.overlap
         wire = quantize_wire(samples, self.config.transfer_dtype)
-        padded = np.zeros(n_pad, wire.dtype)
+        padded = wire_buffer(n_pad, self.config.transfer_dtype)
         padded[:n] = wire
         return jax.device_put(padded), n
 
@@ -532,7 +567,7 @@ class SnippetMatcher:
         n_windows_pad = -(-n_windows // self.config.slab) * self.config.slab
         n_pad = n_windows_pad * self.chunk + self.overlap
         dtype = _WIRE_DTYPES[self.config.transfer_dtype]
-        buf = np.zeros((len(episodes), n_pad), dtype)
+        buf = wire_buffer((len(episodes), n_pad), self.config.transfer_dtype)
         for i, ep in enumerate(episodes):
             ep = np.asarray(ep)
             if ep.dtype == dtype:

@@ -30,6 +30,8 @@ class SpectrogramConfig:
     # int16 staging keeps positions identical, scores shift <1% (the
     # log-mel amplifies the 16-bit grid noise at quiet frames)
     transfer_dtype: str = "float32"
+    # cross-rate resampling impl for the sweep (see MatchConfig)
+    resample_impl: str = "auto"
 
 
 class SpectrogramMatcher:

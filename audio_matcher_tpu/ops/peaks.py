@@ -479,7 +479,7 @@ def pick_peaks_pallas_packed(
     Logical row ``2p`` = ``yr[p]·scale[2p]``, ``2p+1`` = ``yi[p]·scale[2p+1]``
     — the de-interleave and the per-query scale fold into the peak kernel's
     single HBM read, so the [2P, V] correlation volume never materializes.
-    V must be a multiple of ``min(block, 256)``. Returns [2P, S] triplets.
+    V must be a multiple of ``min(block, 512)``. Returns [2P, S] triplets.
     """
     block = min(block, 512)
     assert yr.shape[1] % block == 0, "crop planes to a block multiple"

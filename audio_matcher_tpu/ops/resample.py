@@ -33,8 +33,12 @@ def _poly_filter(up: int, down: int) -> np.ndarray:
     return (h * up).astype(np.float32)
 
 
-@partial(jax.jit, static_argnames=("up", "down", "n_out"))
-def _resample_conv(x, h, up: int, down: int, n_out: int):
+@partial(
+    jax.jit, static_argnames=("up", "down", "n_out", "wire_int16")
+)
+def _resample_conv(
+    x, h, up: int, down: int, n_out: int, wire_int16: bool = False
+):
     # scipy centers the filter: pad so output sample j corresponds to
     # input time j*down/up with the group delay removed
     half = (h.shape[0] - 1) // 2
@@ -46,20 +50,36 @@ def _resample_conv(x, h, up: int, down: int, n_out: int):
         padding=[(half, half + down)],
         lhs_dilation=(up,),
         dimension_numbers=("NCH", "OIH", "NCH"),
-    )[0, 0]
-    return y[:n_out]
+    )[0, 0][:n_out]
+    if wire_int16:
+        # quantize to the staging wire grid ON DEVICE: halves the
+        # device→host readback bytes on relayed links
+        return jnp.clip(
+            jnp.round(y * 65535.0), -32768, 32767
+        ).astype(jnp.int16)
+    return y
 
 
 def resample_poly_device(
-    samples, sr_from: int, sr_to: int
+    samples, sr_from: int, sr_to: int, wire_int16: bool = False
 ) -> jax.Array:
-    """[T] f32 → resampled f32 on device; matches
-    ``scipy.signal.resample_poly(x, up, down)`` to float tolerance."""
+    """[T] f32 → resampled on device; matches
+    ``scipy.signal.resample_poly(x, up, down)`` to float tolerance.
+
+    ``wire_int16``: return int16 staging-wire values (``round(y·65535)``)
+    instead of f32 — quantization happens device-side so only half the
+    bytes ride the readback.
+    """
     if sr_from == sr_to:
-        return jnp.asarray(samples, jnp.float32)
+        x = jnp.asarray(samples, jnp.float32)
+        if wire_int16:
+            return jnp.clip(
+                jnp.round(x * 65535.0), -32768, 32767
+            ).astype(jnp.int16)
+        return x
     g = math.gcd(int(sr_from), int(sr_to))
     up, down = sr_to // g, sr_from // g
     x = jnp.asarray(samples, jnp.float32)
     n_out = -(-x.shape[-1] * up // down)
     h = jnp.asarray(_poly_filter(up, down))
-    return _resample_conv(x, h, up, down, n_out)
+    return _resample_conv(x, h, up, down, n_out, wire_int16)

@@ -103,13 +103,16 @@ def resident_match_step(
     crop = min(peaks_crop_width(valid_max, block, peaks_impl), fft_len)
 
     def per_episode(episode, n, sample_f, inv_ac, m):
-        from ..models.matcher import dequantize_on_device, window_rows
+        from ..models.matcher import (
+            dequantize_on_device,
+            pad_wire_on_device,
+            window_rows,
+        )
 
         # pad to whole chunk rows ON DEVICE (cheap HBM copy of the wire
         # array) so windows build from static row slices
         target = (n_slabs * slab + window_rows(window, chunk)) * chunk
-        if episode.shape[0] < target:
-            episode = jnp.pad(episode, (0, target - episode.shape[0]))
+        episode = pad_wire_on_device(episode, target)
         episode = dequantize_on_device(episode)
 
         def body(base):
@@ -260,6 +263,23 @@ class _Query:
     inv_autocorr: float
 
 
+def _pad_episode_rows_on_device(buf: np.ndarray, e_pad: int, transfer_dtype):
+    """Upload only the real episode rows; grow to the mesh-filling row
+    count ON DEVICE (cheap HBM memset vs staging full-width silence rows
+    over the host→device link — a single short episode on an 8-chip mesh
+    would otherwise wire 8× its bytes)."""
+    from ..models.matcher import wire_silence
+
+    dev = jnp.asarray(buf)
+    short = e_pad - buf.shape[0]
+    if short <= 0:
+        return dev
+    return jnp.pad(
+        dev, ((0, short), (0, 0)),
+        constant_values=wire_silence(transfer_dtype),
+    )
+
+
 class ShardedSpectrogramScanner:
     """Mesh-sharded spectrogram-domain batch scanning (BASELINE config #4
     at archive scale): episodes shard over the flattened mesh; each chip
@@ -297,29 +317,29 @@ class ShardedSpectrogramScanner:
         self._step_cache: dict = {}
 
     def stage_resident(self, episodes: Sequence[np.ndarray]):
-        from ..models.matcher import _WIRE_DTYPES, quantize_wire
+        from ..models.matcher import _WIRE_DTYPES, quantize_wire, wire_buffer
 
         ns = np.array([len(e) for e in episodes], np.int32)
         n_max = int(ns.max()) if len(ns) else 0
         cfg = self.config
+        transfer = getattr(cfg, "transfer_dtype", "float32")
         # bucket to whole STFT blocks so compiled shapes are reused
         bucket = 1 << 22
         n_pad = max(-(-max(n_max, cfg.n_fft) // bucket) * bucket, bucket)
         n_dev = int(self.mesh.devices.size)
         e_pad = -(-len(episodes) // n_dev) * n_dev if episodes else 0
-        dtype = _WIRE_DTYPES[getattr(cfg, "transfer_dtype", "float32")]
-        buf = np.zeros((e_pad, n_pad), dtype)
+        dtype = _WIRE_DTYPES[transfer]
+        buf = wire_buffer((len(episodes), n_pad), transfer)
         for i, ep in enumerate(episodes):
             ep = np.asarray(ep)
             if ep.dtype == dtype:
                 buf[i, : len(ep)] = ep
             else:
-                buf[i, : len(ep)] = quantize_wire(
-                    ep, getattr(cfg, "transfer_dtype", "float32")
-                )
+                buf[i, : len(ep)] = quantize_wire(ep, transfer)
         ns_pad = np.zeros(e_pad, np.int32)
         ns_pad[: len(ns)] = ns
-        return jnp.asarray(buf), ns_pad, len(episodes)
+        dev = _pad_episode_rows_on_device(buf, e_pad, transfer)
+        return dev, ns_pad, len(episodes)
 
     def _step(self, n_pad: int):
         if n_pad in self._step_cache:
@@ -484,7 +504,17 @@ def sweep_archive(
                 if resample_mismatched:
                     from ..hostio.decode import resample
 
-                    samples = resample(samples, item.sr, scanner.sr)
+                    # device polyphase when a chip is attached (scipy on
+                    # the 1-vCPU host stalls the whole pipeline for long
+                    # cross-rate episodes); int16 wire halves the readback
+                    # and stages as-is
+                    samples = resample(
+                        samples, item.sr, scanner.sr,
+                        impl=getattr(
+                            scanner.config, "resample_impl", "auto"
+                        ),
+                        wire_int16=True,
+                    )
                 else:
                     log.error(
                         "skipping %s: sample rate %s != %s "
@@ -626,8 +656,10 @@ class ShardedScanner:
     # -- resident single-chip batch path (BASELINE config #3) -----------
     def stage_resident(self, episodes: Sequence[np.ndarray]):
         """Pack + upload a batch as one flat [E, Npad] array (int16 when
-        config.transfer_dtype says so). Execution-free, like
-        SnippetMatcher.stage_batch."""
+        config.transfer_dtype says so). The upload itself is execution-free
+        like SnippetMatcher.stage_batch; when the episode count doesn't
+        fill the mesh, the silence rows are grown by one device-side pad
+        AFTER the upload (so the upload still rides the relay fast path)."""
         ns = np.array([len(e) for e in episodes], np.int32)
         n_max = int(ns.max()) if len(ns) else 0
         slab = self.config.slab
@@ -637,10 +669,13 @@ class ShardedScanner:
         from ..models.matcher import _WIRE_DTYPES, quantize_wire
 
         dtype = _WIRE_DTYPES[self.config.transfer_dtype]
-        # pad the episode count to fill the flattened mesh
+        # pad the episode count to fill the flattened mesh — the silence
+        # rows are grown ON DEVICE, only real episodes ride the wire
         n_dev = int(self.mesh.devices.size)
         e_pad = -(-len(episodes) // n_dev) * n_dev if episodes else 0
-        buf = np.zeros((e_pad, n_pad), dtype)
+        from ..models.matcher import wire_buffer
+
+        buf = wire_buffer((len(episodes), n_pad), self.config.transfer_dtype)
         for i, ep in enumerate(episodes):
             ep = np.asarray(ep)
             if ep.dtype == dtype:
@@ -651,7 +686,10 @@ class ShardedScanner:
                 )
         ns_pad = np.zeros(e_pad, np.int32)
         ns_pad[: len(ns)] = ns
-        return jnp.asarray(buf), ns_pad, len(episodes)
+        dev = _pad_episode_rows_on_device(
+            buf, e_pad, self.config.transfer_dtype
+        )
+        return dev, ns_pad, len(episodes)
 
     def scan_staged(
         self, staged, scale: bool = True

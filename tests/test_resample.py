@@ -48,3 +48,36 @@ def test_cross_rate_match_via_device_resample(rng):
     )
     peaks = m.match(back)
     assert peaks and abs(peaks[0].position - 6 * SR) <= 1
+
+
+def test_wire_int16_device_output(rng):
+    """Device-side quantization to the int16 staging wire matches the f32
+    result quantized on host (halves the readback bytes)."""
+    x = (rng.standard_normal(12345) * 0.3).astype(np.float32)
+    f = np.asarray(resample_poly_device(x, 44100, 48000))
+    w = np.asarray(resample_poly_device(x, 44100, 48000, wire_int16=True))
+    assert w.dtype == np.int16
+    want = np.clip(np.round(f * 65535.0), -32768, 32767).astype(np.int16)
+    assert np.max(np.abs(w.astype(np.int32) - want.astype(np.int32))) <= 1
+
+
+def test_hostio_resample_impl_dispatch(rng):
+    """hostio.decode.resample routes impl=device through ops.resample and
+    stays scipy-equivalent; int16 wire in/out round-trips correctly."""
+    from audio_matcher_tpu.hostio.decode import resample
+
+    # stay well inside the ±0.5 wire clip range (reference PCM grid) so
+    # the int16-input comparison below isn't clipped
+    x = (rng.standard_normal(3000) * 0.1).astype(np.float32)
+    a = resample(x, 8000, 12000, impl="scipy")
+    b = resample(x, 8000, 12000, impl="device")
+    assert a.shape == b.shape
+    assert np.max(np.abs(a - b)) < 2e-6
+    w = resample(x, 8000, 12000, impl="device", wire_int16=True)
+    ws = resample(x, 8000, 12000, impl="scipy", wire_int16=True)
+    assert w.dtype == np.int16 and ws.dtype == np.int16
+    assert np.max(np.abs(w.astype(int) - ws.astype(int))) <= 1
+    # int16 wire INPUT is interpreted on the reference PCM grid
+    xi = np.clip(np.round(x * 65535.0), -32768, 32767).astype(np.int16)
+    c = resample(xi, 8000, 12000, impl="device")
+    assert np.max(np.abs(c - b)) < 1e-4

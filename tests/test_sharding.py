@@ -296,3 +296,46 @@ def test_two_plants_within_distance_keep_one(rng, snippets):
         res = sc.scan_resident([ep])
         got = [p.position for p in res[0][0] if p.height > 0.5]
         assert len(got) == 1 and got[0] in (SR, 2 * SR), got
+
+
+def test_sweep_resample_device_impl(rng, snippets, tmp_path):
+    """Cross-rate sweep with the DEVICE polyphase in the hot loop
+    (VERDICT r2 #3): no scipy, int16 wire readback, same match."""
+    from audio_matcher_tpu.hostio.decode import resample, write_wav
+
+    mesh = make_mesh(2)
+    cfg = MatchConfig(
+        chunk_secs=1.0, distance_secs=2.0, block=256,
+        resample_impl="device",
+    )
+    ep = (rng.standard_normal(SR * 6) * 0.05).astype(np.float32)
+    ep[SR : SR + len(snippets[0])] = snippets[0]
+    hi = tmp_path / "hi_dev.wav"
+    write_wav(hi, SR * 2, resample(ep, SR, SR * 2))
+    results = sweep_archive(
+        [hi], snippets, SR, cfg, mesh=mesh, resample_mismatched=True
+    )
+    got = [p.position for p in results[str(hi)][0] if p.height > 0.4]
+    assert got and abs(got[0] - SR) <= 2
+
+
+def test_stage_resident_row_pad_on_device(rng, snippets):
+    """Episode-count padding happens ON DEVICE: the host buffer holds only
+    real rows, yet the staged array fills the mesh and scans identically
+    (VERDICT r2 weak #3 — a short group no longer wires silence rows)."""
+    mesh = make_mesh(4)
+    cfg = MatchConfig(
+        chunk_secs=1.0, distance_secs=2.0, block=256,
+        transfer_dtype="int16",
+    )
+    scanner = ShardedScanner(snippets, SR, cfg, mesh=mesh)
+    ep = (rng.standard_normal(SR * 6) * 0.05).astype(np.float32)
+    ep[2 * SR : 2 * SR + len(snippets[0])] = snippets[0]
+    staged = scanner.stage_resident([ep])  # 1 episode on a 4-chip mesh
+    dev, ns, n_real = staged
+    assert dev.shape[0] == 4 and n_real == 1
+    assert dev.dtype == np.int16
+    assert np.asarray(dev[1:] == 0).all()
+    results = scanner.scan_staged(staged)
+    got = [p.position for p in results[0][0] if p.height > 0.5]
+    assert got == [2 * SR]

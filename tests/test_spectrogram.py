@@ -198,3 +198,26 @@ def test_ncc_multi_query_matches_per_query(rng):
         np.testing.assert_allclose(
             got[q, :valid], want, rtol=2e-4, atol=2e-5
         )
+
+
+def test_sharded_spectrogram_stage_dtype_and_row_pad(rng):
+    """--transfer reaches the spectrogram staging (VERDICT r2 missing #1):
+    int16 wire dtype on the staged array, and mesh-filling rows grown on
+    device rather than wired as full-width silence."""
+    from audio_matcher_tpu.parallel.mesh import make_mesh
+    from audio_matcher_tpu.parallel.sweep import ShardedSpectrogramScanner
+
+    snippet = make_snippet(rng)
+    ep = (rng.standard_normal(30 * SR) * 0.05).astype(np.float32)
+    at = 11 * SR
+    ep[at : at + len(snippet)] += snippet
+    cfg = SpectrogramConfig(distance_secs=10.0, transfer_dtype="int16")
+    sc = ShardedSpectrogramScanner([snippet], SR, cfg, make_mesh(4))
+    staged = sc.stage_resident([ep])  # 1 episode on a 4-chip mesh
+    dev, ns, n_real = staged
+    assert dev.dtype == np.int16
+    assert dev.shape[0] == 4 and n_real == 1
+    assert np.asarray(dev[1:] == 0).all()
+    peaks = sc.scan_staged(staged)[0][0]
+    best = max(peaks, key=lambda p: p.height)
+    assert abs(best.position - at) <= 256

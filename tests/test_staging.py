@@ -135,3 +135,28 @@ def test_mulaw_device_decode_matches_table():
     # f32 expm1 vs the f64 table: ≲1.6e-5 relative (μ-law's own step is
     # ~2.2% — five hundred times coarser)
     np.testing.assert_allclose(got, dec, rtol=2e-5, atol=5e-7)
+
+
+def test_mulaw_pad_is_silence():
+    """Wire padding encodes SILENCE per dtype: mu-law code 0 decodes to
+    ~-0.5 full scale, so uint8 pads with code 128 (ADVICE r2 #2)."""
+    import jax.numpy as jnp
+
+    from audio_matcher_tpu.models.matcher import (
+        dequantize_on_device,
+        pad_wire_on_device,
+        wire_buffer,
+        wire_silence,
+    )
+
+    assert wire_silence("mulaw8") == 128
+    assert wire_silence("int16") == 0
+    buf = wire_buffer(16, "mulaw8")
+    assert buf.dtype == np.uint8 and (buf == 128).all()
+    padded = pad_wire_on_device(jnp.full(4, 7, jnp.uint8), 12)
+    assert np.asarray(padded[4:] == 128).all()
+    dec = np.asarray(dequantize_on_device(padded))
+    assert np.max(np.abs(dec[4:])) < 1e-4  # pad region is near-silent
+    # int16/float32 pads stay zero
+    p16 = pad_wire_on_device(jnp.full(4, 7, jnp.int16), 12)
+    assert np.asarray(p16[4:] == 0).all()

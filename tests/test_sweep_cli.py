@@ -115,3 +115,40 @@ def test_sweep_cli_mp3_archive_with_resume(tmp_path, rng):
         assert (tmp_path / f"ep{e}.txt").exists()
     state = (tmp_path / ".done.txt").read_text()
     assert state.lower().count("done") == 5
+
+
+def test_sweep_cli_forwards_transfer_to_spectrogram(tmp_path, rng, monkeypatch):
+    """--transfer/--resample-impl reach SpectrogramConfig (VERDICT r2 #2):
+    the CLI default is int16, so a spectrogram sweep stages half the wire
+    bytes unless the user overrides."""
+    from audio_matcher_tpu.cli import sweep_cli as mod
+
+    snip = (rng.standard_normal(SR) * 0.2).astype(np.float32)
+    write_wav(tmp_path / "s.wav", SR, snip)
+    ep = (rng.standard_normal(SR * 4) * 0.05).astype(np.float32)
+    write_wav(tmp_path / "e.wav", SR, ep)
+
+    seen = {}
+
+    def fake_sweep(paths, snippets, sr, config, **kw):
+        seen["spectrogram_config"] = kw.get("spectrogram_config")
+        seen["config"] = config
+        return {}
+
+    monkeypatch.setattr(mod, "sweep_archive", fake_sweep)
+    ns = mod.build_parser().parse_args(
+        [str(tmp_path / "e.wav"), "--snippet", str(tmp_path / "s.wav"),
+         "--mode", "spectrogram"]
+    )
+    assert mod.run(ns) == 0
+    assert seen["spectrogram_config"].transfer_dtype == "int16"
+
+    ns = mod.build_parser().parse_args(
+        [str(tmp_path / "e.wav"), "--snippet", str(tmp_path / "s.wav"),
+         "--mode", "spectrogram", "--transfer", "float32",
+         "--resample-impl", "scipy"]
+    )
+    assert mod.run(ns) == 0
+    assert seen["spectrogram_config"].transfer_dtype == "float32"
+    assert seen["spectrogram_config"].resample_impl == "scipy"
+    assert seen["config"].resample_impl == "scipy"
