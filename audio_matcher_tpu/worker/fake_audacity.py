@@ -19,7 +19,8 @@ from pathlib import Path
 
 log = logging.getLogger("audio_matcher.fake_audacity")
 
-_KV_RE = re.compile(r'(\w+)=(".*?"|\S+)')
+# quoted values may contain \" and \\ escapes (see audacity.quote_param)
+_KV_RE = re.compile(r'(\w+)=("(?:\\.|[^"\\])*"|\S+)')
 
 
 def parse_command(line: str) -> tuple[str, dict[str, str]]:
@@ -29,6 +30,7 @@ def parse_command(line: str) -> tuple[str, dict[str, str]]:
         value = m.group(2)
         if value.startswith('"') and value.endswith('"'):
             value = value[1:-1]
+            value = value.replace('\\"', '"').replace("\\\\", "\\")
         params[m.group(1)] = value
     return name.strip(), params
 
@@ -247,6 +249,19 @@ class FakeAudacity:
             t.labels = [
                 lb for lb in t.labels if not (lb[0] >= start and lb[1] <= end)
             ]
+        return "", True
+
+    def _cmd_export2(self, p):
+        """Export-dialog flow: write a placeholder file so pipelines that
+        script the export (instead of the reference's manual Ctrl+Shift+E
+        prompt) can be driven end-to-end."""
+        path = p.get("Filename", "")
+        if not path:
+            return "Export2 requires Filename", False
+        out = Path(path)
+        out.parent.mkdir(parents=True, exist_ok=True)
+        out.write_bytes(b"")
+        self.exported[str(out)] = "Export2"
         return "", True
 
     def _cmd_getinfo(self, p):
