@@ -138,6 +138,61 @@ def measure_cpu_baseline(episode, snippet, config):
     return 1.0 / (per_window * windows_per_hour)  # audio-hours/sec
 
 
+def record_history(result: dict, fingerprint: dict) -> None:
+    """Append this run to benches/history.jsonl (criterion's tracked-
+    history role, VERDICT r2 #8) and compare against the latest prior
+    entry with the SAME config fingerprint. Regressions >15% on the
+    device-resident number (the repeatable one — e2e inherits the relay's
+    2x staging swings) fail loudly; BENCH_STRICT=1 makes that a hard
+    exit."""
+    import datetime
+
+    path = os.path.join(os.path.dirname(__file__), "benches", "history.jsonl")
+    prev = None
+    try:
+        with open(path) as f:
+            for line in f:
+                try:
+                    rec = json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+                if rec.get("tag") == "bench" and rec.get("fingerprint") == fingerprint:
+                    prev = rec
+    except FileNotFoundError:
+        pass
+    entry = {
+        "tag": "bench",
+        "when": datetime.datetime.now(datetime.timezone.utc).isoformat(
+            timespec="seconds"
+        ),
+        "fingerprint": fingerprint,
+        "result": result,
+    }
+    cur = result["device_resident_value"]
+    if prev is not None:
+        old = prev["result"]["device_resident_value"]
+        delta = (cur - old) / old if old else 0.0
+        print(
+            f"[bench] history: device-resident {old:.3f} -> {cur:.3f} "
+            f"pair-h/s ({delta:+.1%} vs {prev['when']})",
+            file=sys.stderr,
+        )
+        if delta < -0.15:
+            entry["regression"] = True
+            print(
+                f"[bench] REGRESSION: device-resident throughput dropped "
+                f"{-delta:.1%} vs the previous run of this config "
+                f"(>{15}% threshold)",
+                file=sys.stderr,
+            )
+            if os.environ.get("BENCH_STRICT"):
+                with open(path, "a") as f:
+                    f.write(json.dumps(entry) + "\n")
+                sys.exit(1)
+    with open(path, "a") as f:
+        f.write(json.dumps(entry) + "\n")
+
+
 def main() -> int:
     os.environ.setdefault("OMP_NUM_THREADS", "8")
     rng = np.random.default_rng(42)
@@ -207,20 +262,32 @@ def main() -> int:
         f"pair-h/s; matches {'OK' if ok else 'WRONG'}",
         file=sys.stderr,
     )
-    print(
-        json.dumps(
-            {
-                "metric": "(episode,snippet)-pair audio-hours scanned/sec/"
-                f"chip (batch scan: {n_episodes} episodes x "
-                f"{n_queries} query snippets, 44.1kHz; staging included)",
-                "value": round(value, 4),
-                "unit": "pair_audio_hours/s",
-                "vs_baseline": round(value / baseline, 2),
-                "device_resident_value": round(value_scan, 4),
-                "device_resident_vs_baseline": round(value_scan / baseline, 2),
-            }
-        )
+    result = {
+        "metric": "(episode,snippet)-pair audio-hours scanned/sec/"
+        f"chip (batch scan: {n_episodes} episodes x "
+        f"{n_queries} query snippets, 44.1kHz; staging included)",
+        "value": round(value, 4),
+        "unit": "pair_audio_hours/s",
+        "vs_baseline": round(value / baseline, 2),
+        "device_resident_value": round(value_scan, 4),
+        "device_resident_vs_baseline": round(value_scan / baseline, 2),
+    }
+    import jax
+
+    record_history(
+        result,
+        {
+            "backend": jax.default_backend(),
+            "episode_secs": EPISODE_SECS,
+            "episodes": n_episodes,
+            "queries": n_queries,
+            "slab": config.slab,
+            "transfer_dtype": config.transfer_dtype,
+            "fft_impl": config.fft_impl,
+            "peaks_impl": config.peaks_impl,
+        },
     )
+    print(json.dumps(result))
     return 0
 
 
