@@ -1,5 +1,7 @@
 """audio-sweep CLI end-to-end on the CPU mesh."""
 
+from pathlib import Path
+
 import numpy as np
 import pytest
 
@@ -115,6 +117,107 @@ def test_sweep_cli_mp3_archive_with_resume(tmp_path, rng):
         assert (tmp_path / f"ep{e}.txt").exists()
     state = (tmp_path / ".done.txt").read_text()
     assert state.lower().count("done") == 5
+
+
+@pytest.mark.slow
+def test_sweep_cli_crash_resume(tmp_path, rng):
+    """Crash-resume e2e (VERDICT r2 #7; SURVEY §5 checkpoint/resume):
+    SIGKILL the sweep CLI mid-run after ≥1 file committed to the progress
+    store, re-run, and assert the union of label files and the progress
+    store equal an uninterrupted run over the same archive."""
+    import os
+    import shutil
+    import subprocess
+    import sys as _sys
+    import time
+
+    from audio_matcher_tpu.hostio.decode import encode_audio, native_available
+
+    if not native_available("mp3_encode"):
+        pytest.skip("no native mp3 encoder")
+    SR = 44100
+    n_eps = 16
+    k = np.hanning(9)
+    snippet = (
+        np.convolve(rng.standard_normal(2 * SR), k / k.sum(), mode="same")
+        * 0.3
+    ).astype(np.float32)
+    encode_audio(tmp_path / "intro.mp3", SR, snippet)
+    crashed = tmp_path / "crashed"
+    oracle = tmp_path / "oracle"
+    crashed.mkdir()
+    oracle.mkdir()
+    for e in range(n_eps):
+        ep = (
+            np.convolve(
+                rng.standard_normal(20 * SR), k / k.sum(), mode="same"
+            )
+            * 0.04
+        ).astype(np.float32)
+        # two plants per episode at episode-specific offsets → one label
+        # with distinct, comparable start/end per file
+        at1 = (1 + e % 4) * SR
+        at2 = at1 + (7 + e % 3) * SR
+        ep[at1 : at1 + len(snippet)] = snippet
+        ep[at2 : at2 + len(snippet)] = snippet
+        encode_audio(crashed / f"ep{e:02d}.mp3", SR, ep)
+        shutil.copy(crashed / f"ep{e:02d}.mp3", oracle / f"ep{e:02d}.mp3")
+
+    def cli_args(d):
+        return [
+            str(d / "ep*.mp3"), "--snippet", str(tmp_path / "intro.mp3"),
+            "--progress-file", str(d / ".done.txt"), "--chunk-size", "10",
+            "--distance", "5", "--devices", "4", "--silent",
+        ]
+
+    env = dict(
+        os.environ,
+        PALLAS_AXON_POOL_IPS="",
+        JAX_PLATFORMS="cpu",
+        XLA_FLAGS="--xla_force_host_platform_device_count=8",
+        PYTHONPATH=str(Path(__file__).resolve().parent.parent),
+    )
+    # --- interrupted run: subprocess, SIGKILLed once the progress store
+    # shows the first group landing (guarantees a mid-run kill, not a
+    # graceful exit)
+    proc = subprocess.Popen(
+        [_sys.executable, "-m", "audio_matcher_tpu.cli.sweep_cli"]
+        + cli_args(crashed),
+        env=env, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+    )
+    done = crashed / ".done.txt"
+    deadline = time.time() + 600
+    while time.time() < deadline:
+        if done.exists() and len(done.read_text().splitlines()) >= 2:
+            break
+        if proc.poll() is not None:
+            break
+        time.sleep(0.01)
+    proc.kill()
+    proc.wait(timeout=60)
+    n_done = len(done.read_text().splitlines()) if done.exists() else 0
+    assert 0 < n_done < n_eps, f"kill raced the sweep: {n_done} files done"
+
+    # --- resume in-process: scans only the remainder
+    ns = sweep_cli.build_parser().parse_args(cli_args(crashed))
+    assert sweep_cli.run(ns) == 0
+    # --- uninterrupted oracle run over the copied archive
+    ns = sweep_cli.build_parser().parse_args(cli_args(oracle))
+    assert sweep_cli.run(ns) == 0
+
+    for e in range(n_eps):
+        got = (crashed / f"ep{e:02d}.txt").read_text()
+        want = (oracle / f"ep{e:02d}.txt").read_text()
+        assert got == want, f"ep{e:02d} labels diverge after crash-resume"
+        assert got.strip(), f"ep{e:02d} produced no labels"
+
+    def states(d):
+        return sorted(
+            (Path(line.rsplit(" ", 1)[0]).name, line.rsplit(" ", 1)[1])
+            for line in (d / ".done.txt").read_text().splitlines()
+        )
+
+    assert states(crashed) == states(oracle)
 
 
 def test_sweep_cli_forwards_transfer_to_spectrogram(tmp_path, rng, monkeypatch):
