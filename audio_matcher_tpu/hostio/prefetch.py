@@ -5,6 +5,12 @@ The reference's hot loop decodes mp3 lazily on the scanning thread
 must instead run AHEAD of the device so host I/O and accelerator compute
 overlap. A small thread pool decodes up to ``depth`` files in advance into
 a bounded queue (double/triple buffering).
+
+With ``wire_dtype`` set, workers emit samples already in the device staging
+wire format (int16 straight from the native decoder, μ-law companding in
+the worker): the whole decode→wire conversion overlaps the previous
+group's device scan, and the sweep's critical path shrinks to a row memcpy
+plus the upload (ROADMAP #1 streaming decode→stage).
 """
 
 from __future__ import annotations
@@ -17,7 +23,7 @@ from typing import Iterable, Iterator
 
 import numpy as np
 
-from .decode import read_audio
+from .decode import read_audio, read_audio_int16
 
 log = logging.getLogger("audio_matcher.prefetch")
 
@@ -30,16 +36,43 @@ class DecodedFile:
     error: Exception | None = None
 
 
+def _decode_wire(
+    path: Path, wire_dtype: str, expect_sr: int | None
+) -> DecodedFile:
+    """Decode to the staging wire format. A sample-rate mismatch leaves the
+    samples on the int16 grid (not companded): the caller's resample path
+    consumes int16/f32, and staging re-encodes to the wire dtype."""
+    if wire_dtype == "float32":
+        sr, samples = read_audio(path)
+        return DecodedFile(path, sr, samples)
+    sr, wire = read_audio_int16(path)
+    if wire_dtype == "mulaw8" and (expect_sr is None or sr == expect_sr):
+        from ..models.matcher import quantize_wire
+
+        wire = quantize_wire(wire, "mulaw8")
+    return DecodedFile(path, sr, wire)
+
+
 def decode_prefetched(
     paths: Iterable[str | Path],
     depth: int = 2,
     workers: int = 2,
+    wire_dtype: str | None = None,
+    expect_sr: int | None = None,
 ) -> Iterator[DecodedFile]:
-    """Yield decoded files in order while decoding ``depth`` ahead."""
+    """Yield decoded files in order while decoding ``depth`` ahead.
+
+    ``wire_dtype``: emit samples in this staging wire format
+    (float32/int16/mulaw8) instead of f32 PCM — the conversion happens in
+    the worker thread. ``expect_sr``: the scanner's rate; mismatched files
+    stay int16 so the resample path gets raw samples.
+    """
     paths = [Path(p) for p in paths]
 
     def job(path: Path) -> DecodedFile:
         try:
+            if wire_dtype is not None:
+                return _decode_wire(path, wire_dtype, expect_sr)
             sr, samples = read_audio(path)
             return DecodedFile(path, sr, samples)
         except Exception as exc:  # noqa: BLE001 — surfaced to the consumer

@@ -170,6 +170,42 @@ def wire_buffer(shape, transfer_dtype: str) -> np.ndarray:
     return np.full(shape, fill, dtype)
 
 
+class StagingArena:
+    """Reusable host staging buffers for a group-by-group sweep.
+
+    A fresh ``wire_buffer`` per group costs a zeroed allocation of the full
+    group bytes (page-fault-bound on a 1-vCPU host); the arena instead
+    keeps one buffer per (rows, width) shape and re-silences only the
+    stale span each row's previous episode wrote beyond the new one
+    (ROADMAP #1 streaming decode→stage).
+
+    Single-flight semantics: rows are overwritten on the next ``get`` for
+    the same shape, so a staged device array must be consumed before the
+    next group stages. ``sweep_archive``'s stage→scan→stage loop satisfies
+    this; the default (arena-less) ``stage_resident`` stays copy-fresh.
+    """
+
+    def __init__(self, transfer_dtype: str):
+        self.transfer = transfer_dtype
+        self._bufs: dict = {}  # (rows, width) → (buf, per-row fill length)
+
+    def get(self, rows: int, width: int) -> np.ndarray:
+        key = (rows, width)
+        if key not in self._bufs:
+            self._bufs[key] = (wire_buffer(key, self.transfer), [0] * rows)
+        return self._bufs[key][0]
+
+    def write_row(self, rows: int, width: int, i: int, wire: np.ndarray):
+        """Copy one episode's wire samples into row ``i``, silencing only
+        the stale tail left by the previous occupant."""
+        buf, fill = self._bufs[(rows, width)]
+        n = len(wire)
+        buf[i, :n] = wire
+        if fill[i] > n:
+            buf[i, n : fill[i]] = wire_silence(self.transfer)
+        fill[i] = n
+
+
 def dequantize_on_device(episode: jax.Array) -> jax.Array:
     """Device-side inverse of :func:`quantize_wire` (dtype-dispatched).
 
@@ -332,7 +368,12 @@ def _match_episode_resident(
     k_rows = window_rows(window, chunk)
     target = (n_slabs * slab + k_rows) * chunk
     episode = pad_wire_on_device(episode, target)
-    episode = dequantize_on_device(episode)
+    # the fused vpu+pallas path windows the WIRE episode directly — the
+    # packed-pair forward major kernel dequantizes in-register, so the
+    # f32 episode and f32 windows never materialize in HBM (r3 #1)
+    fused_wire = fft_impl == "vpu" and peaks_impl == "pallas"
+    if not fused_wire:
+        episode = dequantize_on_device(episode)
     crop = min(peaks_crop_width(valid_max, block, peaks_impl), fft_len)
 
     def body(base):
@@ -343,11 +384,11 @@ def _match_episode_resident(
         if fft_impl == "vpu" and peaks_impl == "pallas":
             # fully-fused path: correlation planes stay pair-packed; the
             # de-interleave + inv_ac scale fold into the peak kernel's read
-            from ..ops.pallas_fft import corr_single_query_vpu_planes
+            from ..ops.pallas_fft import corr_single_query_vpu_planes_wire
             from ..ops.peaks import pick_peaks_pallas_packed
 
             interpret = jax.default_backend() != "tpu"
-            yr, yi = corr_single_query_vpu_planes(
+            yr, yi = corr_single_query_vpu_planes_wire(
                 windows, sample_f[0], sample_f[1], crop,
                 interpret=interpret,
             )

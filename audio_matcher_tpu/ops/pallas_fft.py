@@ -279,6 +279,206 @@ def fft_major(
     )(sa, xr, xi)
 
 
+def _dequant_block(x, dtype):
+    """In-kernel wire→f32 expansion (mirrors models.matcher.
+    dequantize_on_device — arithmetic, no LUT gathers)."""
+    if dtype == jnp.int16:
+        return x.astype(jnp.float32) * jnp.float32(1.0 / 65535.0)
+    if dtype == jnp.uint8:
+        b = x.astype(jnp.float32) * jnp.float32(1.0 / 127.5) - 1.0
+        u = jnp.sign(b) * jnp.expm1(
+            jnp.abs(b) * jnp.float32(np.log1p(255.0))
+        ) * jnp.float32(1.0 / 255.0)
+        return u * jnp.float32(32768.0 / 65535.0)
+    return x.astype(jnp.float32)
+
+
+def _major_fwd_wire_kernel(
+    sa_ref,  # [1, A] f32 — brev_A as floats
+    xw_ref,  # [1, A, tile] wire dtype (i16 / u8 / f32)
+    or_ref,
+    oi_ref,
+    sr_ref,  # [A, tile] VMEM scratch
+    si_ref,
+    *,
+    A: int,
+    n: int,
+    tile: int,
+    w_len: int,
+    dtype,
+):
+    """Forward major pass fused with dequantization and zero-padding: the
+    input is the WIRE-dtype window plane (half/quarter the HBM read of
+    f32), the imaginary plane never exists anywhere (the forward input is
+    real), and samples past ``w_len`` are masked to exact 0.0 in-register
+    (so the host never materializes an f32 pad tail either)."""
+    j = pl.program_id(1)
+    xw = xw_ref[0]
+    x = _dequant_block(xw, dtype)
+    if w_len < n:
+        # element index within the window: a·M + (j·tile + c)
+        M = n // A
+        a = jax.lax.broadcasted_iota(jnp.int32, (A, tile), 0)
+        c = jax.lax.broadcasted_iota(jnp.int32, (A, tile), 1)
+        idx = a * M + j * tile + c
+        x = jnp.where(idx < w_len, x, 0.0)
+    sr_ref[...] = x
+    si_ref[...] = jnp.zeros_like(x)
+    _dif_stages_ref(sr_ref, si_ref, A, tile, inverse=False)
+    yr = sr_ref[...]
+    yi = si_ref[...]
+    sa = sa_ref[0, :]
+    b = (j * tile) + jax.lax.broadcasted_iota(
+        jnp.int32, (A, tile), 1
+    ).astype(jnp.float32)
+    ph = (-2.0 * np.pi / n) * (sa[:, None] * b)
+    cr, ci = jnp.cos(ph), jnp.sin(ph)
+    or_ref[0] = yr * cr - yi * ci
+    oi_ref[0] = yr * ci + yi * cr
+
+
+@partial(
+    jax.jit, static_argnames=("A", "n", "w_len", "interpret", "tile")
+)
+def fft_major_fwd_wire(
+    xw,  # [P, A, M] wire dtype — real windows, valid through w_len
+    A: int,
+    n: int,
+    w_len: int,
+    interpret: bool = False,
+    tile: int | None = None,
+):
+    """Real-input forward major pass reading the staging wire format
+    directly (VERDICT r3 #1: dequant + pad fold into the forward FFT's
+    first Pallas pass like the product folded into the inverse)."""
+    P, A_, M = xw.shape
+    tile = min(TILE_MAJOR, M) if tile is None else tile
+    assert A_ == A and M % tile == 0
+    sa = jnp.asarray(_brev_host(A), jnp.float32)[None, :]
+    grid = (P, M // tile)
+    ospec = pl.BlockSpec(
+        (1, A, tile), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM
+    )
+    return pl.pallas_call(
+        partial(
+            _major_fwd_wire_kernel,
+            A=A, n=n, tile=tile, w_len=w_len, dtype=xw.dtype,
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, A), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, A, tile), lambda i, j: (i, 0, j),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=[ospec, ospec],
+        out_shape=[
+            jax.ShapeDtypeStruct((P, A, M), jnp.float32),
+            jax.ShapeDtypeStruct((P, A, M), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((A, tile), jnp.float32),
+            pltpu.VMEM((A, tile), jnp.float32),
+        ],
+        compiler_params=_PARAMS,
+        interpret=interpret,
+    )(sa, xw)
+
+
+def _major_fwd_wire2_kernel(
+    sa_ref,  # [1, A] f32 — brev_A as floats
+    x0_ref,  # [1, A, tile] wire dtype — window 2p   (→ real plane)
+    x1_ref,  # [1, A, tile] wire dtype — window 2p+1 (→ imag plane)
+    or_ref,
+    oi_ref,
+    sr_ref,
+    si_ref,
+    *,
+    A: int,
+    n: int,
+    tile: int,
+    w_len: int,
+    dtype,
+):
+    """Window-pair forward major pass from the wire format: both packed
+    windows dequantize in-register (the f32 windows never exist in HBM);
+    samples past ``w_len`` mask to exact 0.0."""
+    j = pl.program_id(1)
+    x0 = _dequant_block(x0_ref[0], dtype)
+    x1 = _dequant_block(x1_ref[0], dtype)
+    if w_len < n:
+        M = n // A
+        a = jax.lax.broadcasted_iota(jnp.int32, (A, tile), 0)
+        c = jax.lax.broadcasted_iota(jnp.int32, (A, tile), 1)
+        idx = a * M + j * tile + c
+        x0 = jnp.where(idx < w_len, x0, 0.0)
+        x1 = jnp.where(idx < w_len, x1, 0.0)
+    sr_ref[...] = x0
+    si_ref[...] = x1
+    _dif_stages_ref(sr_ref, si_ref, A, tile, inverse=False)
+    yr = sr_ref[...]
+    yi = si_ref[...]
+    sa = sa_ref[0, :]
+    b = (j * tile) + jax.lax.broadcasted_iota(
+        jnp.int32, (A, tile), 1
+    ).astype(jnp.float32)
+    ph = (-2.0 * np.pi / n) * (sa[:, None] * b)
+    cr, ci = jnp.cos(ph), jnp.sin(ph)
+    or_ref[0] = yr * cr - yi * ci
+    oi_ref[0] = yr * ci + yi * cr
+
+
+@partial(
+    jax.jit, static_argnames=("A", "n", "w_len", "interpret", "tile")
+)
+def fft_major_fwd_wire2(
+    x0,  # [P, A, M] wire dtype — even windows
+    x1,  # [P, A, M] wire dtype — odd windows
+    A: int,
+    n: int,
+    w_len: int,
+    interpret: bool = False,
+    tile: int | None = None,
+):
+    """Packed-pair forward major pass reading the wire format directly
+    (single-query path: fft(w0 + i·w1))."""
+    P, A_, M = x0.shape
+    tile = min(TILE_MAJOR, M) if tile is None else tile
+    assert A_ == A and M % tile == 0
+    sa = jnp.asarray(_brev_host(A), jnp.float32)[None, :]
+    grid = (P, M // tile)
+    wspec = pl.BlockSpec(
+        (1, A, tile), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM
+    )
+    ospec = pl.BlockSpec(
+        (1, A, tile), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM
+    )
+    return pl.pallas_call(
+        partial(
+            _major_fwd_wire2_kernel,
+            A=A, n=n, tile=tile, w_len=w_len, dtype=x0.dtype,
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, A), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            wspec,
+            wspec,
+        ],
+        out_specs=[ospec, ospec],
+        out_shape=[
+            jax.ShapeDtypeStruct((P, A, M), jnp.float32),
+            jax.ShapeDtypeStruct((P, A, M), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((A, tile), jnp.float32),
+            pltpu.VMEM((A, tile), jnp.float32),
+        ],
+        compiler_params=_PARAMS,
+        interpret=interpret,
+    )(sa, x0, x1)
+
+
 def _minor_kernel(
     xr_ref, xi_ref, or_ref, oi_ref, sr_ref, si_ref, *,
     M: int, tile: int, inverse: bool,
@@ -549,6 +749,43 @@ def corr_slab_vpu_planes(
     return yr.reshape(B * Qh, width), yi.reshape(B * Qh, width)
 
 
+def corr_slab_vpu_planes_wire(
+    windows,  # [B, W] wire dtype (i16 / u8 / f32) — undequantized
+    t_r,  # [Qh, n] f32 — scrambled_query_spectra(pack=True)
+    t_i,
+    width: int,
+    interpret: bool = False,
+):
+    """:func:`corr_slab_vpu_planes` with the forward major pass reading
+    the staging WIRE format directly: dequantization, zero-padding to n,
+    and the (identically-zero) imaginary plane all happen in-register in
+    the first kernel — the f32 episode, the f32 windows, and the zeros
+    plane never exist in HBM (VERDICT r3 #1)."""
+    B, W = windows.shape
+    Qh, n = t_r.shape
+    A, M = split_factors(n)
+    assert width % M == 0 and width <= n, (width, M, n)
+    assert (width // M) % 8 == 0 or width == n, (width, M)
+    if W < n:
+        # wire-dtype pad (bytes are half/quarter of f32); values past W are
+        # masked to exact 0.0 in-kernel, so plain zeros are fine for μ-law
+        windows = jnp.pad(windows, ((0, 0), (0, n - W)))
+    Xr, Xi = fft_major_fwd_wire(
+        windows.reshape(B, A, M), A, n, W, interpret=interpret
+    )
+    Xr, Xi = fft_minor(Xr, Xi, M, interpret=interpret)
+    Vr, Vi = ifft_minor_product(
+        Xr, Xi,
+        t_r.reshape(Qh, A, M), t_i.reshape(Qh, A, M),
+        M, interpret=interpret,
+    )
+    yr, yi = fft_major(
+        Vr, Vi, A, n, inverse=True, interpret=interpret,
+        a_crop=width // M,
+    )
+    return yr.reshape(B * Qh, width), yi.reshape(B * Qh, width)
+
+
 def corr_single_query_vpu_planes(
     windows,  # [B, W] f32
     s_r,  # [1, n] f32 — scrambled_query_spectra(pack=False), one query
@@ -578,6 +815,48 @@ def corr_single_query_vpu_planes(
     P = Zr.shape[0]
     Vr, Vi = ifft_minor_product(
         Zr.reshape(P, A, M), Zi.reshape(P, A, M),
+        s_r.reshape(1, A, M), s_i.reshape(1, A, M),
+        M, interpret=interpret,
+    )
+    yr, yi = fft_major(
+        Vr, Vi, A, n, inverse=True, interpret=interpret,
+        a_crop=width // M,
+    )
+    return yr.reshape(P, width), yi.reshape(P, width)
+
+
+def corr_single_query_vpu_planes_wire(
+    windows,  # [B, W] wire dtype (i16 / u8 / f32) — undequantized
+    s_r,  # [1, n] f32 — scrambled_query_spectra(pack=False), one query
+    s_i,
+    width: int,
+    interpret: bool = False,
+):
+    """:func:`corr_single_query_vpu_planes` reading the staging wire
+    format directly — dequantization and zero-padding fold into the
+    packed-pair forward major kernel (VERDICT r3 #1)."""
+    B, W = windows.shape
+    n = s_r.shape[-1]
+    A, M = split_factors(n)
+    assert width % M == 0 and width <= n, (width, M, n)
+    assert (width // M) % 8 == 0 or width == n, (width, M)
+    if W < n:
+        # tail values are masked to exact 0.0 in-kernel; zeros suffice
+        windows = jnp.pad(windows, ((0, 0), (0, n - W)))
+    if B % 2:
+        # pad WINDOW row: its correlations are garbage either way (masked
+        # by valid_len=0 downstream) but wire silence keeps μ-law's pad
+        # near zero instead of −0.5 full scale
+        fill = 128 if windows.dtype == jnp.uint8 else 0
+        windows = jnp.pad(windows, ((0, 1), (0, 0)), constant_values=fill)
+    P = windows.shape[0] // 2
+    Zr, Zi = fft_major_fwd_wire2(
+        windows[0::2].reshape(P, A, M), windows[1::2].reshape(P, A, M),
+        A, n, W, interpret=interpret,
+    )
+    Zr, Zi = fft_minor(Zr, Zi, M, interpret=interpret)
+    Vr, Vi = ifft_minor_product(
+        Zr, Zi,
         s_r.reshape(1, A, M), s_i.reshape(1, A, M),
         M, interpret=interpret,
     )

@@ -624,7 +624,17 @@ def find_peaks_device(
         # dense-peak regime (tiny min-distance): the iterated-argmax device
         # path would need thousands of rounds; scipy implements exactly the
         # semantics we emulate, so use it host-side for this cold path.
+        # NOTE: scipy's plateau handling differs from the device paths on
+        # exact ties (module docstring) — surface the switch to callers.
+        import logging
+
         import scipy.signal
+
+        logging.getLogger("audio_matcher.peaks").info(
+            "find_peaks_device: %d candidate slots exceed the device "
+            "path's 256 — using scipy host-side (plateau-tie semantics "
+            "differ from the device kernels on exact ties)", n_peaks,
+        )
 
         kwargs = {"distance": distance} if distance and distance > 1 else {}
         idx, props = scipy.signal.find_peaks(

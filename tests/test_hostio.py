@@ -139,3 +139,32 @@ def test_opus_encode_decode_roundtrip(tmp_path, rng):
     n = min(len(sig), len(back))
     corr = np.corrcoef(sig[:n], back[:n])[0, 1]
     assert corr > 0.99
+
+
+def test_prefetch_wire_dtype(tmp_path, rng):
+    """Workers emit staging-wire samples (streaming decode→stage): int16
+    straight from the decoder, μ-law companded in the worker — and a
+    sample-rate mismatch stays int16 so the resample path gets raw
+    samples."""
+    from audio_matcher_tpu.models.matcher import quantize_wire
+
+    mono = (rng.standard_normal(3000) * 0.1).astype(np.float32)
+    a = tmp_path / "a.wav"
+    b = tmp_path / "b.wav"  # mismatched rate
+    write_wav(a, 8000, mono)
+    write_wav(b, 4000, mono)
+    for wire, dtype in (("int16", np.int16), ("mulaw8", np.uint8),
+                        ("float32", np.float32)):
+        out = list(
+            decode_prefetched([a, b], wire_dtype=wire, expect_sr=8000)
+        )
+        assert out[0].samples.dtype == dtype
+        if wire == "mulaw8":
+            # matched-rate file companded; mismatched stays int16
+            assert out[1].samples.dtype == np.int16
+            from audio_matcher_tpu.hostio.decode import read_audio_int16
+
+            _, i16 = read_audio_int16(a)
+            np.testing.assert_array_equal(
+                out[0].samples, quantize_wire(i16, "mulaw8")
+            )

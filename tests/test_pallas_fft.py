@@ -181,3 +181,84 @@ def test_cross_impl_fuzz_random_configs(rng):
         assert set(int(o * SR) for o in offs) <= set(ref), (trial, ref)
         for k, v in got.items():
             assert v == ref, (trial, k, v, ref)
+
+
+@pytest.mark.parametrize("transfer", ["int16", "mulaw8", "float32"])
+def test_wire_planes_match_f32_planes(rng, transfer):
+    """corr_slab_vpu_planes_wire (dequant + pad + real-input fused into
+    the forward major kernel) must reproduce corr_slab_vpu_planes on the
+    dequantized windows for every staging wire format."""
+    from audio_matcher_tpu.models.matcher import (
+        dequantize_on_device,
+        quantize_wire,
+    )
+    from audio_matcher_tpu.ops.pallas_fft import (
+        corr_slab_vpu_planes,
+        corr_slab_vpu_planes_wire,
+        scrambled_query_spectra,
+    )
+
+    n = 1 << 15
+    A, M = split_factors(n)
+    W = n - 3 * M  # pad tail exercised
+    B, Q = 2, 2
+    wire = quantize_wire(
+        (rng.standard_normal((B, W)) * 0.2).astype(np.float32), transfer
+    )
+    snippets = (rng.standard_normal((Q, 500)) * 0.2).astype(np.float32)
+    t_r, t_i = scrambled_query_spectra(snippets, n, pack=True)
+    width = (W // (8 * M)) * (8 * M)
+    f32_windows = dequantize_on_device(jnp.asarray(wire))
+    want_r, want_i = corr_slab_vpu_planes(
+        f32_windows, t_r, t_i, width, interpret=INTERPRET
+    )
+    got_r, got_i = corr_slab_vpu_planes_wire(
+        jnp.asarray(wire), t_r, t_i, width, interpret=INTERPRET
+    )
+    scale = float(jnp.max(jnp.abs(want_r))) or 1.0
+    assert float(jnp.max(jnp.abs(got_r - want_r))) / scale < 1e-6
+    assert float(jnp.max(jnp.abs(got_i - want_i))) / scale < 1e-6
+
+
+@pytest.mark.parametrize("transfer", ["int16", "mulaw8"])
+def test_single_query_wire_planes_match(rng, transfer):
+    """Packed-pair wire forward (fft_major_fwd_wire2) must reproduce the
+    f32 single-query planes, odd window counts included."""
+    from audio_matcher_tpu.models.matcher import (
+        dequantize_on_device,
+        quantize_wire,
+    )
+    from audio_matcher_tpu.ops.pallas_fft import (
+        corr_single_query_vpu_planes,
+        corr_single_query_vpu_planes_wire,
+        scrambled_query_spectra,
+    )
+
+    n = 1 << 15
+    A, M = split_factors(n)
+    W = n - 3 * M
+    B = 3  # odd: exercises the pad row
+    wire = quantize_wire(
+        (rng.standard_normal((B, W)) * 0.2).astype(np.float32), transfer
+    )
+    snippet = (rng.standard_normal((1, 400)) * 0.2).astype(np.float32)
+    s_r, s_i = scrambled_query_spectra(snippet, n, pack=False)
+    width = (W // (8 * M)) * (8 * M)
+    want_r, want_i = corr_single_query_vpu_planes(
+        dequantize_on_device(jnp.asarray(wire)), s_r, s_i, width,
+        interpret=INTERPRET,
+    )
+    got_r, got_i = corr_single_query_vpu_planes_wire(
+        jnp.asarray(wire), s_r, s_i, width, interpret=INTERPRET
+    )
+    scale = float(jnp.max(jnp.abs(want_r))) or 1e-6
+    # plane row p holds corr(w_2p) in real / corr(w_2p+1) in imag; with
+    # odd B the final imag half is the PAD window — its values differ
+    # between the paths (f32 pads zeros, wire pads wire-code 0, which for
+    # mu-law decodes to ~-0.5) and are masked by valid_len=0 downstream,
+    # so compare only the planes backed by real windows
+    full = B // 2
+    assert float(
+        jnp.max(jnp.abs(got_r[: full + 1] - want_r[: full + 1]))
+    ) / scale < 1e-6
+    assert float(jnp.max(jnp.abs(got_i[:full] - want_i[:full]))) / scale < 1e-6

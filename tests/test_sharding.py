@@ -235,9 +235,9 @@ def test_sweep_groups_fill_whole_mesh(rng, snippets, tmp_path, monkeypatch):
     batches = []
     orig = sweep_mod.ShardedScanner.stage_resident
 
-    def spying(self, episodes):
+    def spying(self, episodes, arena=None):
         batches.append(len(episodes))
-        return orig(self, episodes)
+        return orig(self, episodes, arena)
 
     monkeypatch.setattr(sweep_mod.ShardedScanner, "stage_resident", spying)
     results = sweep_archive(paths, snippets, SR, cfg, mesh=mesh)
@@ -339,3 +339,54 @@ def test_stage_resident_row_pad_on_device(rng, snippets):
     results = scanner.scan_staged(staged)
     got = [p.position for p in results[0][0] if p.height > 0.5]
     assert got == [2 * SR]
+
+
+def test_staging_arena_resilences_stale_tails():
+    """StagingArena reuses one buffer per shape across groups; a shorter
+    episode landing on a row a longer one occupied must see silence past
+    its end — including mu-law, whose silence code is 128 not 0."""
+    from audio_matcher_tpu.models.matcher import StagingArena, quantize_wire
+
+    for transfer, silence in (("int16", 0), ("mulaw8", 128)):
+        arena = StagingArena(transfer)
+        long = quantize_wire(
+            np.full(64, 0.3, np.float32), transfer
+        )
+        short = quantize_wire(np.full(16, -0.2, np.float32), transfer)
+        buf = arena.get(2, 64)
+        arena.write_row(2, 64, 0, long)
+        arena.write_row(2, 64, 1, long)
+        buf2 = arena.get(2, 64)
+        assert buf2 is buf  # same backing buffer, no realloc
+        arena.write_row(2, 64, 0, short)
+        np.testing.assert_array_equal(buf2[0, :16], short)
+        assert (buf2[0, 16:] == silence).all()
+        np.testing.assert_array_equal(buf2[1], long)  # untouched row
+
+
+def test_sweep_two_groups_shrinking_lengths(rng, snippets, tmp_path):
+    """Two sweep groups where the second group's episodes are shorter than
+    the first's: the reused arena rows must not leak the first group's
+    samples into the second group's scan (streaming decode→stage)."""
+    from audio_matcher_tpu.hostio.decode import write_wav
+
+    mesh = make_mesh(2)
+    cfg = MatchConfig(
+        chunk_secs=1.0, distance_secs=2.0, block=256, transfer_dtype="int16"
+    )
+    paths, want = [], {}
+    # group 1: 6 s episodes with plants late; group 2: 3 s episodes whose
+    # rows would otherwise retain group 1's late plants
+    specs = [(6, 4.0), (6, 4.5), (3, 1.0), (3, 0.5)]
+    for i, (secs, off) in enumerate(specs):
+        ep = (rng.standard_normal(SR * secs) * 0.05).astype(np.float32)
+        at = int(off * SR)
+        ep[at : at + len(snippets[0])] = snippets[0]
+        p = tmp_path / f"g{i}.wav"
+        write_wav(p, SR, ep)
+        paths.append(p)
+        want[str(p)] = at
+    results = sweep_archive(paths, [snippets[0]], SR, cfg, mesh=mesh)
+    for p in paths:
+        got = [pk.position for pk in results[str(p)][0] if pk.height > 0.5]
+        assert got == [want[str(p)]], (p, got)
