@@ -88,6 +88,12 @@ def _native():
             ctypes.POINTER(ctypes.c_int32),
         ]
         lib.am_free_i16.argtypes = [ctypes.POINTER(ctypes.c_int16)]
+    if hasattr(lib, "am_mp3_duration"):
+        lib.am_mp3_duration.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int32),
+        ]
     _lib = lib
     return lib
 
@@ -100,8 +106,31 @@ def native_available(what: str = "mp3") -> bool:
         "mp3": lib.am_has_mp3_decode,
         "opus": lib.am_has_opus,
         "mp3_encode": lib.am_has_mp3_encode,
+        "mp3_duration": getattr(lib, "am_has_mp3_duration", None),
     }[what]
+    if probe is None:
+        return False
     return bool(probe())
+
+
+def mp3_duration_probe(path: str | Path) -> float:
+    """mp3 duration from a frame-header scan (native, NO decode) — the
+    reference's ``mp3-duration`` crate stage (mp3_reader.rs:76) between
+    the tag cache and the full-decode fallback. Raises DecodeError when
+    the native runtime or the scan symbols are unavailable."""
+    lib = _native()
+    if lib is None or not hasattr(lib, "am_mp3_duration"):
+        raise DecodeError("native mp3 duration probe unavailable")
+    n = ctypes.c_int64()
+    sr = ctypes.c_int32()
+    rc = lib.am_mp3_duration(
+        str(path).encode(), ctypes.byref(n), ctypes.byref(sr)
+    )
+    if rc != 0:
+        raise DecodeError(lib.am_last_error().decode())
+    if sr.value <= 0:
+        raise DecodeError(f"bad sample rate from duration probe: {sr.value}")
+    return n.value / sr.value
 
 
 def _native_decode(fn_name: str, path: Path) -> tuple[int, np.ndarray]:
@@ -341,8 +370,17 @@ def audio_duration(
     if fallback is not None:
         duration = float(fallback)
     else:
-        sr, samples = read_audio(path)
-        duration = len(samples) / sr
+        duration = None
+        if path.suffix.lower() == ".mp3":
+            # stage 2 (reference mp3_reader.rs:76, the mp3-duration crate):
+            # frame-header scan, no decode
+            try:
+                duration = mp3_duration_probe(path)
+            except DecodeError:
+                duration = None
+        if duration is None:
+            sr, samples = read_audio(path)
+            duration = len(samples) / sr
     try:
         tag = TaggedFile.from_path(path, default_empty=True)
         tag.set(Length, duration)

@@ -63,6 +63,10 @@ struct Mpg123Api {
   int (*read)(void*, void*, size_t, size_t*) = nullptr;
   int (*close)(void*) = nullptr;
   void (*del)(void*) = nullptr;
+  // optional (duration probe — frame-header scan without decode); absent
+  // on ancient libmpg123 builds, probed at call time
+  int (*scan)(void*) = nullptr;
+  long (*length)(void*) = nullptr;
 
   bool ok() const { return lib != nullptr; }
 };
@@ -83,6 +87,9 @@ Mpg123Api& mpg123() {
                 load_sym(lib, "mpg123_close", &a.close) &&
                 load_sym(lib, "mpg123_delete", &a.del);
     if (!good) return a;
+    // optional symbols: plain dlsym so a miss doesn't clobber g_error
+    a.scan = reinterpret_cast<int (*)(void*)>(dlsym(lib, "mpg123_scan"));
+    a.length = reinterpret_cast<long (*)(void*)>(dlsym(lib, "mpg123_length"));
     a.init();
     a.lib = lib;
     return a;
@@ -331,6 +338,52 @@ void am_free(float* p) { free(p); }
 int am_has_mp3_decode() { return mpg123().ok() ? 1 : 0; }
 int am_has_opus() { return opus().ok() ? 1 : 0; }
 int am_has_mp3_encode() { return lame().ok() ? 1 : 0; }
+int am_has_mp3_duration() {
+  Mpg123Api& m = mpg123();
+  return (m.ok() && m.scan && m.length) ? 1 : 0;
+}
+
+// Fast mp3 duration probe: mpg123's frame-header scan, NO decode — the
+// role of the reference's `mp3-duration` crate stage (mp3_reader.rs:76)
+// between the tag cache and the full-decode fallback.
+int am_mp3_duration(const char* path, int64_t* out_samples,
+                    int32_t* out_sr) {
+  Mpg123Api& m = mpg123();
+  if (!m.ok() || !m.scan || !m.length) {
+    set_error("mpg123 scan/length unavailable");
+    return -1;
+  }
+  int err = 0;
+  void* h = m.make(nullptr, &err);
+  if (!h) {
+    set_error("mpg123_new failed");
+    return -1;
+  }
+  if (m.open(h, path) != MPG123_OK) {
+    set_error("no valid mp3 data in %s", path);
+    m.del(h);
+    return -1;
+  }
+  long rate = 0;
+  int channels = 0, enc = 0;
+  if (m.getformat(h, &rate, &channels, &enc) != MPG123_OK ||
+      m.scan(h) != MPG123_OK) {
+    set_error("no valid mp3 data in %s", path);
+    m.close(h);
+    m.del(h);
+    return -1;
+  }
+  long len = m.length(h);  // samples per channel
+  m.close(h);
+  m.del(h);
+  if (len < 0) {
+    set_error("mpg123_length failed for %s", path);
+    return -1;
+  }
+  *out_samples = static_cast<int64_t>(len);
+  *out_sr = static_cast<int32_t>(rate);
+  return 0;
+}
 
 // Decode an mp3 to mono int16 on the (l+r)/2 grid — the wire format for
 // device staging (the f32 reference scaling ×1/65535 is applied on device).

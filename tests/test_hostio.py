@@ -168,3 +168,33 @@ def test_prefetch_wire_dtype(tmp_path, rng):
             np.testing.assert_array_equal(
                 out[0].samples, quantize_wire(i16, "mulaw8")
             )
+
+
+def test_mp3_duration_probe_no_decode(tmp_path, rng):
+    """Native frame-header duration probe (the reference's mp3-duration
+    crate stage) agrees with the full decode within one frame."""
+    from audio_matcher_tpu.hostio.decode import (
+        audio_duration,
+        encode_audio,
+        mp3_duration_probe,
+        native_available,
+        read_audio,
+    )
+
+    if not native_available("mp3_encode") or not native_available(
+        "mp3_duration"
+    ):
+        import pytest
+
+        pytest.skip("native mp3 encode/duration unavailable")
+    sr = 44100
+    mono = (rng.standard_normal(10 * sr) * 0.1).astype(np.float32)
+    p = tmp_path / "d.mp3"
+    encode_audio(p, sr, mono)
+    want_sr, samples = read_audio(p)
+    want = len(samples) / want_sr
+    got = mp3_duration_probe(p)
+    assert abs(got - want) < 1152 / sr  # one mpeg frame
+    # audio_duration's cold-cache path uses the probe, then caches the tag
+    d1 = audio_duration(p)
+    assert abs(d1 - want) < 1152 / sr
