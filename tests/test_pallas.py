@@ -121,6 +121,7 @@ class TestPickPeaksPallas:
         self._compare(x, valid, distance=V, n_peaks=2, block=block)
 
 
+@pytest.mark.heavy
 def test_fuzz_pallas_vs_jnp_vs_scipy(rng):
     """Property fuzz: random signals/valid-lengths/distances — the pallas
     picker, the jnp picker, and scipy.signal.find_peaks must agree on the

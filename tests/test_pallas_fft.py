@@ -67,6 +67,7 @@ def test_roundtrip_and_convolution(rng):
     assert np.max(np.abs(got - want)) / np.max(np.abs(want)) < 3e-6
 
 
+@pytest.mark.heavy
 def test_vpu_impl_equality_matcher_and_scanner(rng):
     """fft_impl='vpu' (pallas VPU FFT) finds identical peaks to 'xla' in
     both the single-query matcher and the multi-query sharded scanner
@@ -132,6 +133,7 @@ def test_vpu_small_fft_falls_back(rng):
     assert [p.position for p in m.match(episode)] == [3 * SR]
 
 
+@pytest.mark.heavy
 def test_cross_impl_fuzz_random_configs(rng):
     """All fft_impl × peaks_impl combinations agree on peak positions for
     random configs whose fft_len clears the VPU two-factor minimum."""
