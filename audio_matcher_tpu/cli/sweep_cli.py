@@ -66,6 +66,13 @@ def build_parser() -> argparse.ArgumentParser:
         "--devices", type=int, metavar="N",
         help="mesh size (default: all devices)",
     )
+    p.add_argument(
+        "--group-size", type=int, metavar="N",
+        help="episodes per device dispatch (default: mesh size, raised "
+        "to 8 on a single chip; rounded up to a mesh multiple). Host "
+        "memory scales with group size x episode length — pass 1 for "
+        "very long episodes on small hosts",
+    )
     p.add_argument("--no-out", action="store_true")
     p.add_argument("--dry-run", action="store_true")
     p.add_argument(
@@ -172,6 +179,7 @@ def run(args: argparse.Namespace) -> int:
         resample_mismatched=args.resample,
         mode=args.mode,
         spectrogram_config=spectrogram_config,
+        group_size=args.group_size,
     )
     log.info("scanned %d file(s) on a %s mesh", len(results), mesh.devices.shape)
     return 0

@@ -349,7 +349,9 @@ class ShardedSpectrogramScanner:
         )
         self._step_cache: dict = {}
 
-    def stage_resident(self, episodes: Sequence[np.ndarray], arena=None):
+    def stage_resident(
+        self, episodes: Sequence[np.ndarray], arena=None, pad_to=None
+    ):
         ns = np.array([len(e) for e in episodes], np.int32)
         n_max = int(ns.max()) if len(ns) else 0
         cfg = self.config
@@ -359,6 +361,8 @@ class ShardedSpectrogramScanner:
         n_pad = max(-(-max(n_max, cfg.n_fft) // bucket) * bucket, bucket)
         n_dev = int(self.mesh.devices.size)
         e_pad = -(-len(episodes) // n_dev) * n_dev if episodes else 0
+        if pad_to:  # tail groups keep the full-group compiled shape
+            e_pad = max(e_pad, int(pad_to))
         buf = _fill_wire_rows(episodes, n_pad, transfer, arena)
         ns_pad = np.zeros(e_pad, np.int32)
         ns_pad[: len(ns)] = ns
@@ -448,9 +452,12 @@ class ShardedSpectrogramScanner:
         return out
 
     def scan_resident(
-        self, episodes: Sequence[np.ndarray], scale=True, arena=None
+        self, episodes: Sequence[np.ndarray], scale=True, arena=None,
+        pad_to=None,
     ):
-        return self.scan_staged(self.stage_resident(episodes, arena), scale)
+        return self.scan_staged(
+            self.stage_resident(episodes, arena, pad_to), scale
+        )
 
 
 def sweep_archive(
@@ -465,6 +472,7 @@ def sweep_archive(
     resample_mismatched: bool = False,
     mode: str = "pcm",
     spectrogram_config=None,
+    group_size: int | None = None,
 ):
     """Scan an archive of files against query snippets with resume.
 
@@ -477,6 +485,10 @@ def sweep_archive(
     ``mode="spectrogram"`` scans log-mel fingerprints (noise-robust,
     BASELINE config #4) on the same mesh/resume machinery.
     ``write_labels_for``: optional ``fn(path, query_idx, peaks)`` sink.
+    ``group_size``: episodes per device dispatch — default is the mesh
+    size, raised to 8 on a single chip so per-dispatch overhead (the
+    relay pays ~31 ms + per-group staging setup) amortizes over several
+    files; must be a multiple of the mesh size so no chip scans padding.
     Returns {path: [peaks_per_query]}.
     """
     from ..hostio.prefetch import decode_prefetched
@@ -510,8 +522,14 @@ def sweep_archive(
     # fill the whole flattened mesh: stage_resident pads the episode batch
     # to mesh.devices.size, so smaller groups would scan zero-padding on
     # the remaining chips (r1 VERDICT weak #6: a (4,2) mesh ran groups of 4
-    # padded to 8, half the mesh scanning zeros)
-    group_size = max(int(scanner.mesh.devices.size), 1)
+    # padded to 8, half the mesh scanning zeros). On a single chip, group
+    # several episodes per dispatch (lax.map over the batch) so dispatch
+    # overhead amortizes across files.
+    n_dev = max(int(scanner.mesh.devices.size), 1)
+    if group_size is None:
+        group_size = n_dev if n_dev > 1 else 8
+    else:
+        group_size = max(-(-int(group_size) // n_dev) * n_dev, n_dev)
     if prefetch_depth is None:
         # decode the NEXT group fully while the current one scans on device
         prefetch_depth = max(group_size, 3)
@@ -563,7 +581,9 @@ def sweep_archive(
         group = ok_items
         # resident path: one flat upload, windows gathered in HBM, forward
         # FFTs shared across queries; shard_map over the mesh when >1 chip
-        peaks = scanner.scan_resident(episodes, arena=arena)
+        peaks = scanner.scan_resident(
+            episodes, arena=arena, pad_to=group_size
+        )
         for item, per_query in zip(group, peaks):
             results[str(item.path)] = per_query
             if write_labels_for is not None:
@@ -690,13 +710,17 @@ class ShardedScanner:
         return self._sample_f_full_cache
 
     # -- resident single-chip batch path (BASELINE config #3) -----------
-    def stage_resident(self, episodes: Sequence[np.ndarray], arena=None):
+    def stage_resident(
+        self, episodes: Sequence[np.ndarray], arena=None, pad_to=None
+    ):
         """Pack + upload a batch as one flat [E, Npad] array (int16 when
         config.transfer_dtype says so). The upload itself is execution-free
         like SnippetMatcher.stage_batch; when the episode count doesn't
         fill the mesh, the silence rows are grown by one device-side pad
         AFTER the upload (so the upload still rides the relay fast path).
-        ``arena``: reuse a StagingArena buffer (sweep groups)."""
+        ``arena``: reuse a StagingArena buffer (sweep groups).
+        ``pad_to``: minimum episode-count pad — tail sweep groups keep the
+        full group's compiled shape instead of retracing."""
         ns = np.array([len(e) for e in episodes], np.int32)
         n_max = int(ns.max()) if len(ns) else 0
         slab = self.config.slab
@@ -707,6 +731,8 @@ class ShardedScanner:
         # rows are grown ON DEVICE, only real episodes ride the wire
         n_dev = int(self.mesh.devices.size)
         e_pad = -(-len(episodes) // n_dev) * n_dev if episodes else 0
+        if pad_to:
+            e_pad = max(e_pad, int(pad_to))
         buf = _fill_wire_rows(
             episodes, n_pad, self.config.transfer_dtype, arena
         )
@@ -774,9 +800,12 @@ class ShardedScanner:
         return out
 
     def scan_resident(
-        self, episodes: Sequence[np.ndarray], scale: bool = True, arena=None
+        self, episodes: Sequence[np.ndarray], scale: bool = True, arena=None,
+        pad_to=None,
     ) -> list[list[list[Peak]]]:
-        return self.scan_staged(self.stage_resident(episodes, arena), scale)
+        return self.scan_staged(
+            self.stage_resident(episodes, arena, pad_to), scale
+        )
 
     def _windows(self, episodes: Sequence[np.ndarray], c_windows: int):
         E = len(episodes)

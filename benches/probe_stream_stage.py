@@ -50,7 +50,7 @@ def build_archive(root: Path):
     return snippet, paths
 
 
-def run_sweep(paths, snippet, legacy: bool):
+def run_sweep(paths, snippet, legacy: bool, group_size=None):
     cfg = MatchConfig(transfer_dtype="int16")
     mesh = make_mesh()
     if legacy:
@@ -73,7 +73,7 @@ def run_sweep(paths, snippet, legacy: bool):
         try:
             t0 = time.perf_counter()
             results = sweep_mod.sweep_archive(
-                paths, [snippet], SR, cfg, mesh=mesh
+                paths, [snippet], SR, cfg, mesh=mesh, group_size=group_size
             )
             dt = time.perf_counter() - t0
         finally:
@@ -81,7 +81,9 @@ def run_sweep(paths, snippet, legacy: bool):
             sweep_mod.ShardedScanner.scan_resident = orig_scan
     else:
         t0 = time.perf_counter()
-        results = sweep_mod.sweep_archive(paths, [snippet], SR, cfg, mesh=mesh)
+        results = sweep_mod.sweep_archive(
+            paths, [snippet], SR, cfg, mesh=mesh, group_size=group_size
+        )
         dt = time.perf_counter() - t0
     n_peaks = sum(
         1 for per_q in results.values() for pks in per_q for p in pks
@@ -142,14 +144,19 @@ def main():
         host_side_ab(paths)
         if os.environ.get("PROBE_HOST_ONLY"):
             return 0
+        group = int(os.environ.get("PROBE_GROUP", "0")) or None
         # warmup: compile the scan shapes (both variants share them)
-        dt, np_ = run_sweep(paths[:2], snippet, legacy=False)
+        dt, np_ = run_sweep(paths[:2], snippet, legacy=False,
+                            group_size=group)
         print(f"warmup 2 files: {dt:.2f}s ({np_} peaks)", flush=True)
-        for label, legacy in (
-            ("streaming", False), ("legacy", True),
-            ("streaming", False), ("legacy", True),
-        ):
-            dt, peaks = run_sweep(paths, snippet, legacy=legacy)
+        variants = [("streaming", False), ("legacy", True)] * 2
+        if group:
+            # group A/B instead: grouped vs per-file dispatch, streaming
+            variants = [(f"group={group}", False), ("group=1", False)] * 2
+        for label, legacy in variants:
+            g = group if label.startswith("group=") and label != "group=1" \
+                else (1 if label == "group=1" else group)
+            dt, peaks = run_sweep(paths, snippet, legacy=legacy, group_size=g)
             rate = N_FILES * EP_SECS / 3600 / dt
             print(
                 f"{label:9s}: {dt:6.2f}s for {N_FILES} files "

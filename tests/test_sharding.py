@@ -235,9 +235,9 @@ def test_sweep_groups_fill_whole_mesh(rng, snippets, tmp_path, monkeypatch):
     batches = []
     orig = sweep_mod.ShardedScanner.stage_resident
 
-    def spying(self, episodes, arena=None):
+    def spying(self, episodes, arena=None, pad_to=None):
         batches.append(len(episodes))
-        return orig(self, episodes, arena)
+        return orig(self, episodes, arena, pad_to)
 
     monkeypatch.setattr(sweep_mod.ShardedScanner, "stage_resident", spying)
     results = sweep_archive(paths, snippets, SR, cfg, mesh=mesh)
@@ -390,3 +390,45 @@ def test_sweep_two_groups_shrinking_lengths(rng, snippets, tmp_path):
     for p in paths:
         got = [pk.position for pk in results[str(p)][0] if pk.height > 0.5]
         assert got == [want[str(p)]], (p, got)
+
+
+def test_sweep_group_size_single_chip(rng, snippets, tmp_path):
+    """Single-chip sweeps group several episodes per dispatch (default 8,
+    overridable); the tail group pads its episode count on device so the
+    compiled shape is reused (pad_to)."""
+    from audio_matcher_tpu.hostio.decode import write_wav
+    from audio_matcher_tpu.parallel import sweep as sweep_mod
+
+    mesh = make_mesh(1)
+    cfg = MatchConfig(
+        chunk_secs=1.0, distance_secs=2.0, block=256, transfer_dtype="int16"
+    )
+    paths, want = [], {}
+    for e in range(5):
+        ep = (rng.standard_normal(SR * 4) * 0.05).astype(np.float32)
+        at = (1 + e % 3) * SR // 2
+        ep[at : at + len(snippets[0])] = snippets[0]
+        p = tmp_path / f"e{e}.wav"
+        write_wav(p, SR, ep)
+        paths.append(p)
+        want[str(p)] = at
+
+    staged_shapes = []
+    orig = sweep_mod.ShardedScanner.stage_resident
+
+    def spying(self, episodes, arena=None, pad_to=None):
+        out = orig(self, episodes, arena, pad_to)
+        staged_shapes.append((len(episodes), out[0].shape[0]))
+        return out
+
+    sweep_mod.ShardedScanner.stage_resident = spying
+    try:
+        results = sweep_archive(
+            paths, [snippets[0]], SR, cfg, mesh=mesh, group_size=4
+        )
+    finally:
+        sweep_mod.ShardedScanner.stage_resident = orig
+    assert staged_shapes == [(4, 4), (1, 4)]  # tail keeps the group shape
+    for p in paths:
+        got = [pk.position for pk in results[str(p)][0] if pk.height > 0.5]
+        assert got == [want[str(p)]], p
