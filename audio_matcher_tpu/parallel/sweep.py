@@ -422,15 +422,24 @@ class ShardedSpectrogramScanner:
         self._step_cache[n_pad] = step
         return step
 
-    def scan_staged(self, staged, scale: bool = True):
+    def scan_dispatch(self, staged, scale: bool = True):
+        """Launch the scan program without blocking on the readback: on
+        async backends the returned device arrays are still in flight, so
+        the caller can stage the NEXT group while this one executes
+        (sweep_archive's dispatch-ahead pipeline)."""
         del scale  # NCC scores are scale-invariant by construction
         episodes_dev, ns, n_real = staged
-        cfg = self.config
         step = self._step(episodes_dev.shape[1])
-        pos, h, prom = step(
+        outs = step(
             episodes_dev, jnp.asarray(ns, jnp.int32),
             jnp.asarray(self._fb), jnp.asarray(self._snip_fps),
         )
+        return outs, ns, n_real
+
+    def scan_collect(self, dispatched):
+        """Block on a :meth:`scan_dispatch` handle → peaks[episode][query]."""
+        (pos, h, prom), ns, n_real = dispatched
+        cfg = self.config
         pos, h, prom = np.asarray(pos), np.asarray(h), np.asarray(prom)
         out = []
         for e in range(n_real):
@@ -450,6 +459,9 @@ class ShardedSpectrogramScanner:
                 per_query.append(peaks)
             out.append(per_query)
         return out
+
+    def scan_staged(self, staged, scale: bool = True):
+        return self.scan_collect(self.scan_dispatch(staged, scale))
 
     def scan_resident(
         self, episodes: Sequence[np.ndarray], scale=True, arena=None,
@@ -538,11 +550,33 @@ def sweep_archive(
     # streaming decode→stage (ROADMAP #1): workers decode straight to the
     # staging wire format (int16 from the native decoder, μ-law companded
     # in the worker) so quantization overlaps the previous group's scan,
-    # and one reusable arena replaces a fresh zeroed buffer per group
+    # and reusable arenas replace a fresh zeroed buffer per group. TWO
+    # arenas ping-pong because the pipeline below stages group N+1 while
+    # group N's (possibly async) transfer+scan is still in flight; an
+    # arena is only rewritten after the group it fed has been collected.
     transfer = getattr(scanner.config, "transfer_dtype", "float32")
     from ..models.matcher import StagingArena
 
-    arena = StagingArena(transfer)
+    arenas = (StagingArena(transfer), StagingArena(transfer))
+    # dispatch-ahead pipeline: group N's readback blocks only AFTER group
+    # N+1 has been staged and dispatched, so on hosts with async transfer
+    # (PCIe) the upload and host packing of the next group overlap the
+    # device scan of the current one — the mechanism behind PERF.md's
+    # "e2e converges to device-resident off the relay". One group deep:
+    # results/progress land one flush late, still strictly after real
+    # device completion (crash-resume semantics unchanged).
+    pending: list = []  # at most one (dispatched, ok_items)
+    group_idx = 0
+
+    def emit(dispatched, ok_items):
+        peaks = scanner.scan_collect(dispatched)
+        for item, per_query in zip(ok_items, peaks):
+            results[str(item.path)] = per_query
+            if write_labels_for is not None:
+                for q, pk in enumerate(per_query):
+                    write_labels_for(item.path, q, pk)
+            if progress is not None:
+                progress.append(str(item.path), State.DONE)
 
     def flush(group):
         episodes = []
@@ -578,19 +612,17 @@ def sweep_archive(
             episodes.append(samples)
         if not episodes:
             return
-        group = ok_items
+        nonlocal group_idx
         # resident path: one flat upload, windows gathered in HBM, forward
         # FFTs shared across queries; shard_map over the mesh when >1 chip
-        peaks = scanner.scan_resident(
-            episodes, arena=arena, pad_to=group_size
+        staged = scanner.stage_resident(
+            episodes, arena=arenas[group_idx % 2], pad_to=group_size
         )
-        for item, per_query in zip(group, peaks):
-            results[str(item.path)] = per_query
-            if write_labels_for is not None:
-                for q, pk in enumerate(per_query):
-                    write_labels_for(item.path, q, pk)
-            if progress is not None:
-                progress.append(str(item.path), State.DONE)
+        dispatched = scanner.scan_dispatch(staged)
+        group_idx += 1
+        if pending:
+            emit(*pending.pop())
+        pending.append((dispatched, ok_items))
 
     for decoded in decode_prefetched(
         todo, depth=prefetch_depth, wire_dtype=transfer, expect_sr=scanner.sr
@@ -601,6 +633,8 @@ def sweep_archive(
             group = []
     if group:
         flush(group)
+    if pending:  # drain the one-group-deep pipeline
+        emit(*pending.pop())
     return results
 
 
@@ -743,10 +777,9 @@ class ShardedScanner:
         )
         return dev, ns_pad, len(episodes)
 
-    def scan_staged(
-        self, staged, scale: bool = True
-    ) -> list[list[list[Peak]]]:
-        """Scan a :meth:`stage_resident` upload → peaks[episode][query]."""
+    def scan_dispatch(self, staged, scale: bool = True):
+        """Launch the resident scan without blocking on the readback —
+        see ShardedSpectrogramScanner.scan_dispatch."""
         episodes_dev, ns, n_real = staged
         cfg = self.config
         slab = cfg.slab
@@ -769,10 +802,16 @@ class ShardedScanner:
                 self._resident_cache[key] = resident_match_step(*args)[0]
         step = self._resident_cache[key]
         inv_ac = self._inv_ac if scale else jnp.ones_like(self._inv_ac)
-        pos, h, prom = step(
+        outs = step(
             episodes_dev, jnp.asarray(ns, jnp.int32),
             self._sample_f_resident, inv_ac, self._m,
         )
+        return outs, ns, n_real
+
+    def scan_collect(self, dispatched) -> list[list[list[Peak]]]:
+        """Block on a :meth:`scan_dispatch` handle → peaks[episode][query]."""
+        (pos, h, prom), ns, n_real = dispatched
+        cfg = self.config
         pos, h, prom = np.asarray(pos), np.asarray(h), np.asarray(prom)
         out = []
         for e in range(n_real):
@@ -798,6 +837,12 @@ class ShardedScanner:
                 )
             out.append(per_query)
         return out
+
+    def scan_staged(
+        self, staged, scale: bool = True
+    ) -> list[list[list[Peak]]]:
+        """Scan a :meth:`stage_resident` upload → peaks[episode][query]."""
+        return self.scan_collect(self.scan_dispatch(staged, scale))
 
     def scan_resident(
         self, episodes: Sequence[np.ndarray], scale: bool = True, arena=None,

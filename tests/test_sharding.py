@@ -432,3 +432,49 @@ def test_sweep_group_size_single_chip(rng, snippets, tmp_path):
     for p in paths:
         got = [pk.position for pk in results[str(p)][0] if pk.height > 0.5]
         assert got == [want[str(p)]], p
+
+
+def test_sweep_dispatch_ahead_pipeline(rng, snippets, tmp_path):
+    """The sweep stages + dispatches group N+1 BEFORE blocking on group
+    N's readback (the upload/compute overlap mechanism), and drains the
+    one-group-deep pipeline at the end."""
+    from audio_matcher_tpu.hostio.decode import write_wav
+    from audio_matcher_tpu.parallel import sweep as sweep_mod
+
+    mesh = make_mesh(2)
+    cfg = MatchConfig(
+        chunk_secs=1.0, distance_secs=2.0, block=256, transfer_dtype="int16"
+    )
+    paths = []
+    for e in range(6):  # 3 groups of 2
+        ep = (rng.standard_normal(SR * 4) * 0.05).astype(np.float32)
+        at = (1 + e % 3) * SR // 2
+        ep[at : at + len(snippets[0])] = snippets[0]
+        p = tmp_path / f"p{e}.wav"
+        write_wav(p, SR, ep)
+        paths.append(p)
+
+    events = []
+    orig_dispatch = sweep_mod.ShardedScanner.scan_dispatch
+    orig_collect = sweep_mod.ShardedScanner.scan_collect
+
+    def spy_dispatch(self, staged, scale=True):
+        events.append("dispatch")
+        return orig_dispatch(self, staged, scale)
+
+    def spy_collect(self, dispatched):
+        events.append("collect")
+        return orig_collect(self, dispatched)
+
+    sweep_mod.ShardedScanner.scan_dispatch = spy_dispatch
+    sweep_mod.ShardedScanner.scan_collect = spy_collect
+    try:
+        results = sweep_archive(paths, [snippets[0]], SR, cfg, mesh=mesh)
+    finally:
+        sweep_mod.ShardedScanner.scan_dispatch = orig_dispatch
+        sweep_mod.ShardedScanner.scan_collect = orig_collect
+    # N+1 dispatches before N collects; final collect drains the pipeline
+    assert events == [
+        "dispatch", "dispatch", "collect", "dispatch", "collect", "collect",
+    ]
+    assert len(results) == 6
