@@ -187,23 +187,30 @@ class StagingArena:
 
     def __init__(self, transfer_dtype: str):
         self.transfer = transfer_dtype
-        self._bufs: dict = {}  # (rows, width) → (buf, per-row fill length)
+        # single slot: one live (shape → buffer); a new shape evicts the
+        # old buffer, so archives with varied episode lengths re-allocate
+        # instead of accumulating one pinned buffer per length bucket
+        self._key = None
+        self._buf = None
+        self._fill: list = []
 
     def get(self, rows: int, width: int) -> np.ndarray:
         key = (rows, width)
-        if key not in self._bufs:
-            self._bufs[key] = (wire_buffer(key, self.transfer), [0] * rows)
-        return self._bufs[key][0]
+        if key != self._key:
+            self._key = key
+            self._buf = wire_buffer(key, self.transfer)
+            self._fill = [0] * rows
+        return self._buf
 
     def write_row(self, rows: int, width: int, i: int, wire: np.ndarray):
         """Copy one episode's wire samples into row ``i``, silencing only
         the stale tail left by the previous occupant."""
-        buf, fill = self._bufs[(rows, width)]
+        assert self._key == (rows, width), "get() the shape before writing"
         n = len(wire)
-        buf[i, :n] = wire
-        if fill[i] > n:
-            buf[i, n : fill[i]] = wire_silence(self.transfer)
-        fill[i] = n
+        self._buf[i, :n] = wire
+        if self._fill[i] > n:
+            self._buf[i, n : self._fill[i]] = wire_silence(self.transfer)
+        self._fill[i] = n
 
 
 def dequantize_on_device(episode: jax.Array) -> jax.Array:
@@ -732,6 +739,12 @@ class SnippetMatcher:
         episode_dev = pad_wire_on_device(
             episode_dev, (n_slabs * B + k_rows) * self.chunk
         )
+        if not (self.fft_impl == "vpu" and cfg.peaks_impl == "pallas"):
+            # non-fused impls dequantize inside the program — doing it
+            # once here keeps each per-group dispatch from re-expanding
+            # the WHOLE episode to f32 (ceil(n_slabs/g) redundant passes);
+            # the fused path reads the wire directly and needs no pass
+            episode_dev = dequantize_on_device(episode_dev)
         common = dict(
             chunk=self.chunk, window=self.window, m=self.snippet.m,
             fft_len=self.fft_len, valid_max=self.valid,

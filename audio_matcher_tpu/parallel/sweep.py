@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import dataclasses
 import logging
+import os
 from typing import Sequence
 
 import jax
@@ -578,7 +579,7 @@ def sweep_archive(
             if progress is not None:
                 progress.append(str(item.path), State.DONE)
 
-    def flush(group):
+    def flush(group, pad_to=None):
         episodes = []
         ok_items = []
         for item in group:
@@ -594,12 +595,16 @@ def sweep_archive(
                     # the 1-vCPU host stalls the whole pipeline for long
                     # cross-rate episodes); int16 wire halves the readback
                     # and stages as-is
+                    # int16 wire halves the device readback, but only
+                    # when the staging format quantizes anyway — a
+                    # --transfer float32 sweep keeps f32 fidelity
+                    # end-to-end
                     samples = resample(
                         samples, item.sr, scanner.sr,
                         impl=getattr(
                             scanner.config, "resample_impl", "auto"
                         ),
-                        wire_int16=True,
+                        wire_int16=transfer != "float32",
                     )
                 else:
                     log.error(
@@ -616,7 +621,7 @@ def sweep_archive(
         # resident path: one flat upload, windows gathered in HBM, forward
         # FFTs shared across queries; shard_map over the mesh when >1 chip
         staged = scanner.stage_resident(
-            episodes, arena=arenas[group_idx % 2], pad_to=group_size
+            episodes, arena=arenas[group_idx % 2], pad_to=pad_to
         )
         dispatched = scanner.scan_dispatch(staged)
         group_idx += 1
@@ -624,15 +629,31 @@ def sweep_archive(
             emit(*pending.pop())
         pending.append((dispatched, ok_items))
 
+    # grouping several small files per dispatch must not blow host RAM on
+    # long episodes: a group also flushes once its decoded wire bytes
+    # exceed this budget (so 2-hour episodes still go one per dispatch)
+    max_group_bytes = int(
+        os.environ.get("AUDIO_MATCHER_GROUP_BYTES", str(1 << 30))
+    )
+    byte_limited = False
+    group_bytes = 0
     for decoded in decode_prefetched(
         todo, depth=prefetch_depth, wire_dtype=transfer, expect_sr=scanner.sr
     ):
         group.append(decoded)
+        group_bytes += decoded.samples.nbytes
         if len(group) == group_size:
+            flush(group, pad_to=group_size)
+            group, group_bytes = [], 0
+        elif group_bytes >= max_group_bytes:
+            byte_limited = True
             flush(group)
-            group = []
+            group, group_bytes = [], 0
     if group:
-        flush(group)
+        # tail reuses the full-group compiled shape — unless the sweep was
+        # byte-limited, where padding the episode count back up would
+        # allocate exactly the device memory the budget avoided
+        flush(group, pad_to=None if byte_limited else group_size)
     if pending:  # drain the one-group-deep pipeline
         emit(*pending.pop())
     return results

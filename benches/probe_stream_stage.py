@@ -63,13 +63,14 @@ def run_sweep(paths, snippet, legacy: bool, group_size=None):
         def legacy_prefetch(todo, depth=2, workers=2, **_kw):
             return orig_pref(todo, depth=depth, workers=workers)
 
-        orig_scan = sweep_mod.ShardedScanner.scan_resident
+        orig_stage = sweep_mod.ShardedScanner.stage_resident
 
-        def legacy_scan(self, episodes, scale=True, arena=None):
-            return orig_scan(self, episodes, scale, None)
+        def legacy_stage(self, episodes, arena=None, pad_to=None):
+            # drop the arena → fresh zeroed buffer per group (r2 path)
+            return orig_stage(self, episodes, None, pad_to)
 
         prefetch_mod.decode_prefetched = legacy_prefetch
-        sweep_mod.ShardedScanner.scan_resident = legacy_scan
+        sweep_mod.ShardedScanner.stage_resident = legacy_stage
         try:
             t0 = time.perf_counter()
             results = sweep_mod.sweep_archive(
@@ -78,7 +79,7 @@ def run_sweep(paths, snippet, legacy: bool, group_size=None):
             dt = time.perf_counter() - t0
         finally:
             prefetch_mod.decode_prefetched = orig_pref
-            sweep_mod.ShardedScanner.scan_resident = orig_scan
+            sweep_mod.ShardedScanner.stage_resident = orig_stage
     else:
         t0 = time.perf_counter()
         results = sweep_mod.sweep_archive(

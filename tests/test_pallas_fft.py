@@ -205,9 +205,9 @@ def test_wire_planes_match_f32_planes(rng, transfer):
     W = n - 3 * M  # pad tail exercised
     B, Q = 2, 2
     wire = quantize_wire(
-        (rng.standard_normal((B, W)) * 0.2).astype(np.float32), transfer
+        (rng.standard_normal((B, W)) * 0.12).astype(np.float32), transfer
     )
-    snippets = (rng.standard_normal((Q, 500)) * 0.2).astype(np.float32)
+    snippets = (rng.standard_normal((Q, 500)) * 0.12).astype(np.float32)
     t_r, t_i = scrambled_query_spectra(snippets, n, pack=True)
     width = (W // (8 * M)) * (8 * M)
     f32_windows = dequantize_on_device(jnp.asarray(wire))
@@ -241,9 +241,9 @@ def test_single_query_wire_planes_match(rng, transfer):
     W = n - 3 * M
     B = 3  # odd: exercises the pad row
     wire = quantize_wire(
-        (rng.standard_normal((B, W)) * 0.2).astype(np.float32), transfer
+        (rng.standard_normal((B, W)) * 0.12).astype(np.float32), transfer
     )
-    snippet = (rng.standard_normal((1, 400)) * 0.2).astype(np.float32)
+    snippet = (rng.standard_normal((1, 400)) * 0.12).astype(np.float32)
     s_r, s_i = scrambled_query_spectra(snippet, n, pack=False)
     width = (W // (8 * M)) * (8 * M)
     want_r, want_i = corr_single_query_vpu_planes(

@@ -293,3 +293,18 @@ def test_real_audacity_smoke(monkeypatch):
     finally:
         if proc is not None:
             proc.terminate()
+
+
+def test_quote_param_real_dialect(monkeypatch):
+    """Against a real Audacity (no AUDACITY_PIPE_DIR), backslashes pass
+    through verbatim (Windows paths!) and embedded quotes degrade to
+    apostrophes — real Audacity's tokenizer does no escape processing."""
+    from audio_matcher_tpu.worker import audacity as mod
+
+    monkeypatch.delenv("AUDACITY_PIPE_DIR", raising=False)
+    monkeypatch.delenv("AUDACITY_PIPE_ESCAPES", raising=False)
+    assert mod.quote_param("C:\\Users\\x\\ep.mp3") == '"C:\\Users\\x\\ep.mp3"'
+    assert mod.quote_param('she said "hi"') == "\"she said 'hi'\""
+    # explicit override forces the escape dialect without a pipe dir
+    monkeypatch.setenv("AUDACITY_PIPE_ESCAPES", "1")
+    assert mod.quote_param("a\\b") == '"a\\\\b"'
