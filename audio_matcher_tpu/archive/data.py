@@ -317,6 +317,70 @@ class Archive:
             return None
         return found
 
+    def rename_element(
+        self, root, identifier: str, new_name: str, dry_run: bool = False
+    ) -> tuple[int, int]:
+        """Rename across the whole archive on disk — BEYOND-reference
+        capability (the reference's ``rename`` command is a stub,
+        archive/mod.rs:60 "comming soon").
+
+        ``identifier`` resolves via :meth:`get_element`: a series (by name
+        or index) renames that series in every label; ``"s.c"`` resolving
+        to a chapter re-titles that chapter. Unparsable and ``#``-skipped
+        labels are untouched; files are rewritten only when a label
+        actually changed. Returns (changed_labels, changed_files);
+        ``dry_run`` counts without writing.
+        """
+        from ..hostio.labels import read_labels, write_labels
+
+        target = self.get_element(identifier)
+        if target is None:
+            raise ValueError(f"no series or chapter matches {identifier!r}")
+        if isinstance(target, Series):
+            old_series = target.name
+
+            def rewrite(series_name, nr, part, chapter):
+                if series_name != old_series:
+                    return None
+                return build_timelabel_name(new_name, nr, part, chapter)
+        else:
+            series = self.get_element(identifier, just_series=True)
+
+            def rewrite(series_name, nr, part, chapter):
+                if series_name != series.name or nr.nr != target.nr.nr:
+                    return None
+                return build_timelabel_name(series_name, nr, part, new_name)
+
+        changed_labels = 0
+        changed_files = 0
+        for file in sorted(
+            globmod.glob(str(Path(root) / "**" / "*.txt"), recursive=True)
+        ):
+            try:
+                Source.from_path(file)  # only archive-named label files
+                labels = read_labels(file)
+            except (ValueError, OSError):
+                continue
+            dirty = False
+            out = []
+            for lb in labels:
+                name = lb.name
+                repl = None
+                if name is not None and not name.startswith("#"):
+                    parsed = parse_line(name)
+                    if parsed is not None:
+                        repl = rewrite(*parsed)
+                if repl is not None and repl != name:
+                    lb = dataclasses.replace(lb, name=repl)
+                    dirty = True
+                    changed_labels += 1
+                out.append(lb)
+            if dirty:
+                changed_files += 1
+                if not dry_run:
+                    write_labels(out, file)
+        return changed_labels, changed_files
+
     def display(
         self,
         indent: str = "\t",

@@ -42,7 +42,16 @@ def command_parser() -> argparse.ArgumentParser:
     list_p.add_argument(
         "-m", "--print-missing", dest="print_missing", action="store_true"
     )
-    sub.add_parser("rename")
+    rename_p = sub.add_parser("rename")
+    rename_p.add_argument(
+        "which",
+        help="series (name or index) or chapter (\"series.chapter\")",
+    )
+    rename_p.add_argument("new_name", help="replacement name/title")
+    rename_p.add_argument(
+        "-n", "--dry-run", action="store_true",
+        help="report what would change without writing",
+    )
     return p
 
 
@@ -79,7 +88,20 @@ class Holder:
                 )
             )
         elif ns.command == "rename":
-            print("coming soon")
+            # the reference stubs this ("comming soon", archive/mod.rs:60);
+            # here it renames a series / re-titles a chapter across every
+            # label file on disk, then reloads the archive
+            try:
+                labels, files = self.archive.rename_element(
+                    self.path, ns.which, ns.new_name, dry_run=ns.dry_run
+                )
+            except ValueError as exc:
+                log.warning("%s", exc)
+                return True
+            verb = "would rename" if ns.dry_run else "renamed"
+            print(f"{verb} {labels} label(s) across {files} file(s)")
+            if not ns.dry_run and files:
+                self.archive = Archive.read(self.path)
         return True
 
     def repl(self) -> None:

@@ -478,3 +478,49 @@ def test_sweep_dispatch_ahead_pipeline(rng, snippets, tmp_path):
         "dispatch", "dispatch", "collect", "dispatch", "collect", "collect",
     ]
     assert len(results) == 6
+
+
+def test_sweep_group_byte_budget(rng, snippets, tmp_path, monkeypatch):
+    """Long episodes flush before the nominal group size once the decoded
+    wire bytes exceed AUDIO_MATCHER_GROUP_BYTES — and the byte-limited
+    tail skips the episode-count pad."""
+    from audio_matcher_tpu.hostio.decode import write_wav
+    from audio_matcher_tpu.parallel import sweep as sweep_mod
+
+    mesh = make_mesh(1)
+    cfg = MatchConfig(
+        chunk_secs=1.0, distance_secs=2.0, block=256, transfer_dtype="int16"
+    )
+    paths, want = [], {}
+    for e in range(5):
+        ep = (rng.standard_normal(SR * 4) * 0.05).astype(np.float32)
+        at = (1 + e % 3) * SR // 2
+        ep[at : at + len(snippets[0])] = snippets[0]
+        p = tmp_path / f"b{e}.wav"
+        write_wav(p, SR, ep)
+        paths.append(p)
+        want[str(p)] = at
+    # each file is 4*SR*2 = 8 kB of int16 wire; budget of 20 kB → flush
+    # after 3 files despite group_size=8
+    monkeypatch.setenv("AUDIO_MATCHER_GROUP_BYTES", str(20_000))
+
+    staged_shapes = []
+    orig = sweep_mod.ShardedScanner.stage_resident
+
+    def spying(self, episodes, arena=None, pad_to=None):
+        out = orig(self, episodes, arena, pad_to)
+        staged_shapes.append((len(episodes), out[0].shape[0]))
+        return out
+
+    sweep_mod.ShardedScanner.stage_resident = spying
+    try:
+        results = sweep_archive(
+            paths, [snippets[0]], SR, cfg, mesh=mesh, group_size=8
+        )
+    finally:
+        sweep_mod.ShardedScanner.stage_resident = orig
+    # byte-flush at 3 files, then the tail of 2 with no count pad
+    assert staged_shapes == [(3, 3), (2, 2)]
+    for p in paths:
+        got = [pk.position for pk in results[str(p)][0] if pk.height > 0.5]
+        assert got == [want[str(p)]], p
