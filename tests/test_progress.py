@@ -76,3 +76,86 @@ def test_truncate_and_delete(tmp_path):
     assert len(reread.content) == 2
     reread.delete()
     assert not (tmp_path / ".done.txt").exists()
+
+
+# ---------------------------------------------------------------------------
+# model-based fuzz: the append path has three distinct fast paths (append
+# one line / truncate + rewrite the last line / move-to-end full rewrite)
+# plus deferred saves — random op sequences must keep the FILE equal to a
+# plain ordered-list model
+
+
+def _model_append(model, name, state):
+    idx = next((i for i, (n, _) in enumerate(model) if n == name), None)
+    if idx is not None:
+        del model[idx]
+    model.append((name, state))
+
+
+def test_progress_fuzz_matches_model(tmp_path):
+    import random
+
+    rng = random.Random(20260817)
+    names = ["ep one", "ep two", "n3", "ümlaut ép", "x(1)", "l" + "a" * 50]
+    states = list(State)
+
+    # phase A: append/truncate only — every op persists immediately, so a
+    # fresh reader must agree WITHOUT an intervening save()
+    path = tmp_path / "a.done.txt"
+    p = Progress(path)
+    model = []
+    for step in range(300):
+        if rng.random() < 0.1:
+            k = rng.randrange(0, len(model) + 1)
+            p.truncate(k)
+            del model[k:]
+        else:
+            name, state = rng.choice(names), rng.choice(states)
+            p.append(name, state)
+            _model_append(model, name, state)
+        if rng.random() < 0.15:
+            p = Progress(path)  # fresh read of the on-disk bytes
+            assert p.content == model, step
+    assert Progress(path).content == model
+
+    # phase B: mixed set/remove (deferred) + append/truncate; compare the
+    # in-memory view continuously and the disk view after save()
+    path = tmp_path / "b.done.txt"
+    p = Progress(path)
+    model = []
+    for step in range(300):
+        r = rng.random()
+        name, state = rng.choice(names), rng.choice(states)
+        if r < 0.35:
+            p.append(name, state)
+            _model_append(model, name, state)
+        elif r < 0.6:
+            p.set(name, state)
+            idx = next(
+                (i for i, (n, _) in enumerate(model) if n == name), None
+            )
+            if idx is None:
+                model.append((name, state))
+            else:
+                model[idx] = (name, state)
+        elif r < 0.8:
+            got = p.remove(name)
+            idx = next(
+                (i for i, (n, _) in enumerate(model) if n == name), None
+            )
+            assert (got is None) == (idx is None), step
+            if idx is not None:
+                assert got == model[idx]
+                del model[idx]
+        else:
+            k = rng.randrange(0, len(model) + 1)
+            p.truncate(k)
+            del model[k:]
+        assert p.content == model, step
+        assert p.get(name) == next(
+            (s for n, s in model if n == name), None
+        ), step
+        if rng.random() < 0.12:
+            p.save()
+            p = Progress(path)
+            assert p.content == model, step
