@@ -225,11 +225,14 @@ class Archive:
     def __init__(self, series: list[Series] | None = None):
         self.data = series or []
 
-    @classmethod
-    def read(cls, path) -> "Archive":
+    @staticmethod
+    def _iter_label_files(path):
+        """Yield ``(file, Source, labels)`` for every archive-named label
+        file under ``path`` (shared by :meth:`read` and
+        :meth:`rename_element`): non-archive filenames warn and are
+        skipped, unreadable files are skipped silently."""
         from ..hostio.labels import read_labels
 
-        entries = []
         for file in sorted(
             globmod.glob(str(Path(path) / "**" / "*.txt"), recursive=True)
         ):
@@ -245,7 +248,14 @@ class Archive:
                 labels = read_labels(file)
             except (OSError, ValueError):
                 continue
-            entries.append((source, labels))
+            yield file, source, labels
+
+    @classmethod
+    def read(cls, path) -> "Archive":
+        entries = [
+            (source, labels)
+            for _, source, labels in cls._iter_label_files(path)
+        ]
         return cls.from_labels(entries)
 
     @classmethod
@@ -324,20 +334,44 @@ class Archive:
         capability (the reference's ``rename`` command is a stub,
         archive/mod.rs:60 "comming soon").
 
-        ``identifier`` resolves via :meth:`get_element`: a series (by name
-        or index) renames that series in every label; ``"s.c"`` resolving
-        to a chapter re-titles that chapter. Unparsable and ``#``-skipped
-        labels are untouched; files are rewritten only when a label
-        actually changed. Returns (changed_labels, changed_files);
-        ``dry_run`` counts without writing.
+        ``identifier`` resolves an EXACT series name first (so a series
+        literally named ``"Folge 7"`` is never re-interpreted as the
+        numeric selector ``7``), then falls back to :meth:`get_element`'s
+        numeric ``"s[.c]"`` search; a chapter selector re-titles exactly
+        that chapter (``?``/``-`` marker variants of the same number are
+        distinct chapters and stay untouched). The new name is validated
+        by re-parsing a probe label before anything is written — names the
+        grammar would mis-split (e.g. a series ending in digits) raise
+        ``ValueError``. Unparsable and ``#``-skipped labels are untouched;
+        files are rewritten only when a label actually changed, and a file
+        that fails to write is logged and skipped (the rest proceed).
+        Returns (changed_labels, changed_files); ``dry_run`` counts
+        without writing.
         """
-        from ..hostio.labels import read_labels, write_labels
+        from ..hostio.labels import write_labels
 
-        target = self.get_element(identifier)
+        target = self.get_series_by_name(identifier) or self.get_element(
+            identifier
+        )
         if target is None:
             raise ValueError(f"no series or chapter matches {identifier!r}")
+
+        def validate(probe_label, expect):
+            got = parse_line(probe_label)
+            if got != expect:
+                raise ValueError(
+                    f"{new_name!r} does not survive the label grammar "
+                    f"(probe {probe_label!r} re-parses as {got!r}) — "
+                    "refusing to rewrite the archive"
+                )
+
         if isinstance(target, Series):
             old_series = target.name
+            probe_nr = ChapterNumber(1)
+            validate(
+                build_timelabel_name(new_name, probe_nr, None, "t"),
+                (new_name, probe_nr, None, "t"),
+            )
 
             def rewrite(series_name, nr, part, chapter):
                 if series_name != old_series:
@@ -345,23 +379,23 @@ class Archive:
                 return build_timelabel_name(new_name, nr, part, chapter)
         else:
             series = self.get_element(identifier, just_series=True)
+            validate(
+                build_timelabel_name(series.name, target.nr, None, new_name),
+                (series.name, target.nr, None, new_name),
+            )
 
             def rewrite(series_name, nr, part, chapter):
-                if series_name != series.name or nr.nr != target.nr.nr:
+                # full ChapterNumber equality: "3", "3?" and "3-" are
+                # distinct chapters in the tree — only the selected one
+                # is re-titled
+                if series_name != series.name or nr != target.nr:
                     return None
                 return build_timelabel_name(series_name, nr, part, new_name)
 
         changed_labels = 0
         changed_files = 0
-        for file in sorted(
-            globmod.glob(str(Path(root) / "**" / "*.txt"), recursive=True)
-        ):
-            try:
-                Source.from_path(file)  # only archive-named label files
-                labels = read_labels(file)
-            except (ValueError, OSError):
-                continue
-            dirty = False
+        for file, _source, labels in self._iter_label_files(root):
+            dirty = 0
             out = []
             for lb in labels:
                 name = lb.name
@@ -372,13 +406,20 @@ class Archive:
                         repl = rewrite(*parsed)
                 if repl is not None and repl != name:
                     lb = dataclasses.replace(lb, name=repl)
-                    dirty = True
-                    changed_labels += 1
+                    dirty += 1
                 out.append(lb)
             if dirty:
-                changed_files += 1
                 if not dry_run:
-                    write_labels(out, file)
+                    try:
+                        write_labels(out, file)
+                    except OSError as exc:
+                        log.warning(
+                            "rename: failed to write %r (%s) — skipped",
+                            file, exc,
+                        )
+                        continue
+                changed_files += 1
+                changed_labels += dirty
         return changed_labels, changed_files
 
     def display(

@@ -77,7 +77,11 @@ class Holder:
         if ns.command == "exit":
             return False
         if ns.command == "reload":
-            self.archive = Archive.read(ns.path or self.path)
+            # adopt the new path so later commands (rename writes!) target
+            # the directory the user is actually looking at
+            if ns.path:
+                self.path = Path(ns.path)
+            self.archive = Archive.read(self.path)
         elif ns.command == "list":
             print(
                 self.archive.display(

@@ -128,3 +128,118 @@ def test_rename_unknown_selector_warns(tmp_path, capsys, caplog):
     assert holder.work_command(parse_command('rename "Nope" "X"')) is True
     # nothing written, loop continues
     assert "renamed" not in capsys.readouterr().out
+
+
+def test_rename_exact_name_beats_numeric_selector(tmp_path, capsys):
+    """A series literally named "7" resolves by exact name before the
+    numeric "series index 7" interpretation kicks in."""
+    from audio_matcher_tpu.hostio.labels import read_labels
+
+    write_labels(
+        [TimeLabel(0, 1, "7 1 Eins")], tmp_path / "radio-2024_01_06.txt"
+    )
+    holder = Holder(tmp_path)
+    assert holder.archive.get_series_by_name("7") is not None
+    assert holder.work_command(parse_command('rename "7" "Sieben"'))
+    assert "renamed 1 label(s) across 1 file(s)" in capsys.readouterr().out
+    names = [lb.name for lb in read_labels(tmp_path / "radio-2024_01_06.txt")]
+    assert names == ["Sieben 1 Eins"]
+
+
+def test_rename_rejects_grammar_breaking_series_name(tmp_path, capsys, caplog):
+    """A new series name the label grammar would mis-split (trailing
+    digits swallow into the chapter number) is refused before any file is
+    touched."""
+    import logging
+
+    from audio_matcher_tpu.hostio.labels import read_labels
+
+    holder = Holder(_multi_archive(tmp_path))
+    with caplog.at_level(logging.WARNING, logger="audio_matcher.archive"):
+        assert holder.work_command(parse_command('rename "Serie" "Neu 3"'))
+    assert "does not survive the label grammar" in caplog.text
+    assert "renamed" not in capsys.readouterr().out
+    names = [lb.name for lb in read_labels(tmp_path / "radio-2024_01_06.txt")]
+    assert names[0] == "Serie 1.1 Kap"
+
+
+def test_rename_rejects_grammar_breaking_chapter_title(tmp_path, caplog):
+    import logging
+
+    from audio_matcher_tpu.hostio.labels import read_labels
+
+    holder = Holder(_multi_archive(tmp_path))
+    # an empty title renders "Serie 1 " which the grammar cannot re-parse
+    with caplog.at_level(logging.WARNING, logger="audio_matcher.archive"):
+        assert holder.work_command(parse_command('rename 2.1 ""'))
+    assert "does not survive the label grammar" in caplog.text
+    names = [lb.name for lb in read_labels(tmp_path / "radio-2024_01_06.txt")]
+    assert names[0] == "Serie 1.1 Kap"
+
+
+def test_rename_chapter_marker_variants_stay_distinct(tmp_path, capsys):
+    """"3" and "3?" are distinct chapters in the tree; re-titling the
+    plain one must not touch the ?-marked twin."""
+    from audio_matcher_tpu.hostio.labels import read_labels
+
+    write_labels(
+        [TimeLabel(0, 1, "S 3 A"), TimeLabel(1, 2, "S 3? B")],
+        tmp_path / "radio-2024_01_06.txt",
+    )
+    holder = Holder(tmp_path)
+    # selector 1.3 resolves to the plain chapter 3 (sorts before 3?)
+    assert holder.work_command(parse_command('rename 1.3 "Neu"'))
+    assert "renamed 1 label(s) across 1 file(s)" in capsys.readouterr().out
+    names = [lb.name for lb in read_labels(tmp_path / "radio-2024_01_06.txt")]
+    assert names == ["S 3 Neu", "S 3? B"]
+
+
+def test_rename_write_failure_skips_file(tmp_path, capsys, caplog, monkeypatch):
+    """A file that fails to write is logged and skipped; the rest of the
+    archive still renames, and counts reflect only what was written."""
+    import logging
+
+    import audio_matcher_tpu.hostio.labels as labels_mod
+    from audio_matcher_tpu.hostio.labels import read_labels
+
+    holder = Holder(_multi_archive(tmp_path))
+    real = labels_mod.write_labels
+    bad = str(tmp_path / "radio-2024_01_06.txt")
+
+    def flaky(labels, path, *args, **kwargs):
+        if str(path) == bad:
+            raise OSError("disk full")
+        return real(labels, path, *args, **kwargs)
+
+    monkeypatch.setattr(labels_mod, "write_labels", flaky)
+    with caplog.at_level(logging.WARNING, logger="audio_matcher.archive"):
+        assert holder.work_command(parse_command('rename "Serie" "Neu"'))
+    assert "failed to write" in caplog.text
+    assert "renamed 1 label(s) across 1 file(s)" in capsys.readouterr().out
+    # the failing file kept its old labels; the other file renamed
+    names = [lb.name for lb in read_labels(tmp_path / "radio-2024_01_06.txt")]
+    assert names[0] == "Serie 1.1 Kap"
+    names2 = [lb.name for lb in read_labels(tmp_path / "radio-2024_01_13.txt")]
+    assert names2 == ["Neu 2? Zwei"]
+
+
+def test_reload_adopts_new_path_for_rename(tmp_path, capsys):
+    """reload <path> must re-point the holder so later rename writes land
+    in the directory the user is actually looking at."""
+    from audio_matcher_tpu.hostio.labels import read_labels
+
+    dir_a = tmp_path / "a"
+    dir_b = tmp_path / "b"
+    dir_a.mkdir()
+    dir_b.mkdir()
+    write_labels([TimeLabel(0, 1, "Alt 1 X")], dir_a / "radio-2024_01_06.txt")
+    write_labels([TimeLabel(0, 1, "Beta 1 Y")], dir_b / "radio-2024_01_07.txt")
+    holder = Holder(dir_a)
+    holder.work_command(parse_command(f"reload {dir_b}"))
+    assert holder.path == dir_b
+    assert holder.work_command(parse_command('rename "Beta" "Neu"'))
+    assert "renamed 1 label(s)" in capsys.readouterr().out
+    names_a = [lb.name for lb in read_labels(dir_a / "radio-2024_01_06.txt")]
+    assert names_a == ["Alt 1 X"]  # untouched
+    names_b = [lb.name for lb in read_labels(dir_b / "radio-2024_01_07.txt")]
+    assert names_b == ["Neu 1 Y"]
