@@ -336,10 +336,15 @@ class Archive:
 
         ``identifier`` resolves an EXACT series name first (so a series
         literally named ``"Folge 7"`` is never re-interpreted as the
-        numeric selector ``7``), then falls back to :meth:`get_element`'s
-        numeric ``"s[.c]"`` search; a chapter selector re-titles exactly
-        that chapter (``?``/``-`` marker variants of the same number are
-        distinct chapters and stay untouched). The new name is validated
+        numeric selector ``7``), then as a numeric ``"s[.c]"`` selector —
+        which, unlike :meth:`get_element`'s read-path ``search`` (reference
+        parity), must match the WHOLE identifier: ``"folge 7"`` raises
+        instead of silently rewriting series #7 on disk. A chapter
+        selector re-titles exactly that chapter — ``?``/``-`` marker
+        variants of the same number are distinct chapters, addressable as
+        ``"s.c?"``/``"s.c-"``/``"s.c?-"``; a bare ``"s.c"`` prefers the
+        unmarked chapter and falls back to the first variant with that
+        number. The new name is validated
         by re-parsing a probe label before anything is written — names the
         grammar would mis-split (e.g. a series ending in digits) raise
         ``ValueError``. Unparsable and ``#``-skipped labels are untouched;
@@ -350,9 +355,34 @@ class Archive:
         """
         from ..hostio.labels import write_labels
 
-        target = self.get_series_by_name(identifier) or self.get_element(
-            identifier
-        )
+        target = self.get_series_by_name(identifier)
+        series = target
+        if target is None:
+            m = re.fullmatch(
+                rf"(?P<series>\d+)(?:\.(?P<chapter>{_NR_PATTERN}))?",
+                identifier.strip(),
+            )
+            if m is not None and 1 <= int(m.group("series")) <= len(self.data):
+                series = self.data[int(m.group("series")) - 1]
+                if m.group("chapter") is None:
+                    target = series
+                else:
+                    want = ChapterNumber.parse(m.group("chapter"))
+                    target = next(
+                        (ch for ch in series.chapters if ch.nr == want), None
+                    )
+                    if target is None and not (
+                        want.is_maybe or want.is_partial
+                    ):
+                        # bare number: fall back to the first marker variant
+                        target = next(
+                            (
+                                ch
+                                for ch in series.chapters
+                                if ch.nr.nr == want.nr
+                            ),
+                            None,
+                        )
         if target is None:
             raise ValueError(f"no series or chapter matches {identifier!r}")
 
@@ -378,7 +408,6 @@ class Archive:
                     return None
                 return build_timelabel_name(new_name, nr, part, chapter)
         else:
-            series = self.get_element(identifier, just_series=True)
             validate(
                 build_timelabel_name(series.name, target.nr, None, new_name),
                 (series.name, target.nr, None, new_name),

@@ -194,6 +194,62 @@ def test_rename_chapter_marker_variants_stay_distinct(tmp_path, capsys):
     assert names == ["S 3 Neu", "S 3? B"]
 
 
+def test_rename_rejects_digit_bearing_nonmatching_name(tmp_path, capsys):
+    """An identifier with digits that is neither an exact series name nor
+    a pure numeric selector must NOT fall through to get_element's lax
+    digit search (which would rewrite an unrelated series on disk)."""
+    from audio_matcher_tpu.hostio.labels import read_labels
+
+    labels = [
+        TimeLabel(i, i + 1, f"S{chr(ord('a') + i)} 1 Kap") for i in range(8)
+    ]
+    write_labels(labels, tmp_path / "radio-2024_01_06.txt")
+    holder = Holder(tmp_path)
+    assert len(holder.archive.data) == 8
+    # "folge 7" contains a 7 but names nothing: refuse, don't touch #7
+    assert holder.work_command(parse_command('rename "folge 7" "X"'))
+    assert "renamed" not in capsys.readouterr().out
+    names = [lb.name for lb in read_labels(tmp_path / "radio-2024_01_06.txt")]
+    assert names == [lb.name for lb in labels]
+
+
+def test_rename_marker_selector_addresses_variant(tmp_path, capsys):
+    """"s.c?" / "s.c-" select exactly the marked chapter variant; a bare
+    "s.c" prefers the unmarked one."""
+    from audio_matcher_tpu.hostio.labels import read_labels
+
+    write_labels(
+        [
+            TimeLabel(0, 1, "S 3 A"),
+            TimeLabel(1, 2, "S 3? B"),
+            TimeLabel(2, 3, "S 3- C"),
+        ],
+        tmp_path / "radio-2024_01_06.txt",
+    )
+    holder = Holder(tmp_path)
+    assert holder.work_command(parse_command('rename "1.3?" "Neu"'))
+    assert "renamed 1 label(s)" in capsys.readouterr().out
+    names = [lb.name for lb in read_labels(tmp_path / "radio-2024_01_06.txt")]
+    assert names == ["S 3 A", "S 3? Neu", "S 3- C"]
+    assert holder.work_command(parse_command('rename "1.3-" "Drei"'))
+    capsys.readouterr()
+    names = [lb.name for lb in read_labels(tmp_path / "radio-2024_01_06.txt")]
+    assert names == ["S 3 A", "S 3? Neu", "S 3- Drei"]
+
+
+def test_rename_bare_selector_falls_back_to_marked_variant(tmp_path, capsys):
+    from audio_matcher_tpu.hostio.labels import read_labels
+
+    write_labels(
+        [TimeLabel(0, 1, "S 3? B")], tmp_path / "radio-2024_01_06.txt"
+    )
+    holder = Holder(tmp_path)
+    assert holder.work_command(parse_command('rename 1.3 "Neu"'))
+    assert "renamed 1 label(s)" in capsys.readouterr().out
+    names = [lb.name for lb in read_labels(tmp_path / "radio-2024_01_06.txt")]
+    assert names == ["S 3? Neu"]
+
+
 def test_rename_write_failure_skips_file(tmp_path, capsys, caplog, monkeypatch):
     """A file that fails to write is logged and skipped; the rest of the
     archive still renames, and counts reflect only what was written."""
