@@ -69,13 +69,15 @@ def _escapes_enabled() -> bool:
     ``\\\\``; REAL Audacity's long-format tokenizer takes quoted text
     verbatim (no escape processing — embedded quotes are unrepresentable
     in the protocol, and backslashes, e.g. Windows paths, must pass
-    through untouched). Default: escape only when ``AUDACITY_PIPE_DIR``
-    points at a custom (fake) server; ``AUDACITY_PIPE_ESCAPES=0/1``
-    overrides either way."""
+    through untouched). Default: escape only when the fake server's
+    dialect marker file sits next to the pipes (a real Audacity at a
+    custom ``AUDACITY_PIPE_DIR`` keeps the verbatim dialect);
+    ``AUDACITY_PIPE_ESCAPES=0/1`` overrides either way."""
     env = os.environ.get("AUDACITY_PIPE_ESCAPES")
     if env is not None:
         return env not in ("0", "", "false", "no")
-    return bool(os.environ.get("AUDACITY_PIPE_DIR"))
+    base = Path(os.environ.get("AUDACITY_PIPE_DIR", "/tmp"))
+    return (base / f"audacity_fake_server.{os.getuid()}").exists()
 
 
 def quote_param(value) -> str:

@@ -56,6 +56,12 @@ class FakeAudacity:
             if p.exists():
                 p.unlink()
             os.mkfifo(p)
+        # dialect marker: audacity.quote_param escapes \" and \\ only when
+        # this file announces our parser (real Audacity takes quoted text
+        # verbatim — a pipe-dir heuristic alone would corrupt commands to
+        # a real instance at a custom AUDACITY_PIPE_DIR)
+        self.marker_path = self.pipe_dir / f"audacity_fake_server.{uid}"
+        self.marker_path.touch()
         self.tracks: list[_Track] = []
         self.selection: tuple[float, float] = (0.0, 0.0)
         self.command_log: list[str] = []
@@ -75,7 +81,7 @@ class FakeAudacity:
         except OSError:
             pass
         self._thread.join(timeout=2)
-        for p in (self.to_path, self.from_path):
+        for p in (self.to_path, self.from_path, self.marker_path):
             try:
                 p.unlink()
             except OSError:

@@ -138,7 +138,7 @@ def measure_cpu_baseline(episode, snippet, config):
     return 1.0 / (per_window * windows_per_hour)  # audio-hours/sec
 
 
-def record_history(result: dict, fingerprint: dict) -> None:
+def record_history(result: dict, fingerprint: dict, path: str | None = None) -> None:
     """Append this run to benches/history.jsonl (criterion's tracked-
     history role, VERDICT r2 #8) and compare against the latest prior
     entry with the SAME config fingerprint. Regressions >15% on the
@@ -147,8 +147,12 @@ def record_history(result: dict, fingerprint: dict) -> None:
     exit."""
     import datetime
 
-    path = os.path.join(os.path.dirname(__file__), "benches", "history.jsonl")
+    if path is None:
+        path = os.path.join(
+            os.path.dirname(__file__), "benches", "history.jsonl"
+        )
     prev = None
+    same_cfg = []
     try:
         with open(path) as f:
             for line in f:
@@ -157,6 +161,7 @@ def record_history(result: dict, fingerprint: dict) -> None:
                 except json.JSONDecodeError:
                     continue
                 if rec.get("tag") == "bench" and rec.get("fingerprint") == fingerprint:
+                    same_cfg.append(rec)
                     prev = rec
     except FileNotFoundError:
         pass
@@ -177,12 +182,23 @@ def record_history(result: dict, fingerprint: dict) -> None:
             f"pair-h/s ({delta:+.1%} vs {prev['when']})",
             file=sys.stderr,
         )
-        if delta < -0.15:
+        # regression gate vs the rolling BEST of the last 5 non-regressed
+        # entries, not just the previous run: a regressed run must not
+        # become the new baseline, and successive sub-threshold drops must
+        # not compound undetected
+        candidates = [
+            r["result"]["device_resident_value"]
+            for r in same_cfg[-5:]
+            if not r.get("regression")
+        ] or [old]
+        best = max(candidates)
+        best_delta = (cur - best) / best if best else 0.0
+        if best_delta < -0.15:
             entry["regression"] = True
             print(
                 f"[bench] REGRESSION: device-resident throughput dropped "
-                f"{-delta:.1%} vs the previous run of this config "
-                f"(>{15}% threshold)",
+                f"{-best_delta:.1%} vs the rolling best of this config "
+                f"({best:.3f} pair-h/s, >{15}% threshold)",
                 file=sys.stderr,
             )
             if os.environ.get("BENCH_STRICT"):

@@ -308,3 +308,30 @@ def test_quote_param_real_dialect(monkeypatch):
     # explicit override forces the escape dialect without a pipe dir
     monkeypatch.setenv("AUDACITY_PIPE_ESCAPES", "1")
     assert mod.quote_param("a\\b") == '"a\\\\b"'
+
+
+def test_quote_param_dialect_follows_fake_marker(monkeypatch, tmp_path):
+    """A custom AUDACITY_PIPE_DIR alone (e.g. a flatpak Audacity) keeps
+    the verbatim dialect; only the fake server's marker file switches to
+    the escape dialect."""
+    import os
+
+    from audio_matcher_tpu.worker import audacity as mod
+
+    monkeypatch.setenv("AUDACITY_PIPE_DIR", str(tmp_path))
+    monkeypatch.delenv("AUDACITY_PIPE_ESCAPES", raising=False)
+    assert mod.quote_param("a\\b") == '"a\\b"'  # real-instance dialect
+    (tmp_path / f"audacity_fake_server.{os.getuid()}").touch()
+    assert mod.quote_param("a\\b") == '"a\\\\b"'  # fake-server dialect
+
+
+def test_fake_server_creates_and_removes_marker(tmp_path):
+    import os
+
+    from audio_matcher_tpu.worker.fake_audacity import FakeAudacity
+
+    srv = FakeAudacity(tmp_path)
+    marker = tmp_path / f"audacity_fake_server.{os.getuid()}"
+    assert marker.exists()
+    srv.stop()
+    assert not marker.exists()
