@@ -59,6 +59,7 @@ def decode_prefetched(
     workers: int = 2,
     wire_dtype: str | None = None,
     expect_sr: int | None = None,
+    max_bytes: int | None = None,
 ) -> Iterator[DecodedFile]:
     """Yield decoded files in order while decoding ``depth`` ahead.
 
@@ -66,6 +67,11 @@ def decode_prefetched(
     (float32/int16/mulaw8) instead of f32 PCM — the conversion happens in
     the worker thread. ``expect_sr``: the scanner's rate; mismatched files
     stay int16 so the resample path gets raw samples.
+    ``max_bytes``: stop queueing NEW decodes once the completed-but-
+    unconsumed results exceed this budget, so a deep ``depth`` (the sweep
+    uses group_size) cannot hold several long episodes of host RAM at
+    once; up to ``workers`` in-flight decodes are always allowed so the
+    pipeline keeps moving (their sizes are unknown until done).
     """
     paths = [Path(p) for p in paths]
 
@@ -81,13 +87,26 @@ def decode_prefetched(
     with cf.ThreadPoolExecutor(max_workers=workers) as pool:
         pending: list[cf.Future] = []
         it = iter(paths)
-        for _ in range(depth):
-            nxt = next(it, None)
-            if nxt is not None:
+
+        def queued_bytes() -> int:
+            return sum(
+                f.result().samples.nbytes for f in pending if f.done()
+            )
+
+        def refill() -> None:
+            while len(pending) < depth and (
+                len(pending) < max(workers, 1)
+                or max_bytes is None
+                or queued_bytes() < max_bytes
+            ):
+                nxt = next(it, None)
+                if nxt is None:
+                    return
                 pending.append(pool.submit(job, nxt))
+
+        refill()
         while pending:
             fut = pending.pop(0)
-            nxt = next(it, None)
-            if nxt is not None:
-                pending.append(pool.submit(job, nxt))
+            refill()
             yield fut.result()
+            refill()

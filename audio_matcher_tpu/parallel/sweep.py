@@ -631,14 +631,17 @@ def sweep_archive(
 
     # grouping several small files per dispatch must not blow host RAM on
     # long episodes: a group also flushes once its decoded wire bytes
-    # exceed this budget (so 2-hour episodes still go one per dispatch)
+    # exceed this budget (so 2-hour episodes still go one per dispatch),
+    # and the same budget bounds the prefetch queue (depth defaults to
+    # group_size — without a byte cap that would hold group_size decoded
+    # episodes of host RAM on top of the group being assembled)
     max_group_bytes = int(
         os.environ.get("AUDIO_MATCHER_GROUP_BYTES", str(1 << 30))
     )
-    byte_limited = False
     group_bytes = 0
     for decoded in decode_prefetched(
-        todo, depth=prefetch_depth, wire_dtype=transfer, expect_sr=scanner.sr
+        todo, depth=prefetch_depth, wire_dtype=transfer,
+        expect_sr=scanner.sr, max_bytes=max_group_bytes,
     ):
         group.append(decoded)
         group_bytes += decoded.samples.nbytes
@@ -646,14 +649,20 @@ def sweep_archive(
             flush(group, pad_to=group_size)
             group, group_bytes = [], 0
         elif group_bytes >= max_group_bytes:
-            byte_limited = True
             flush(group)
             group, group_bytes = [], 0
     if group:
-        # tail reuses the full-group compiled shape — unless the sweep was
-        # byte-limited, where padding the episode count back up would
-        # allocate exactly the device memory the budget avoided
-        flush(group, pad_to=None if byte_limited else group_size)
+        # tail reuses the full-group compiled shape (avoiding one more
+        # relay compile) — but only when the padded staging buffer
+        # (group_size rows at this group's widest episode) stays inside
+        # the byte budget; a tail of few-but-huge episodes stages unpadded
+        # rather than allocating the memory the budget exists to avoid
+        max_item = max(
+            (item.samples.nbytes for item in group if item.error is None),
+            default=0,
+        )
+        pad_ok = group_size * max_item <= max_group_bytes
+        flush(group, pad_to=group_size if pad_ok else None)
     if pending:  # drain the one-group-deep pipeline
         emit(*pending.pop())
     return results

@@ -94,6 +94,28 @@ def test_prefetch_preserves_order_and_errors(tmp_path, rng):
     assert all(d.error is None for i, d in enumerate(out) if i != 2)
 
 
+def test_prefetch_byte_budget_bounds_queue(tmp_path, rng):
+    """With max_bytes set, the queue stops refilling once completed
+    results exceed the budget (up to `workers` in-flight always allowed),
+    and still yields every file in order."""
+    paths = []
+    for i in range(8):
+        p = tmp_path / f"g{i}.wav"
+        write_wav(
+            p, 8000, (rng.standard_normal(5000) * 0.1).astype(np.float32)
+        )
+        paths.append(p)
+    # each file decodes to 20 kB f32; a 30 kB budget must never hold the
+    # full depth=8 queue (≈160 kB) in completed results
+    gen = decode_prefetched(paths, depth=8, workers=1, max_bytes=30_000)
+    first = next(gen)
+    assert first.path == paths[0]
+    # drain; order and completeness are the observable contract
+    rest = list(gen)
+    assert [d.path for d in rest] == paths[1:]
+    assert all(d.error is None for d in [first] + rest)
+
+
 def test_read_audio_int16_wire_format(tmp_path, rng):
     from audio_matcher_tpu.hostio.decode import read_audio_int16
 

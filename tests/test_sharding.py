@@ -524,3 +524,53 @@ def test_sweep_group_byte_budget(rng, snippets, tmp_path, monkeypatch):
     for p in paths:
         got = [pk.position for pk in results[str(p)][0] if pk.height > 0.5]
         assert got == [want[str(p)]], p
+
+
+def test_sweep_tail_pad_not_sticky_after_byte_flush(
+    rng, snippets, tmp_path, monkeypatch
+):
+    """An early byte-limited flush must not disable the tail's pad_to
+    shape reuse when the tail itself is small (its padded staging stays
+    inside the budget) — the padded shape avoids one more compile."""
+    from audio_matcher_tpu.hostio.decode import write_wav
+    from audio_matcher_tpu.parallel import sweep as sweep_mod
+
+    mesh = make_mesh(1)
+    cfg = MatchConfig(
+        chunk_secs=1.0, distance_secs=2.0, block=256, transfer_dtype="int16"
+    )
+    paths, want = [], {}
+    lengths = [12, 12, 4, 4, 4, 4, 4, 4, 4]  # seconds: 2 big, then 7 small
+    for e, secs in enumerate(lengths):
+        ep = (rng.standard_normal(SR * secs) * 0.05).astype(np.float32)
+        at = (1 + e % 2) * SR // 2
+        ep[at : at + len(snippets[0])] = snippets[0]
+        p = tmp_path / f"c{e}.wav"
+        write_wav(p, SR, ep)
+        paths.append(p)
+        want[str(p)] = at
+    # int16 wire: big = 24 kB, small = 8 kB; budget 33 kB → the two big
+    # files byte-flush as a pair (48 kB), the four smalls fill a group,
+    # and the 3-file tail pads back to group_size (4 × 8 kB ≤ budget)
+    monkeypatch.setenv("AUDIO_MATCHER_GROUP_BYTES", str(33_000))
+
+    staged_shapes = []
+    orig = sweep_mod.ShardedScanner.stage_resident
+
+    def spying(self, episodes, arena=None, pad_to=None):
+        out = orig(self, episodes, arena, pad_to)
+        staged_shapes.append((len(episodes), out[0].shape[0]))
+        return out
+
+    sweep_mod.ShardedScanner.stage_resident = spying
+    try:
+        results = sweep_archive(
+            paths, [snippets[0]], SR, cfg, mesh=mesh, group_size=4
+        )
+    finally:
+        sweep_mod.ShardedScanner.stage_resident = orig
+    # 2 big byte-flush unpadded, 4 small full group, tail of 3 PADDED to 4
+    assert staged_shapes == [(2, 2), (4, 4), (3, 4)]
+    for p in paths:
+        got = [pk.position for pk in results[str(p)][0] if pk.height > 0.5]
+        assert got == [want[str(p)]], p
