@@ -309,17 +309,24 @@ def resample(
     (quantize_wire / dequantize_on_device handle it for every transfer
     format).
     """
+    from ..models.matcher import quantize_wire
+
     if impl == "auto":
         impl = "device" if device_resample_available() else "scipy"
-    samples = np.asarray(samples)
-    if samples.dtype == np.int16:  # wire grid → reference PCM scale
-        samples = samples.astype(np.float32) / 65535.0
+    # int16 wire grid → reference PCM scale (one definition of the grid:
+    # models.matcher.quantize_wire, shared with staging)
+    samples = quantize_wire(samples, "float32")
     if impl == "device":
-        from ..ops.resample import resample_poly_device
+        # bucketed variant: one compiled conv per O(log n) length bucket
+        # instead of per exact episode length (each would be a fresh
+        # remote compile on relayed links); the trim to the true output
+        # length happens here after the readback
+        from ..ops.resample import resample_poly_device_padded
 
-        return np.asarray(
-            resample_poly_device(samples, sr_from, sr_to, wire_int16)
+        y, n_out = resample_poly_device_padded(
+            samples, sr_from, sr_to, wire_int16
         )
+        return np.asarray(y)[..., :n_out]
     if sr_from == sr_to:
         out = samples.astype(np.float32)
     else:
@@ -332,9 +339,7 @@ def resample(
             samples.astype(np.float64), sr_to // g, sr_from // g
         ).astype(np.float32)
     if wire_int16:
-        return np.clip(
-            np.round(out * 65535.0), -32768, 32767
-        ).astype(np.int16)
+        return quantize_wire(out, "int16")
     return out
 
 

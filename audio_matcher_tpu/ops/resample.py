@@ -60,6 +60,58 @@ def _resample_conv(
     return y
 
 
+def _bucket_len(n: int) -> int:
+    """Smallest ``{8,10,12,14,16}·2^k ≥ n`` (≤25% pad): real archives have
+    a distinct length per file, and jitting the conv per exact length
+    would recompile for every episode (minutes each on relayed TPU links
+    with no persistent cache). Bucketing caps the compiled shapes at
+    O(log n) per rate pair; the pad is zeros — exactly the edge model
+    ``scipy.signal.resample_poly`` assumes — so the first ``n_out`` output
+    samples are bit-identical to the unpadded computation."""
+    if n <= 8:
+        return 8
+    k = max((n - 1).bit_length() - 4, 0)
+    for m in (8, 10, 12, 14, 16):
+        if m << k >= n:
+            return m << k
+    raise AssertionError(n)
+
+
+def resample_poly_device_padded(
+    samples, sr_from: int, sr_to: int, wire_int16: bool = False
+) -> tuple[jax.Array, int]:
+    """Bucketed device resample: returns ``(y, n_out)`` where ``y`` has
+    the BUCKETED output length and only ``y[:n_out]`` is the real result.
+    Callers doing a host readback anyway (hostio.decode.resample) slice
+    after ``np.asarray`` — avoiding both a per-length conv recompile and a
+    per-shape device slice program."""
+    x = samples
+    if not isinstance(x, np.ndarray):
+        x = np.asarray(x)
+    x = x.astype(np.float32, copy=False)
+    n = x.shape[-1]
+    if sr_from == sr_to:
+        xj = jnp.asarray(x)
+        if wire_int16:
+            return (
+                jnp.clip(jnp.round(xj * 65535.0), -32768, 32767).astype(
+                    jnp.int16
+                ),
+                n,
+            )
+        return xj, n
+    g = math.gcd(int(sr_from), int(sr_to))
+    up, down = sr_to // g, sr_from // g
+    n_out = -(-n * up // down)
+    n_b = _bucket_len(n)
+    if n_b != n:  # host-side pad keeps the upload on the relay fast path
+        x = np.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, n_b - n)])
+    n_out_b = -(-n_b * up // down)
+    h = jnp.asarray(_poly_filter(up, down))
+    y = _resample_conv(jnp.asarray(x), h, up, down, n_out_b, wire_int16)
+    return y, n_out
+
+
 def resample_poly_device(
     samples, sr_from: int, sr_to: int, wire_int16: bool = False
 ) -> jax.Array:
@@ -70,16 +122,7 @@ def resample_poly_device(
     instead of f32 — quantization happens device-side so only half the
     bytes ride the readback.
     """
-    if sr_from == sr_to:
-        x = jnp.asarray(samples, jnp.float32)
-        if wire_int16:
-            return jnp.clip(
-                jnp.round(x * 65535.0), -32768, 32767
-            ).astype(jnp.int16)
-        return x
-    g = math.gcd(int(sr_from), int(sr_to))
-    up, down = sr_to // g, sr_from // g
-    x = jnp.asarray(samples, jnp.float32)
-    n_out = -(-x.shape[-1] * up // down)
-    h = jnp.asarray(_poly_filter(up, down))
-    return _resample_conv(x, h, up, down, n_out, wire_int16)
+    y, n_out = resample_poly_device_padded(
+        samples, sr_from, sr_to, wire_int16
+    )
+    return y[..., :n_out] if y.shape[-1] != n_out else y

@@ -269,8 +269,11 @@ class _Query:
     inv_autocorr: float
 
 
-def _fill_wire_rows(episodes, n_pad: int, transfer: str, arena=None):
-    """Pack episodes into a [E, n_pad] wire-dtype host buffer.
+def _fill_wire_rows(
+    episodes, n_pad: int, transfer: str, arena=None, rows: int | None = None
+):
+    """Pack episodes into a [rows, n_pad] wire-dtype host buffer
+    (``rows`` defaults to ``len(episodes)``; extra rows are silence).
 
     Rows already in the wire dtype (the prefetch workers decode straight to
     wire format) are a plain memcpy; others quantize here. With ``arena``
@@ -279,15 +282,21 @@ def _fill_wire_rows(episodes, n_pad: int, transfer: str, arena=None):
     from ..models.matcher import _WIRE_DTYPES, quantize_wire, wire_buffer
 
     dtype = _WIRE_DTYPES[transfer]
-    rows = len(episodes)
+    n_rows = len(episodes) if rows is None else max(int(rows), len(episodes))
     if arena is not None:
-        buf = arena.get(rows, n_pad)
-        for i, ep in enumerate(episodes):
-            ep = np.asarray(ep)
-            wire = ep if ep.dtype == dtype else quantize_wire(ep, transfer)
-            arena.write_row(rows, n_pad, i, wire)
+        buf = arena.get(n_rows, n_pad)
+        empty = np.zeros(0, dtype)
+        for i in range(n_rows):
+            if i < len(episodes):
+                ep = np.asarray(episodes[i])
+                wire = (
+                    ep if ep.dtype == dtype else quantize_wire(ep, transfer)
+                )
+            else:
+                wire = empty  # an empty write silences the stale row
+            arena.write_row(n_rows, n_pad, i, wire)
         return buf
-    buf = wire_buffer((rows, n_pad), transfer)
+    buf = wire_buffer((n_rows, n_pad), transfer)
     for i, ep in enumerate(episodes):
         ep = np.asarray(ep)
         if ep.dtype == dtype:
@@ -351,8 +360,14 @@ class ShardedSpectrogramScanner:
         self._step_cache: dict = {}
 
     def stage_resident(
-        self, episodes: Sequence[np.ndarray], arena=None, pad_to=None
+        self,
+        episodes: Sequence[np.ndarray],
+        arena=None,
+        pad_to=None,
+        pad_rows: str = "device",
     ):
+        """See :meth:`ShardedScanner.stage_resident` (same contract,
+        including the ``pad_rows`` execution-free/wire-bytes trade)."""
         ns = np.array([len(e) for e in episodes], np.int32)
         n_max = int(ns.max()) if len(ns) else 0
         cfg = self.config
@@ -364,9 +379,12 @@ class ShardedSpectrogramScanner:
         e_pad = -(-len(episodes) // n_dev) * n_dev if episodes else 0
         if pad_to:  # tail groups keep the full-group compiled shape
             e_pad = max(e_pad, int(pad_to))
-        buf = _fill_wire_rows(episodes, n_pad, transfer, arena)
         ns_pad = np.zeros(e_pad, np.int32)
         ns_pad[: len(ns)] = ns
+        if pad_rows == "host":
+            buf = _fill_wire_rows(episodes, n_pad, transfer, arena, e_pad)
+            return jnp.asarray(buf), ns_pad, len(episodes)
+        buf = _fill_wire_rows(episodes, n_pad, transfer, arena)
         dev = _pad_episode_rows_on_device(buf, e_pad, transfer)
         return dev, ns_pad, len(episodes)
 
@@ -775,33 +793,46 @@ class ShardedScanner:
 
     # -- resident single-chip batch path (BASELINE config #3) -----------
     def stage_resident(
-        self, episodes: Sequence[np.ndarray], arena=None, pad_to=None
+        self,
+        episodes: Sequence[np.ndarray],
+        arena=None,
+        pad_to=None,
+        pad_rows: str = "device",
     ):
         """Pack + upload a batch as one flat [E, Npad] array (int16 when
-        config.transfer_dtype says so). The upload itself is execution-free
-        like SnippetMatcher.stage_batch; when the episode count doesn't
-        fill the mesh, the silence rows are grown by one device-side pad
-        AFTER the upload (so the upload still rides the relay fast path).
+        config.transfer_dtype says so).
         ``arena``: reuse a StagingArena buffer (sweep groups).
         ``pad_to``: minimum episode-count pad — tail sweep groups keep the
-        full group's compiled shape instead of retracing."""
+        full group's compiled shape instead of retracing.
+        ``pad_rows``: how mesh-filling silence rows are grown when the
+        episode count falls short. ``"device"`` (default) uploads only the
+        real rows and pads on device — fewest wire bytes, but the pad IS a
+        device program, which on the axon relay ends the fast host→device
+        path for every later upload in the process; fine for the sweep,
+        whose scans execute between stages anyway. ``"host"`` keeps
+        staging strictly execution-free like SnippetMatcher.stage_batch
+        (silence rows ride the wire) — use it when staging several batches
+        ahead of the first scan."""
         ns = np.array([len(e) for e in episodes], np.int32)
         n_max = int(ns.max()) if len(ns) else 0
         slab = self.config.slab
         n_windows = max(-(-n_max // self.chunk), 1)
         n_windows_pad = -(-n_windows // slab) * slab
         n_pad = n_windows_pad * self.chunk + self.overlap
-        # pad the episode count to fill the flattened mesh — the silence
-        # rows are grown ON DEVICE, only real episodes ride the wire
         n_dev = int(self.mesh.devices.size)
         e_pad = -(-len(episodes) // n_dev) * n_dev if episodes else 0
         if pad_to:
             e_pad = max(e_pad, int(pad_to))
+        ns_pad = np.zeros(e_pad, np.int32)
+        ns_pad[: len(ns)] = ns
+        if pad_rows == "host":
+            buf = _fill_wire_rows(
+                episodes, n_pad, self.config.transfer_dtype, arena, e_pad
+            )
+            return jnp.asarray(buf), ns_pad, len(episodes)
         buf = _fill_wire_rows(
             episodes, n_pad, self.config.transfer_dtype, arena
         )
-        ns_pad = np.zeros(e_pad, np.int32)
-        ns_pad[: len(ns)] = ns
         dev = _pad_episode_rows_on_device(
             buf, e_pad, self.config.transfer_dtype
         )

@@ -61,6 +61,29 @@ def test_wire_int16_device_output(rng):
     assert np.max(np.abs(w.astype(np.int32) - want.astype(np.int32))) <= 1
 
 
+def test_bucketed_lengths_share_compiles(rng):
+    """Distinct episode lengths inside one bucket reuse the SAME compiled
+    conv (real archives have a unique length per file; per-length
+    recompiles are minutes each on relayed TPU links), and bucketed
+    results stay exactly scipy-equal."""
+    from audio_matcher_tpu.ops import resample as mod
+
+    assert mod._bucket_len(5000) == 5120
+    assert mod._bucket_len(5120) == 5120
+    assert mod._bucket_len(5121) == 6144
+    assert mod._bucket_len(7) == 8
+    mod._resample_conv.clear_cache()
+    for n in (5000, 5050, 5119, 5120):
+        x = rng.standard_normal(n).astype(np.float32)
+        got = np.asarray(resample_poly_device(x, 8000, 12000))
+        want = scipy.signal.resample_poly(x.astype(np.float64), 3, 2).astype(
+            np.float32
+        )
+        assert got.shape == want.shape
+        assert np.max(np.abs(got - want)) < 2e-6
+    assert mod._resample_conv._cache_size() == 1
+
+
 def test_hostio_resample_impl_dispatch(rng):
     """hostio.decode.resample routes impl=device through ops.resample and
     stays scipy-equivalent; int16 wire in/out round-trips correctly."""

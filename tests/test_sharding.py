@@ -526,6 +526,42 @@ def test_sweep_group_byte_budget(rng, snippets, tmp_path, monkeypatch):
         assert got == [want[str(p)]], p
 
 
+def test_stage_resident_host_pad_rows(rng, snippets):
+    """pad_rows="host" stages mesh-filling silence rows on the host
+    (strictly execution-free staging for stage-ahead callers) and scans
+    identically to the default device-side pad — including stale arena
+    rows from a previous, larger group."""
+    from audio_matcher_tpu.models.matcher import StagingArena
+    from audio_matcher_tpu.parallel.sweep import ShardedScanner
+
+    mesh = make_mesh(4)
+    cfg = MatchConfig(
+        chunk_secs=1.0, distance_secs=2.0, block=256, transfer_dtype="int16"
+    )
+    sc = ShardedScanner([snippets[0]], SR, cfg, mesh)
+    eps = []
+    for e in range(2):  # 2 episodes on a 4-mesh → 2 pad rows
+        ep = (rng.standard_normal(SR * 3) * 0.05).astype(np.float32)
+        ep[SR : SR + len(snippets[0])] = snippets[0]
+        eps.append(ep)
+    arena = StagingArena("int16")
+    # poison the arena with a FULL 4-row group first: the host-pad path
+    # must silence rows 2-3's stale content, not ship it
+    sc.stage_resident([eps[0]] * 4, arena=arena)
+    staged_h = sc.stage_resident(eps, arena=arena, pad_rows="host")
+    assert staged_h[0].shape[0] == 4
+    pad_rows = np.asarray(staged_h[0][2:])
+    assert np.all(pad_rows == 0)  # int16 wire silence
+    staged_d = sc.stage_resident(eps, pad_rows="device")
+    np.testing.assert_array_equal(
+        np.asarray(staged_h[0]), np.asarray(staged_d[0])
+    )
+    got_h = sc.scan_collect(sc.scan_dispatch(staged_h))
+    got_d = sc.scan_collect(sc.scan_dispatch(staged_d))
+    for ph, pd in zip(got_h, got_d):
+        assert [p.position for p in ph[0]] == [p.position for p in pd[0]]
+
+
 def test_sweep_tail_pad_not_sticky_after_byte_flush(
     rng, snippets, tmp_path, monkeypatch
 ):
