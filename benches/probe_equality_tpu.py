@@ -3,7 +3,10 @@
 The interpret-mode equality suites (tests/) pin the fused vpu+pallas
 path against xla+jnp on CPU; this probe runs the same comparison with
 the actual Mosaic-compiled kernels on the TPU — positions must match
-exactly and scores within the reference's float tolerance. Run with
+exactly and scores within the reference's float tolerance. Each staging
+wire format is compared within itself (same wire → identical inputs for
+both impls), so int16 additionally exercises the r3 wire-reading fused
+forward (fft_major_fwd_wire) as compiled for the chip. Run with
 python -u, no pipes.
 """
 
@@ -17,6 +20,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SR = 22050
+TOL = 1.2e-5
 
 
 def main():
@@ -38,48 +42,56 @@ def main():
             ep[i : i + len(snippets[q])] = snippets[q]
         episodes.append(ep)
 
+    transfers = os.environ.get("PROBE_TRANSFERS", "float32,int16").split(",")
     base = dict(chunk_secs=10.0, distance_secs=12.0, slab=4, block=512)
     outs = {}
-    for impl, peaks in (("xla", "jnp"), ("vpu", "pallas")):
-        cfg = MatchConfig(fft_impl=impl, peaks_impl=peaks, **base)
-        sc = ShardedScanner(snippets, SR, cfg, make_mesh(1))
-        outs[impl] = [
-            [
-                [(p.position, p.height, p.prominence) for p in pk]
-                for pk in per_q
+    for transfer in transfers:
+        for impl, peaks in (("xla", "jnp"), ("vpu", "pallas")):
+            cfg = MatchConfig(
+                fft_impl=impl, peaks_impl=peaks,
+                transfer_dtype=transfer, **base,
+            )
+            sc = ShardedScanner(snippets, SR, cfg, make_mesh(1))
+            outs[transfer, impl] = [
+                [
+                    [(p.position, p.height, p.prominence) for p in pk]
+                    for pk in per_q
+                ]
+                for per_q in sc.scan_resident(episodes)
             ]
-            for per_q in sc.scan_resident(episodes)
-        ]
-        print(f"[probe] {impl}+{peaks} scanned", flush=True)
+            print(f"[probe] {transfer}:{impl}+{peaks} scanned", flush=True)
 
     mismatch = 0
-    for e in range(len(episodes)):
-        for q in range(len(snippets)):
-            a, b = outs["xla"][e][q], outs["vpu"][e][q]
-            pos_a = [p for p, _, _ in a]
-            pos_b = [p for p, _, _ in b]
-            if pos_a != pos_b:
-                mismatch += 1
-                print(f"[probe] ep{e} q{q} POSITIONS {pos_a} != {pos_b}",
-                      flush=True)
-                continue
-            for (p, h1, pr1), (_, h2, pr2) in zip(a, b):
-                rel = abs(h1 - h2) / max(abs(h1), 1e-6)
-                relp = abs(pr1 - pr2) / max(abs(pr1), 1e-6)
-                if rel > 1.2e-5 or relp > 1.2e-5:
+    n_peaks = 0
+    for transfer in transfers:
+        for e in range(len(episodes)):
+            for q in range(len(snippets)):
+                a = outs[transfer, "xla"][e][q]
+                b = outs[transfer, "vpu"][e][q]
+                n_peaks += len(a)
+                tag = f"{transfer} ep{e} q{q}"
+                pos_a = [p for p, _, _ in a]
+                pos_b = [p for p, _, _ in b]
+                if pos_a != pos_b:
                     mismatch += 1
                     print(
-                        f"[probe] ep{e} q{q} pos {p}: scores "
-                        f"{h1:.7f}/{h2:.7f} prom {pr1:.7f}/{pr2:.7f}",
+                        f"[probe] {tag} POSITIONS {pos_a} != {pos_b}",
                         flush=True,
                     )
-    n_peaks = sum(
-        len(outs["xla"][e][q])
-        for e in range(len(episodes)) for q in range(len(snippets))
-    )
+                    continue
+                for (p, h1, pr1), (_, h2, pr2) in zip(a, b):
+                    rel = abs(h1 - h2) / max(abs(h1), 1e-6)
+                    relp = abs(pr1 - pr2) / max(abs(pr1), 1e-6)
+                    if rel > TOL or relp > TOL:
+                        mismatch += 1
+                        print(
+                            f"[probe] {tag} pos {p}: scores "
+                            f"{h1:.7f}/{h2:.7f} prom {pr1:.7f}/{pr2:.7f}",
+                            flush=True,
+                        )
     print(
-        f"[probe] compiled-TPU equality: {n_peaks} peaks compared, "
-        f"{mismatch} mismatches "
+        f"[probe] compiled-TPU equality: {n_peaks} peaks compared over "
+        f"{transfers}, {mismatch} mismatches "
         f"({'OK' if mismatch == 0 else 'FAIL'})",
         flush=True,
     )
