@@ -159,6 +159,7 @@ def run(args: argparse.Namespace) -> int:
                 SpectrogramConfig(
                     distance_secs=float(args.distance),
                     transfer_dtype=args.transfer,
+                    resample_impl=args.resample_impl,
                 ),
             )
         return SnippetMatcher(snip, rate, config)

@@ -364,7 +364,7 @@ class ShardedSpectrogramScanner:
         episodes: Sequence[np.ndarray],
         arena=None,
         pad_to=None,
-        pad_rows: str = "device",
+        pad_rows: str = "host",
     ):
         """See :meth:`ShardedScanner.stage_resident` (same contract,
         including the ``pad_rows`` execution-free/wire-bytes trade)."""
@@ -487,7 +487,8 @@ class ShardedSpectrogramScanner:
         pad_to=None,
     ):
         return self.scan_staged(
-            self.stage_resident(episodes, arena, pad_to), scale
+            self.stage_resident(episodes, arena, pad_to, pad_rows="device"),
+            scale
         )
 
 
@@ -639,7 +640,8 @@ def sweep_archive(
         # resident path: one flat upload, windows gathered in HBM, forward
         # FFTs shared across queries; shard_map over the mesh when >1 chip
         staged = scanner.stage_resident(
-            episodes, arena=arenas[group_idx % 2], pad_to=pad_to
+            episodes, arena=arenas[group_idx % 2], pad_to=pad_to,
+            pad_rows="device",  # scans execute between stages anyway
         )
         dispatched = scanner.scan_dispatch(staged)
         group_idx += 1
@@ -797,7 +799,7 @@ class ShardedScanner:
         episodes: Sequence[np.ndarray],
         arena=None,
         pad_to=None,
-        pad_rows: str = "device",
+        pad_rows: str = "host",
     ):
         """Pack + upload a batch as one flat [E, Npad] array (int16 when
         config.transfer_dtype says so).
@@ -805,14 +807,15 @@ class ShardedScanner:
         ``pad_to``: minimum episode-count pad — tail sweep groups keep the
         full group's compiled shape instead of retracing.
         ``pad_rows``: how mesh-filling silence rows are grown when the
-        episode count falls short. ``"device"`` (default) uploads only the
-        real rows and pads on device — fewest wire bytes, but the pad IS a
-        device program, which on the axon relay ends the fast host→device
-        path for every later upload in the process; fine for the sweep,
-        whose scans execute between stages anyway. ``"host"`` keeps
-        staging strictly execution-free like SnippetMatcher.stage_batch
-        (silence rows ride the wire) — use it when staging several batches
-        ahead of the first scan."""
+        episode count falls short. ``"host"`` (default) keeps staging
+        strictly execution-free like SnippetMatcher.stage_batch — silence
+        rows ride the wire, so staging several batches ahead of the first
+        scan preserves the relay's fast host→device path. ``"device"``
+        uploads only the real rows and pads on device — fewest wire
+        bytes, but the pad IS a device program, which on the axon relay
+        ends the fast-path for every later upload in the process; the
+        scan paths (scan_resident, sweep_archive) opt into it because
+        they execute between stages anyway."""
         ns = np.array([len(e) for e in episodes], np.int32)
         n_max = int(ns.max()) if len(ns) else 0
         slab = self.config.slab
@@ -910,7 +913,8 @@ class ShardedScanner:
         pad_to=None,
     ) -> list[list[list[Peak]]]:
         return self.scan_staged(
-            self.stage_resident(episodes, arena, pad_to), scale
+            self.stage_resident(episodes, arena, pad_to, pad_rows="device"),
+            scale
         )
 
     def _windows(self, episodes: Sequence[np.ndarray], c_windows: int):

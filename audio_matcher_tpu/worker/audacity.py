@@ -77,7 +77,13 @@ def _escapes_enabled() -> bool:
     if env is not None:
         return env not in ("0", "", "false", "no")
     base = Path(os.environ.get("AUDACITY_PIPE_DIR", "/tmp"))
-    return (base / f"audacity_fake_server.{os.getuid()}").exists()
+    marker = base / f"audacity_fake_server.{os.getuid()}"
+    try:
+        pid = int(marker.read_text().strip())
+        os.kill(pid, 0)  # liveness only — a crashed server's marker is
+        return True  # stale and must not flip a real session's dialect
+    except (OSError, ValueError):
+        return False
 
 
 def quote_param(value) -> str:

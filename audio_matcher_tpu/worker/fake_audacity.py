@@ -59,9 +59,12 @@ class FakeAudacity:
         # dialect marker: audacity.quote_param escapes \" and \\ only when
         # this file announces our parser (real Audacity takes quoted text
         # verbatim — a pipe-dir heuristic alone would corrupt commands to
-        # a real instance at a custom AUDACITY_PIPE_DIR)
+        # a real instance at a custom AUDACITY_PIPE_DIR). The marker holds
+        # this server's PID so a crashed server's leftover marker reads as
+        # stale (audacity._escapes_enabled checks liveness) instead of
+        # permanently flipping later real-Audacity sessions.
         self.marker_path = self.pipe_dir / f"audacity_fake_server.{uid}"
-        self.marker_path.touch()
+        self.marker_path.write_text(str(os.getpid()))
         self.tracks: list[_Track] = []
         self.selection: tuple[float, float] = (0.0, 0.0)
         self.command_log: list[str] = []

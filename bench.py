@@ -190,7 +190,17 @@ def record_history(result: dict, fingerprint: dict, path: str | None = None) -> 
             r["result"]["device_resident_value"]
             for r in same_cfg[-5:]
             if not r.get("regression")
-        ] or [old]
+        ]
+        if not candidates:
+            # window full of flagged runs: reach back to the newest
+            # non-regressed entry anywhere in history so a sustained
+            # regression can never re-baseline itself (falling back to
+            # the degraded value only when NO clean run ever existed)
+            candidates = [
+                r["result"]["device_resident_value"]
+                for r in reversed(same_cfg)
+                if not r.get("regression")
+            ][:1] or [old]
         best = max(candidates)
         best_delta = (cur - best) / best if best else 0.0
         if best_delta < -0.15:

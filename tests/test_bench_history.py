@@ -52,6 +52,20 @@ def test_regressed_run_does_not_become_baseline(tmp_path):
     assert "regression" not in _entries(hist)[-1]
 
 
+def test_sustained_regression_never_rebaselines(tmp_path):
+    """Even after the 5-entry window holds only flagged runs, the gate
+    reaches back to the newest clean entry — a 33% sustained drop keeps
+    flagging forever instead of quietly becoming the baseline."""
+    mod = _bench_module()
+    hist = tmp_path / "history.jsonl"
+    _run(mod, hist, 30.0)
+    for _ in range(7):
+        _run(mod, hist, 20.0)
+        assert _entries(hist)[-1].get("regression") is True
+    _run(mod, hist, 29.0)  # genuine recovery vs the 30.0 baseline
+    assert "regression" not in _entries(hist)[-1]
+
+
 def test_distinct_fingerprints_do_not_interact(tmp_path):
     mod = _bench_module()
     hist = tmp_path / "history.jsonl"

@@ -235,9 +235,9 @@ def test_sweep_groups_fill_whole_mesh(rng, snippets, tmp_path, monkeypatch):
     batches = []
     orig = sweep_mod.ShardedScanner.stage_resident
 
-    def spying(self, episodes, arena=None, pad_to=None):
+    def spying(self, episodes, arena=None, pad_to=None, **kw):
         batches.append(len(episodes))
-        return orig(self, episodes, arena, pad_to)
+        return orig(self, episodes, arena, pad_to, **kw)
 
     monkeypatch.setattr(sweep_mod.ShardedScanner, "stage_resident", spying)
     results = sweep_archive(paths, snippets, SR, cfg, mesh=mesh)
@@ -416,8 +416,8 @@ def test_sweep_group_size_single_chip(rng, snippets, tmp_path):
     staged_shapes = []
     orig = sweep_mod.ShardedScanner.stage_resident
 
-    def spying(self, episodes, arena=None, pad_to=None):
-        out = orig(self, episodes, arena, pad_to)
+    def spying(self, episodes, arena=None, pad_to=None, **kw):
+        out = orig(self, episodes, arena, pad_to, **kw)
         staged_shapes.append((len(episodes), out[0].shape[0]))
         return out
 
@@ -507,8 +507,8 @@ def test_sweep_group_byte_budget(rng, snippets, tmp_path, monkeypatch):
     staged_shapes = []
     orig = sweep_mod.ShardedScanner.stage_resident
 
-    def spying(self, episodes, arena=None, pad_to=None):
-        out = orig(self, episodes, arena, pad_to)
+    def spying(self, episodes, arena=None, pad_to=None, **kw):
+        out = orig(self, episodes, arena, pad_to, **kw)
         staged_shapes.append((len(episodes), out[0].shape[0]))
         return out
 
@@ -593,8 +593,8 @@ def test_sweep_tail_pad_not_sticky_after_byte_flush(
     staged_shapes = []
     orig = sweep_mod.ShardedScanner.stage_resident
 
-    def spying(self, episodes, arena=None, pad_to=None):
-        out = orig(self, episodes, arena, pad_to)
+    def spying(self, episodes, arena=None, pad_to=None, **kw):
+        out = orig(self, episodes, arena, pad_to, **kw)
         staged_shapes.append((len(episodes), out[0].shape[0]))
         return out
 

@@ -321,8 +321,15 @@ def test_quote_param_dialect_follows_fake_marker(monkeypatch, tmp_path):
     monkeypatch.setenv("AUDACITY_PIPE_DIR", str(tmp_path))
     monkeypatch.delenv("AUDACITY_PIPE_ESCAPES", raising=False)
     assert mod.quote_param("a\\b") == '"a\\b"'  # real-instance dialect
-    (tmp_path / f"audacity_fake_server.{os.getuid()}").touch()
+    marker = tmp_path / f"audacity_fake_server.{os.getuid()}"
+    marker.write_text(str(os.getpid()))  # live server
     assert mod.quote_param("a\\b") == '"a\\\\b"'  # fake-server dialect
+    # a crashed server's stale marker (dead PID) must NOT flip a later
+    # real-Audacity session into the escaping dialect
+    marker.write_text("999999999")
+    assert mod.quote_param("a\\b") == '"a\\b"'
+    marker.write_text("")  # pre-PID marker format is treated as stale too
+    assert mod.quote_param("a\\b") == '"a\\b"'
 
 
 def test_fake_server_creates_and_removes_marker(tmp_path):
