@@ -60,7 +60,11 @@ class MatchConfig:
     prominence: float = DEFAULT_PROMINENCE  # CLI units; /100 applied internally
     overlap_secs: float | None = None  # None → snippet duration
     # TPU batching
-    slab: int = 8  # windows per device dispatch
+    slab: int = 8  # windows per device dispatch (the preferred/maximum)
+    # shrink the slab when the episode's window count would pad >25%
+    # at `slab` (pick_slab) — padded windows are full-price compute and
+    # wire bytes. Explicit-slab A/Bs (BENCH_SLAB) set this False.
+    slab_auto: bool = True
     block: int = 2048  # prominence pyramid block size
     max_peaks_per_chunk: int = 64  # cap on distance-suppression rounds
     # wire format for episode staging:
@@ -253,6 +257,47 @@ def window_rows(window: int, chunk: int) -> int:
     """Chunk-rows spanned by one overlap-save window (staging pads the
     episode to whole chunk rows so windows build from static slices)."""
     return -(-window // chunk)
+
+
+def pick_slab(
+    n_windows: int, preferred: int, max_waste: float = 0.25
+) -> int:
+    """Windows-per-dispatch for an ``n_windows``-row episode.
+
+    The window count pads to a slab multiple, and padded windows are
+    full-price compute AND wire bytes: a 10-minute episode's 10 windows
+    pad to 16 at slab 8 — 60% waste (measured 22% device-resident loss
+    at BASELINE config #3's literal shape; PERF.md "slab-pad
+    follow-up"). When the preferred slab would waste more than
+    ``max_waste`` of the real windows, pick the slab in [4, preferred)
+    minimizing the padded count (ties → larger slab, fewer dispatches).
+
+    Episodes of ≤ ``preferred`` windows keep the preferred slab: the
+    absolute waste is small and test/short-clip shapes stay shared
+    (compiled programs are bucketed by (slab, n_slabs); CLAUDE.md).
+    Deterministic in ``n_windows`` alone, so staging and scanning
+    recompute the same value from the same episode length.
+    """
+    if n_windows <= preferred or preferred <= 4:
+        return preferred
+    best_s = preferred
+    best_pad = -(-n_windows // preferred) * preferred
+    if best_pad - n_windows <= max_waste * n_windows:
+        return preferred
+    for s in range(preferred - 1, 3, -1):
+        p = -(-n_windows // s) * s
+        if p < best_pad:
+            best_s, best_pad = s, p
+    return best_s
+
+
+def _divisor_slab(n_windows_pad: int, preferred: int) -> int:
+    """Fallback for buffers staged elsewhere: the largest slab ≤
+    ``preferred`` that tiles the padded window count exactly."""
+    for s in range(min(preferred, n_windows_pad), 0, -1):
+        if n_windows_pad % s == 0:
+            return s
+    return 1
 
 
 def windows_from_episode(episode, base, slab: int, chunk: int, window: int):
@@ -583,6 +628,12 @@ class SnippetMatcher:
                 )
         return self._sample_f_cache
 
+    def _effective_slab(self, n_windows: int) -> int:
+        cfg = self.config
+        if not getattr(cfg, "slab_auto", True):
+            return cfg.slab
+        return pick_slab(n_windows, cfg.slab)
+
     def stage(
         self, samples: np.ndarray, n_samples: int | None = None
     ) -> tuple[jax.Array, int]:
@@ -608,7 +659,8 @@ class SnippetMatcher:
         # bucket the padded window count so compiled program shapes are
         # reused across similarly-sized episodes
         n_windows = max(-(-n // self.chunk), 1) if n else 1
-        n_windows_pad = -(-n_windows // self.config.slab) * self.config.slab
+        s = self._effective_slab(n_windows)
+        n_windows_pad = -(-n_windows // s) * s
         n_pad = n_windows_pad * self.chunk + self.overlap
         wire = quantize_wire(samples, self.config.transfer_dtype)
         padded = wire_buffer(n_pad, self.config.transfer_dtype)
@@ -623,7 +675,8 @@ class SnippetMatcher:
         ns = np.array([len(e) for e in episodes], np.int32)
         n_max = int(ns.max()) if len(ns) else 0
         n_windows = max(-(-n_max // self.chunk), 1)
-        n_windows_pad = -(-n_windows // self.config.slab) * self.config.slab
+        s = self._effective_slab(n_windows)
+        n_windows_pad = -(-n_windows // s) * s
         n_pad = n_windows_pad * self.chunk + self.overlap
         dtype = _WIRE_DTYPES[self.config.transfer_dtype]
         buf = wire_buffer((len(episodes), n_pad), self.config.transfer_dtype)
@@ -687,14 +740,16 @@ class SnippetMatcher:
             return []
         cfg = self.config
         n_windows = max(-(-n // self.chunk), 1)
-        B = cfg.slab
         n_windows_pad = (episode_dev.shape[0] - self.overlap) // self.chunk
+        B = self._effective_slab(n_windows)
+        if n_windows_pad % B:  # buffer staged under a different policy
+            B = _divisor_slab(n_windows_pad, cfg.slab)
         inv_ac = np.float32(self.snippet.inv_autocorr if scale else 1.0)
 
         n_slabs = n_windows_pad // B
         if progress and n_slabs > 1 and cfg.progress_slabs_per_dispatch > 0:
             return self._match_staged_live(
-                episode_dev, n, inv_ac, n_windows, n_slabs, progress
+                episode_dev, n, inv_ac, n_windows, n_slabs, B, progress
             )
         if progress:
             for k in range(n_windows):
@@ -722,7 +777,7 @@ class SnippetMatcher:
 
     def _match_staged_live(
         self, episode_dev, n: int, inv_ac, n_windows: int, n_slabs: int,
-        progress: Callable[[str, int], None],
+        B: int, progress: Callable[[str, int], None],
     ) -> list[Peak]:
         """Groupwise dispatch driving HONEST two-phase progress: each
         group of ``progress_slabs_per_dispatch`` slabs is one device
@@ -732,7 +787,6 @@ class SnippetMatcher:
         Identical results to the single-dispatch path (same compiled body,
         offset by a traced ``base0``; equality test in test_matcher)."""
         cfg = self.config
-        B = cfg.slab
         g = cfg.progress_slabs_per_dispatch
         k_rows = window_rows(self.window, self.chunk)
         # pre-pad once so every group's in-program slicing stays in range
@@ -779,8 +833,11 @@ class SnippetMatcher:
         whole episode batch (one dispatch, one readback)."""
         episodes_dev, ns = staged
         cfg = self.config
-        B = cfg.slab
         n_windows_pad = (episodes_dev.shape[1] - self.overlap) // self.chunk
+        n_max = int(ns.max()) if len(ns) else 0
+        B = self._effective_slab(max(-(-n_max // self.chunk), 1))
+        if n_windows_pad % B:  # buffer staged under a different policy
+            B = _divisor_slab(n_windows_pad, cfg.slab)
         inv_ac = np.float32(self.snippet.inv_autocorr if scale else 1.0)
         pos, h, prom = _match_batch_resident(
             episodes_dev,

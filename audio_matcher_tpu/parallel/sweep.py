@@ -25,7 +25,18 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..models.matcher import MatchConfig, overshadow_filter
+from ..models.matcher import (
+    MatchConfig,
+    _divisor_slab,
+    overshadow_filter,
+    pick_slab,
+)
+
+
+def _effective_slab(cfg, n_windows: int) -> int:
+    if not getattr(cfg, "slab_auto", True):
+        return cfg.slab
+    return pick_slab(n_windows, cfg.slab)
 from ..ops.correlate import fft_length, prepare_snippet
 from ..ops.peaks import (
     Peak,
@@ -306,6 +317,43 @@ def _fill_wire_rows(
     return buf
 
 
+_DEFAULT_PUT_BYTES = 768 * 2**20
+
+
+def _put_split_rows(e_pad: int, row_bytes: int, n_dev: int) -> int | None:
+    """Rows per host→device transfer for an [e_pad, n_pad] wire buffer,
+    or None for one monolithic put.
+
+    The relay's transfer rate COLLAPSES on huge single puts (measured
+    8 MB/s for one 5.2 GB put vs 51–56 MB/s for the same bytes in
+    ≤1.3 GB pieces — PERF.md "Relay upload throughput vs transfer
+    size"), so buffers over ``AUDIO_MATCHER_PUT_BYTES`` (default 768 MB)
+    stage as separate row-group puts. Groups are equal-sized multiples
+    of the mesh row count, so every group scans with the SAME compiled
+    program; splitting is a host-side decision — staging stays
+    execution-free.
+    """
+    cap = int(
+        os.environ.get("AUDIO_MATCHER_PUT_BYTES", str(_DEFAULT_PUT_BYTES))
+    )
+    if e_pad * row_bytes <= cap or e_pad <= n_dev:
+        return None
+    r_max = max(cap // (row_bytes * n_dev), 1) * n_dev
+    if r_max >= e_pad:
+        return None
+    # among cap-respecting group sizes, minimize the rows added to reach
+    # the group grid (64 rows at a 14-row cap → 8-row groups, 0 pad rows,
+    # not 14-row groups + 6 silence rows); ties → larger r (fewer puts)
+    best, best_excess = r_max, -(-e_pad // r_max) * r_max - e_pad
+    for r in range(r_max - n_dev, 0, -n_dev):
+        excess = -(-e_pad // r) * r - e_pad
+        if excess < best_excess:
+            best, best_excess = r, excess
+        if best_excess == 0:
+            break
+    return best
+
+
 def _pad_episode_rows_on_device(buf: np.ndarray, e_pad: int, transfer_dtype):
     """Upload only the real episode rows; grow to the mesh-filling row
     count ON DEVICE (cheap HBM memset vs staging full-width silence rows
@@ -379,11 +427,27 @@ class ShardedSpectrogramScanner:
         e_pad = -(-len(episodes) // n_dev) * n_dev if episodes else 0
         if pad_to:  # tail groups keep the full-group compiled shape
             e_pad = max(e_pad, int(pad_to))
+        if pad_rows == "host":
+            from ..models.matcher import _WIRE_DTYPES
+
+            r = _put_split_rows(
+                e_pad, n_pad * np.dtype(_WIRE_DTYPES[transfer]).itemsize,
+                n_dev,
+            )
+            if r is not None:
+                e_pad = -(-e_pad // r) * r
+            ns_pad = np.zeros(e_pad, np.int32)
+            ns_pad[: len(ns)] = ns
+            buf = _fill_wire_rows(episodes, n_pad, transfer, arena, e_pad)
+            if r is not None:
+                chunks = tuple(
+                    jnp.asarray(buf[i : i + r])
+                    for i in range(0, e_pad, r)
+                )
+                return chunks, ns_pad, len(episodes)
+            return jnp.asarray(buf), ns_pad, len(episodes)
         ns_pad = np.zeros(e_pad, np.int32)
         ns_pad[: len(ns)] = ns
-        if pad_rows == "host":
-            buf = _fill_wire_rows(episodes, n_pad, transfer, arena, e_pad)
-            return jnp.asarray(buf), ns_pad, len(episodes)
         buf = _fill_wire_rows(episodes, n_pad, transfer, arena)
         dev = _pad_episode_rows_on_device(buf, e_pad, transfer)
         return dev, ns_pad, len(episodes)
@@ -448,6 +512,17 @@ class ShardedSpectrogramScanner:
         (sweep_archive's dispatch-ahead pipeline)."""
         del scale  # NCC scores are scale-invariant by construction
         episodes_dev, ns, n_real = staged
+        if isinstance(episodes_dev, tuple):  # chunked stage (row groups)
+            step = self._step(episodes_dev[0].shape[1])
+            r = episodes_dev[0].shape[0]
+            outs = [
+                step(
+                    c, jnp.asarray(ns[i * r : (i + 1) * r], jnp.int32),
+                    jnp.asarray(self._fb), jnp.asarray(self._snip_fps),
+                )
+                for i, c in enumerate(episodes_dev)
+            ]
+            return outs, ns, n_real
         step = self._step(episodes_dev.shape[1])
         outs = step(
             episodes_dev, jnp.asarray(ns, jnp.int32),
@@ -457,9 +532,15 @@ class ShardedSpectrogramScanner:
 
     def scan_collect(self, dispatched):
         """Block on a :meth:`scan_dispatch` handle → peaks[episode][query]."""
-        (pos, h, prom), ns, n_real = dispatched
+        outs, ns, n_real = dispatched
         cfg = self.config
-        pos, h, prom = np.asarray(pos), np.asarray(h), np.asarray(prom)
+        if isinstance(outs, list):  # chunked stage: concat row groups
+            pos = np.concatenate([np.asarray(o[0]) for o in outs])
+            h = np.concatenate([np.asarray(o[1]) for o in outs])
+            prom = np.concatenate([np.asarray(o[2]) for o in outs])
+        else:
+            pos, h, prom = outs
+            pos, h, prom = np.asarray(pos), np.asarray(h), np.asarray(prom)
         out = []
         for e in range(n_real):
             per_query = []
@@ -818,40 +899,61 @@ class ShardedScanner:
         they execute between stages anyway."""
         ns = np.array([len(e) for e in episodes], np.int32)
         n_max = int(ns.max()) if len(ns) else 0
-        slab = self.config.slab
         n_windows = max(-(-n_max // self.chunk), 1)
+        slab = _effective_slab(self.config, n_windows)
         n_windows_pad = -(-n_windows // slab) * slab
         n_pad = n_windows_pad * self.chunk + self.overlap
         n_dev = int(self.mesh.devices.size)
         e_pad = -(-len(episodes) // n_dev) * n_dev if episodes else 0
         if pad_to:
             e_pad = max(e_pad, int(pad_to))
+        transfer = self.config.transfer_dtype
+        from ..models.matcher import _WIRE_DTYPES
+
+        if pad_rows == "host":
+            # huge buffers stage as equal row-group puts (relay rate
+            # collapses on monolithic multi-GB transfers; _put_split_rows)
+            r = _put_split_rows(
+                e_pad, n_pad * np.dtype(_WIRE_DTYPES[transfer]).itemsize,
+                n_dev,
+            )
+            if r is not None:
+                e_pad = -(-e_pad // r) * r
+            ns_pad = np.zeros(e_pad, np.int32)
+            ns_pad[: len(ns)] = ns
+            buf = _fill_wire_rows(episodes, n_pad, transfer, arena, e_pad)
+            if r is not None:
+                chunks = tuple(
+                    jnp.asarray(buf[i : i + r])
+                    for i in range(0, e_pad, r)
+                )
+                return chunks, ns_pad, len(episodes)
+            return jnp.asarray(buf), ns_pad, len(episodes)
         ns_pad = np.zeros(e_pad, np.int32)
         ns_pad[: len(ns)] = ns
-        if pad_rows == "host":
-            buf = _fill_wire_rows(
-                episodes, n_pad, self.config.transfer_dtype, arena, e_pad
-            )
-            return jnp.asarray(buf), ns_pad, len(episodes)
-        buf = _fill_wire_rows(
-            episodes, n_pad, self.config.transfer_dtype, arena
-        )
-        dev = _pad_episode_rows_on_device(
-            buf, e_pad, self.config.transfer_dtype
-        )
+        buf = _fill_wire_rows(episodes, n_pad, transfer, arena)
+        dev = _pad_episode_rows_on_device(buf, e_pad, transfer)
         return dev, ns_pad, len(episodes)
 
     def scan_dispatch(self, staged, scale: bool = True):
         """Launch the resident scan without blocking on the readback —
         see ShardedSpectrogramScanner.scan_dispatch."""
         episodes_dev, ns, n_real = staged
+        chunks = (
+            episodes_dev if isinstance(episodes_dev, tuple)
+            else (episodes_dev,)
+        )
         cfg = self.config
-        slab = cfg.slab
-        n_slabs = (episodes_dev.shape[1] - self.overlap) // self.chunk // slab
+        n_windows_pad = (chunks[0].shape[1] - self.overlap) // self.chunk
+        n_max = int(ns.max()) if len(ns) else 0
+        slab = _effective_slab(cfg, max(-(-n_max // self.chunk), 1))
+        if n_windows_pad % slab:  # buffer staged under a different policy
+            slab = _divisor_slab(n_windows_pad, cfg.slab)
+        n_slabs = n_windows_pad // slab
         if not hasattr(self, "_resident_cache"):
             self._resident_cache = {}
         multi = int(self.mesh.devices.size) > 1
-        key = (episodes_dev.shape[1], n_slabs, multi)
+        key = (chunks[0].shape[1], n_slabs, multi)
         if key not in self._resident_cache:
             args = (
                 self.chunk, self.window, self.fft_len, self.valid,
@@ -866,17 +968,35 @@ class ShardedScanner:
                 self._resident_cache[key] = resident_match_step(*args)[0]
         step = self._resident_cache[key]
         inv_ac = self._inv_ac if scale else jnp.ones_like(self._inv_ac)
-        outs = step(
-            episodes_dev, jnp.asarray(ns, jnp.int32),
-            self._sample_f_resident, inv_ac, self._m,
-        )
+        if len(chunks) == 1:
+            outs = step(
+                chunks[0], jnp.asarray(ns, jnp.int32),
+                self._sample_f_resident, inv_ac, self._m,
+            )
+            return outs, ns, n_real
+        # chunked stage: every row group runs the SAME compiled program
+        # (equal shapes by construction); dispatches stay non-blocking
+        r = chunks[0].shape[0]
+        outs = [
+            step(
+                c, jnp.asarray(ns[i * r : (i + 1) * r], jnp.int32),
+                self._sample_f_resident, inv_ac, self._m,
+            )
+            for i, c in enumerate(chunks)
+        ]
         return outs, ns, n_real
 
     def scan_collect(self, dispatched) -> list[list[list[Peak]]]:
         """Block on a :meth:`scan_dispatch` handle → peaks[episode][query]."""
-        (pos, h, prom), ns, n_real = dispatched
+        outs, ns, n_real = dispatched
         cfg = self.config
-        pos, h, prom = np.asarray(pos), np.asarray(h), np.asarray(prom)
+        if isinstance(outs, list):  # chunked stage: concat row groups
+            pos = np.concatenate([np.asarray(o[0]) for o in outs])
+            h = np.concatenate([np.asarray(o[1]) for o in outs])
+            prom = np.concatenate([np.asarray(o[2]) for o in outs])
+        else:
+            pos, h, prom = outs
+            pos, h, prom = np.asarray(pos), np.asarray(h), np.asarray(prom)
         out = []
         for e in range(n_real):
             n_windows = max(-(-int(ns[e]) // self.chunk), 1)

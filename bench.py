@@ -78,8 +78,11 @@ def measure_tpu(episode, snippets, config, n_episodes=None):
     # execution has happened yet — construction is execution-free)
     t_stage0 = time.perf_counter()
     staged = scanner.stage_resident([episode_wire] * n_episodes)
-    staged[0].block_until_ready()
+    chunks = staged[0] if isinstance(staged[0], tuple) else (staged[0],)
+    for c in chunks:
+        c.block_until_ready()
     t_stage = time.perf_counter() - t_stage0
+    staged_bytes = sum(c.nbytes for c in chunks)
 
     # untimed: compile + first run of the batch program
     scanner.scan_staged(staged, scale=True)
@@ -95,7 +98,8 @@ def measure_tpu(episode, snippets, config, n_episodes=None):
     n_pairs = n_episodes * len(snippets)
     print(
         f"[bench] stage {n_episodes} episodes "
-        f"({staged[0].nbytes / 1e6:.0f}MB, {config.transfer_dtype}): "
+        f"({staged_bytes / 1e6:.0f}MB in {len(chunks)} put(s), "
+        f"{config.transfer_dtype}): "
         f"{t_stage:.2f}s; batch scan x{len(snippets)} queries: "
         f"{t_compute:.2f}s (amortized per-pair match latency "
         f"{t_compute / n_pairs * 1e3:.0f} ms)",
@@ -242,12 +246,23 @@ def main() -> int:
 
     config = MatchConfig(
         slab=int(os.environ.get("BENCH_SLAB", "8")),
+        # an explicit BENCH_SLAB pins the slab for A/Bs; otherwise the
+        # production adaptive pick (pick_slab) applies
+        slab_auto="BENCH_SLAB" not in os.environ,
         transfer_dtype=os.environ.get("BENCH_TRANSFER_DTYPE", "int16"),
         # measured winners on v5e (benches/probe_pallas_fft.py + bench A/B):
         # the pallas VPU FFT (9.81 pair-h/s e2e vs 9.18 with xla_packed)
         # + the single-pass pallas peak kernel
         fft_impl=os.environ.get("BENCH_FFT_IMPL", "vpu"),
         peaks_impl=os.environ.get("BENCH_PEAKS_IMPL", "pallas"),
+    )
+
+    from audio_matcher_tpu.models.matcher import pick_slab
+
+    n_windows = max(-(-len(episode) // int(config.chunk_secs * SR)), 1)
+    effective_slab = (
+        pick_slab(n_windows, config.slab) if config.slab_auto
+        else config.slab
     )
 
     (per_pair, per_pair_scan), peaks = measure_tpu(episode, snippets, config)
@@ -307,7 +322,10 @@ def main() -> int:
             "episode_secs": EPISODE_SECS,
             "episodes": n_episodes,
             "queries": n_queries,
-            "slab": config.slab,
+            # the EFFECTIVE slab (adaptive pick resolved for this episode
+            # length), so history entries from explicit BENCH_SLAB A/Bs
+            # and adaptive runs of the same shape share a fingerprint
+            "slab": effective_slab,
             "transfer_dtype": config.transfer_dtype,
             "fft_impl": config.fft_impl,
             "peaks_impl": config.peaks_impl,

@@ -562,6 +562,83 @@ def test_stage_resident_host_pad_rows(rng, snippets):
         assert [p.position for p in ph[0]] == [p.position for p in pd[0]]
 
 
+def test_put_split_rows_prefers_even_groups():
+    from audio_matcher_tpu.parallel.sweep import _put_split_rows
+
+    with pytest.MonkeyPatch.context() as mp:
+        mp.setenv("AUDIO_MATCHER_PUT_BYTES", "14")
+        # 64 rows, 1 B/row, cap 14: 8-row groups tile 64 exactly
+        assert _put_split_rows(64, 1, 1) == 8
+        # group sizes stay mesh-row multiples
+        assert _put_split_rows(64, 1, 4) == 8
+        assert _put_split_rows(64, 2, 1) == 4  # cap 7 rows: 4 tiles 64
+        # under the cap, or nothing to split: monolithic
+        assert _put_split_rows(14, 1, 1) is None
+        assert _put_split_rows(8, 2, 8) is None
+
+
+def test_chunked_staging_matches_monolithic(rng, snippets, monkeypatch):
+    """Buffers over AUDIO_MATCHER_PUT_BYTES stage as equal row-group
+    device_puts (the relay collapses on monolithic multi-GB transfers,
+    PERF.md) — same peaks, same compiled shape per group, groups are
+    mesh-row multiples."""
+    from audio_matcher_tpu.parallel.sweep import ShardedScanner
+
+    mesh = make_mesh(2)
+    cfg = MatchConfig(
+        chunk_secs=1.0, distance_secs=2.0, block=256, transfer_dtype="int16"
+    )
+    sc = ShardedScanner([snippets[0]], SR, cfg, mesh)
+    eps = []
+    for e in range(5):  # 5 episodes on a 2-mesh
+        ep = (rng.standard_normal(SR * 3) * 0.05).astype(np.float32)
+        ep[SR : SR + len(snippets[0])] = snippets[0]
+        eps.append(ep)
+    mono = sc.stage_resident(eps)
+    assert not isinstance(mono[0], tuple)
+    row_bytes = mono[0].shape[1] * 2  # int16
+    # cap below 2 rows per mesh-group → r = 2 rows/put, e_pad 6 → 3 puts
+    monkeypatch.setenv("AUDIO_MATCHER_PUT_BYTES", str(row_bytes * 3))
+    chunked = sc.stage_resident(eps)
+    assert isinstance(chunked[0], tuple)
+    assert [c.shape[0] for c in chunked[0]] == [2, 2, 2]
+    assert len(chunked[1]) == 6  # ns padded to the group grid
+    got_m = sc.scan_collect(sc.scan_dispatch(mono))
+    got_c = sc.scan_collect(sc.scan_dispatch(chunked))
+    assert len(got_c) == len(got_m) == 5
+    for pm, pc in zip(got_m, got_c):
+        assert [p.position for p in pc[0]] == [p.position for p in pm[0]]
+        assert [p.position for p in pc[0]] == [SR]
+
+
+def test_chunked_staging_spectrogram(rng, snippets, monkeypatch):
+    """Same row-group splitting through the spectrogram scanner."""
+    from audio_matcher_tpu.models.spectrogram import SpectrogramConfig
+    from audio_matcher_tpu.parallel.sweep import ShardedSpectrogramScanner
+
+    mesh = make_mesh(1)
+    cfg = SpectrogramConfig(distance_secs=2.0, transfer_dtype="int16")
+    sc = ShardedSpectrogramScanner([snippets[0]], SR, cfg, mesh)
+    eps = []
+    for e in range(3):
+        ep = (rng.standard_normal(SR * 2) * 0.05).astype(np.float32)
+        ep[SR // 2 : SR // 2 + len(snippets[0])] = snippets[0]
+        eps.append(ep)
+    mono = sc.stage_resident(eps)
+    assert not isinstance(mono[0], tuple)
+    got_m = sc.scan_collect(sc.scan_dispatch(mono))
+    row_bytes = mono[0].shape[1] * 2
+    monkeypatch.setenv("AUDIO_MATCHER_PUT_BYTES", str(row_bytes))
+    chunked = sc.stage_resident(eps)
+    assert isinstance(chunked[0], tuple)
+    got_c = sc.scan_collect(sc.scan_dispatch(chunked))
+    assert len(got_c) == len(got_m) == 3
+    for pm, pc in zip(got_m, got_c):
+        got_pos = [p.position for p in pc[0]]
+        assert got_pos == [p.position for p in pm[0]]
+        assert len(got_pos) == 1
+
+
 def test_sweep_tail_pad_not_sticky_after_byte_flush(
     rng, snippets, tmp_path, monkeypatch
 ):

@@ -137,6 +137,72 @@ def test_mulaw_device_decode_matches_table():
     np.testing.assert_allclose(got, dec, rtol=2e-5, atol=5e-7)
 
 
+def test_pick_slab_rules():
+    from audio_matcher_tpu.models.matcher import _divisor_slab, pick_slab
+
+    # short episodes keep the preferred slab (shared compiled shapes)
+    for n in range(1, 9):
+        assert pick_slab(n, 8) == 8
+    # waste within 25% keeps the preferred slab
+    assert pick_slab(30, 8) == 8  # pad 32, 6.7%
+    assert pick_slab(20, 8) == 8  # pad 24, 20%
+    # beyond 25% waste: minimal padded count, ties -> larger slab
+    assert pick_slab(10, 8) == 5  # pad 10 not 16 (60% waste)
+    assert pick_slab(9, 8) == 5  # pad 10
+    assert pick_slab(11, 8) == 6  # pad 12 (ties 4 -> larger)
+    assert pick_slab(13, 8) == 8  # pad 16: waste 3/13 = 23% <= 25%
+    assert pick_slab(25, 8) == 5  # pad 25 not 32
+    # explicit small slabs never adapt (test configs pin 2/3/4)
+    for n in (5, 10, 37):
+        assert pick_slab(n, 4) == 4
+    # every pick tiles its own padded count (stage<->scan consistency)
+    for n in range(1, 200):
+        s = pick_slab(n, 8)
+        assert (-(-n // s) * s) % s == 0
+    assert _divisor_slab(10, 8) == 5
+    assert _divisor_slab(32, 8) == 8
+    assert _divisor_slab(21, 8) == 7
+    assert _divisor_slab(13, 8) == 1
+
+
+def test_auto_slab_matches_pinned(fixture):
+    """slab_auto shrinks the staged buffer of a pad-heavy shape (10
+    windows at preferred slab 8 -> slab 5) and returns identical peaks
+    through both the matcher and the batch-scanner paths."""
+    snippet, episodes, offsets = fixture
+    # 50 s episodes at 5 s chunks = 10 windows: the config-#3 pad case
+    auto = MatchConfig(chunk_secs=5, distance_secs=30, slab=8)
+    pinned = MatchConfig(
+        chunk_secs=5, distance_secs=30, slab=8, slab_auto=False
+    )
+    m_auto = SnippetMatcher(snippet, SR, auto)
+    m_pin = SnippetMatcher(snippet, SR, pinned)
+    staged_auto = m_auto.stage(episodes[1])
+    staged_pin = m_pin.stage(episodes[1])
+    assert staged_auto[0].shape[0] < staged_pin[0].shape[0]
+    got = m_auto.match_staged(staged_auto)
+    want = m_pin.match_staged(staged_pin)
+    assert [p.position for p in got] == [p.position for p in want]
+    for a, b in zip(got, want):
+        assert a.height == pytest.approx(b.height, abs=1e-5)
+
+    from audio_matcher_tpu.parallel.mesh import make_mesh
+    from audio_matcher_tpu.parallel.sweep import ShardedScanner
+
+    s_auto = ShardedScanner([snippet], SR, auto, mesh=make_mesh(1))
+    s_pin = ShardedScanner([snippet], SR, pinned, mesh=make_mesh(1))
+    st_a = s_auto.stage_resident(episodes)
+    st_p = s_pin.stage_resident(episodes)
+    assert st_a[0].shape[1] < st_p[0].shape[1]
+    res_a = s_auto.scan_staged(st_a)
+    res_p = s_pin.scan_staged(st_p)
+    for per_a, per_p, offs in zip(res_a, res_p, offsets):
+        assert [p.position for p in per_a[0]] == [
+            p.position for p in per_p[0]
+        ]
+        assert [p.position for p in per_a[0]] == [int(o * SR) for o in offs]
+
+
 def test_mulaw_pad_is_silence():
     """Wire padding encodes SILENCE per dtype: mu-law code 0 decodes to
     ~-0.5 full scale, so uint8 pads with code 128 (ADVICE r2 #2)."""
