@@ -242,6 +242,43 @@ def test_live_progress_groupwise_dispatch(rng, snippet):
     assert first_finish < last_start, "bar would jump 0->100%"
 
 
+def test_live_progress_with_adaptive_slab(rng, snippet):
+    """Adaptive slab (pick_slab: 10 windows at preferred 8 → slab 5)
+    composed with live groupwise dispatch: same peaks as the silent
+    adaptive scan AND as a pinned-slab scan."""
+    from audio_matcher_tpu.models.matcher import pick_slab
+
+    auto = MatchConfig(
+        chunk_secs=5, distance_secs=30, slab=8,
+        progress_slabs_per_dispatch=1,
+    )
+    pinned = MatchConfig(
+        chunk_secs=5, distance_secs=30, slab=8, slab_auto=False
+    )
+    episode = (rng.standard_normal(50 * SR) * 0.03).astype(np.float32)
+    for off in (7.0, 41.0):
+        i = int(off * SR)
+        episode[i : i + len(snippet)] = snippet
+    assert pick_slab(10, 8) == 5  # the shape under test
+    m = SnippetMatcher(snippet, SR, auto)
+    silent = m.match(episode)
+    events: list[tuple[str, int]] = []
+    live = m.match(episode, progress=lambda ph, k: events.append((ph, k)))
+    ref = SnippetMatcher(snippet, SR, pinned).match(episode)
+    assert [(p.position, p.height) for p in live] == [
+        (p.position, p.height) for p in silent
+    ]
+    assert [p.position for p in live] == [p.position for p in ref]
+    assert [p.position for p in live] == [int(o * SR) for o in (7.0, 41.0)]
+    # both phases fired for every real window, interleaved (2 slab
+    # groups of 5 windows → first finish before the last start)
+    starts = [k for ph, k in events if ph == "start"]
+    assert starts == list(range(10))
+    first_finish = events.index(("finish", 0))
+    last_start = max(i for i, ev in enumerate(events) if ev[0] == "start")
+    assert first_finish < last_start
+
+
 def test_live_progress_odd_group_remainder(rng, snippet):
     """Group size that doesn't divide the slab count: the remainder group
     compiles once and results stay identical."""
