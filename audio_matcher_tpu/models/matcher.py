@@ -300,6 +300,36 @@ def _divisor_slab(n_windows_pad: int, preferred: int) -> int:
     return 1
 
 
+def _device_put_split(padded: np.ndarray):
+    """``device_put`` a flat wire episode, split into equal pieces when
+    it exceeds ``AUDIO_MATCHER_PUT_BYTES`` (default 768 MB) — monolithic
+    multi-GB transfers collapse relay-attached links to a fraction of
+    their rate (PERF.md "Relay upload throughput vs transfer size").
+    Returns a device array, or a tuple of piece arrays the match paths
+    re-join with ONE on-device concat (staging itself stays
+    execution-free for stage-ahead callers)."""
+    import os
+
+    cap = int(
+        os.environ.get("AUDIO_MATCHER_PUT_BYTES", str(768 * 2**20))
+    )
+    if padded.nbytes <= cap:
+        return jax.device_put(padded)
+    n_pieces = -(-padded.nbytes // cap)
+    step = -(-len(padded) // n_pieces)
+    return tuple(
+        jax.device_put(padded[i : i + step])
+        for i in range(0, len(padded), step)
+    )
+
+
+def _joined(episode_dev):
+    """Re-join a :func:`_device_put_split` tuple (one device concat)."""
+    if isinstance(episode_dev, tuple):
+        return jnp.concatenate(episode_dev)
+    return episode_dev
+
+
 def windows_from_episode(episode, base, slab: int, chunk: int, window: int):
     """[slab, window] overlap-save windows starting at ``base·chunk``.
 
@@ -665,7 +695,7 @@ class SnippetMatcher:
         wire = quantize_wire(samples, self.config.transfer_dtype)
         padded = wire_buffer(n_pad, self.config.transfer_dtype)
         padded[:n] = wire
-        return jax.device_put(padded), n
+        return _device_put_split(padded), n
 
     def stage_batch(
         self, episodes: Sequence[np.ndarray]
@@ -690,7 +720,7 @@ class SnippetMatcher:
                 buf[i, : len(ep)] = quantize_wire(
                     ep, self.config.transfer_dtype
                 )
-        return jax.device_put(buf), ns
+        return _device_put_split(buf), ns
 
     def match(
         self,
@@ -738,6 +768,7 @@ class SnippetMatcher:
         episode_dev, n = staged
         if n == 0:
             return []
+        episode_dev = _joined(episode_dev)
         cfg = self.config
         n_windows = max(-(-n // self.chunk), 1)
         n_windows_pad = (episode_dev.shape[0] - self.overlap) // self.chunk
@@ -831,7 +862,7 @@ class SnippetMatcher:
     ) -> list[list[Peak]]:
         """Scan a :meth:`stage_batch` upload: ONE device program for the
         whole episode batch (one dispatch, one readback)."""
-        episodes_dev, ns = staged
+        episodes_dev, ns = _joined(staged[0]), staged[1]
         cfg = self.config
         n_windows_pad = (episodes_dev.shape[1] - self.overlap) // self.chunk
         n_max = int(ns.max()) if len(ns) else 0

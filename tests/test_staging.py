@@ -203,6 +203,30 @@ def test_auto_slab_matches_pinned(fixture):
         assert [p.position for p in per_a[0]] == [int(o * SR) for o in offs]
 
 
+def test_split_put_single_episode_matches(fixture, monkeypatch):
+    """Episodes over AUDIO_MATCHER_PUT_BYTES stage as several
+    device_puts re-joined by one on-device concat — identical peaks
+    through stage/match_staged and stage_batch/match_staged_batch."""
+    snippet, episodes, offsets = fixture
+    cfg = MatchConfig(chunk_secs=10, distance_secs=30, slab=4)
+    m = SnippetMatcher(snippet, SR, cfg)
+    want = [m.match(ep) for ep in episodes]
+    monkeypatch.setenv("AUDIO_MATCHER_PUT_BYTES", str(SR * 4 * 11))
+    staged = m.stage(episodes[1])
+    assert isinstance(staged[0], tuple) and len(staged[0]) > 1
+    got = m.match_staged(staged)
+    assert [(p.position, p.height) for p in got] == [
+        (p.position, p.height) for p in want[1]
+    ]
+    staged_b = m.stage_batch(episodes)
+    assert isinstance(staged_b[0], tuple)
+    batch = m.match_staged_batch(staged_b)
+    for got_ep, want_ep in zip(batch, want):
+        assert [p.position for p in got_ep] == [
+            p.position for p in want_ep
+        ]
+
+
 def test_mulaw_pad_is_silence():
     """Wire padding encodes SILENCE per dtype: mu-law code 0 decodes to
     ~-0.5 full scale, so uint8 pads with code 128 (ADVICE r2 #2)."""
