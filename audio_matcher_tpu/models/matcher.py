@@ -277,6 +277,14 @@ def pick_slab(
     (compiled programs are bucketed by (slab, n_slabs); CLAUDE.md).
     Deterministic in ``n_windows`` alone, so staging and scanning
     recompute the same value from the same episode length.
+
+    Compile-count trade-off: adapting adds at most a handful of
+    (slab, n_slabs) classes beyond the preferred-multiples grid (only
+    window counts with >25% waste adapt, i.e. n < 3.5·preferred), each
+    a one-time compile per process — minutes on cacheless relay links,
+    negligible with a persistent compilation cache; the padded-window
+    saving recurs per scan (measured +22% at BASELINE config #3).
+    ``slab_auto=False`` restores the preferred-multiples-only grid.
     """
     if n_windows <= preferred or preferred <= 4:
         return preferred
@@ -300,33 +308,53 @@ def _divisor_slab(n_windows_pad: int, preferred: int) -> int:
     return 1
 
 
-def _device_put_split(padded: np.ndarray):
-    """``device_put`` a flat wire episode, split into equal pieces when
-    it exceeds ``AUDIO_MATCHER_PUT_BYTES`` (default 768 MB) — monolithic
-    multi-GB transfers collapse relay-attached links to a fraction of
-    their rate (PERF.md "Relay upload throughput vs transfer size").
-    Returns a device array, or a tuple of piece arrays the match paths
-    re-join with ONE on-device concat (staging itself stays
-    execution-free for stage-ahead callers)."""
+def effective_slab(cfg, n_windows: int) -> int:
+    """:func:`pick_slab` under the config's ``slab_auto`` policy — the
+    ONE dispatch point shared by the matcher and the sweep scanners so
+    staging and scanning can never disagree."""
+    if not getattr(cfg, "slab_auto", True):
+        return cfg.slab
+    return pick_slab(n_windows, cfg.slab)
+
+
+def put_bytes_cap() -> int:
+    """Max bytes per host→device transfer (``AUDIO_MATCHER_PUT_BYTES``,
+    default 768 MB) — monolithic multi-GB puts collapse relay-attached
+    links to a fraction of their rate (PERF.md "Relay upload throughput
+    vs transfer size")."""
     import os
 
-    cap = int(
+    return int(
         os.environ.get("AUDIO_MATCHER_PUT_BYTES", str(768 * 2**20))
     )
+
+
+def _device_put_split(padded: np.ndarray):
+    """``device_put`` a wire buffer, split into ≤-cap pieces when it
+    exceeds :func:`put_bytes_cap`. 2-D batch buffers flatten first so
+    the split is element-granular (a single row can exceed the cap);
+    the match paths re-join with ONE on-device concat (+ reshape) —
+    staging itself stays execution-free for stage-ahead callers.
+    Returns a device array, or a tuple of flat piece arrays."""
+    cap = put_bytes_cap()
     if padded.nbytes <= cap:
         return jax.device_put(padded)
+    flat = padded.reshape(-1)  # view: C-contiguous staging buffers
     n_pieces = -(-padded.nbytes // cap)
-    step = -(-len(padded) // n_pieces)
+    step = -(-len(flat) // n_pieces)
     return tuple(
-        jax.device_put(padded[i : i + step])
-        for i in range(0, len(padded), step)
+        jax.device_put(flat[i : i + step])
+        for i in range(0, len(flat), step)
     )
 
 
-def _joined(episode_dev):
-    """Re-join a :func:`_device_put_split` tuple (one device concat)."""
+def _joined(episode_dev, rows: int | None = None):
+    """Re-join a :func:`_device_put_split` tuple (one device concat);
+    ``rows`` restores a 2-D batch layout flattened by the split."""
     if isinstance(episode_dev, tuple):
-        return jnp.concatenate(episode_dev)
+        episode_dev = jnp.concatenate(episode_dev)
+        if rows is not None:
+            episode_dev = episode_dev.reshape(rows, -1)
     return episode_dev
 
 
@@ -659,14 +687,11 @@ class SnippetMatcher:
         return self._sample_f_cache
 
     def _effective_slab(self, n_windows: int) -> int:
-        cfg = self.config
-        if not getattr(cfg, "slab_auto", True):
-            return cfg.slab
-        return pick_slab(n_windows, cfg.slab)
+        return effective_slab(self.config, n_windows)
 
     def stage(
         self, samples: np.ndarray, n_samples: int | None = None
-    ) -> tuple[jax.Array, int]:
+    ) -> tuple[jax.Array | tuple[jax.Array, ...], int]:
         """Pad/bucket an episode and transfer it to device HBM.
 
         Staging is split from :meth:`match_staged` so callers can upload a
@@ -675,6 +700,10 @@ class SnippetMatcher:
         before the execution stream starts. ``stage`` performs no device
         computation. ``samples`` may be reference-scale f32 or int16 wire
         values (e.g. straight from ``read_audio_int16``).
+
+        The device handle is an OPAQUE value for :meth:`match_staged`:
+        episodes over ``AUDIO_MATCHER_PUT_BYTES`` stage as a tuple of
+        piece arrays (re-joined on device at match time), not one array.
         """
         samples = np.ascontiguousarray(samples)
         if n_samples is not None:
@@ -699,9 +728,12 @@ class SnippetMatcher:
 
     def stage_batch(
         self, episodes: Sequence[np.ndarray]
-    ) -> tuple[jax.Array, np.ndarray]:
+    ) -> tuple[jax.Array | tuple[jax.Array, ...], np.ndarray]:
         """Stage several episodes as ONE device array [E, Npad] (single
-        transfer; all episodes bucketed to the largest)."""
+        transfer; all episodes bucketed to the largest). Batches over
+        ``AUDIO_MATCHER_PUT_BYTES`` stage as a tuple of flat pieces —
+        an opaque handle :meth:`match_staged_batch` re-joins on device
+        (element-granular split: even a single over-cap row splits)."""
         ns = np.array([len(e) for e in episodes], np.int32)
         n_max = int(ns.max()) if len(ns) else 0
         n_windows = max(-(-n_max // self.chunk), 1)
@@ -862,7 +894,7 @@ class SnippetMatcher:
     ) -> list[list[Peak]]:
         """Scan a :meth:`stage_batch` upload: ONE device program for the
         whole episode batch (one dispatch, one readback)."""
-        episodes_dev, ns = _joined(staged[0]), staged[1]
+        episodes_dev, ns = _joined(staged[0], rows=len(staged[1])), staged[1]
         cfg = self.config
         n_windows_pad = (episodes_dev.shape[1] - self.overlap) // self.chunk
         n_max = int(ns.max()) if len(ns) else 0

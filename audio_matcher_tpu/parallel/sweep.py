@@ -28,15 +28,10 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..models.matcher import (
     MatchConfig,
     _divisor_slab,
+    effective_slab as _effective_slab,
     overshadow_filter,
-    pick_slab,
+    put_bytes_cap,
 )
-
-
-def _effective_slab(cfg, n_windows: int) -> int:
-    if not getattr(cfg, "slab_auto", True):
-        return cfg.slab
-    return pick_slab(n_windows, cfg.slab)
 from ..ops.correlate import fft_length, prepare_snippet
 from ..ops.peaks import (
     Peak,
@@ -317,9 +312,6 @@ def _fill_wire_rows(
     return buf
 
 
-_DEFAULT_PUT_BYTES = 768 * 2**20
-
-
 def _put_split_rows(e_pad: int, row_bytes: int, n_dev: int) -> int | None:
     """Rows per host→device transfer for an [e_pad, n_pad] wire buffer,
     or None for one monolithic put.
@@ -328,14 +320,13 @@ def _put_split_rows(e_pad: int, row_bytes: int, n_dev: int) -> int | None:
     8 MB/s for one 5.2 GB put vs 51–56 MB/s for the same bytes in
     ≤1.3 GB pieces — PERF.md "Relay upload throughput vs transfer
     size"), so buffers over ``AUDIO_MATCHER_PUT_BYTES`` (default 768 MB)
-    stage as separate row-group puts. Groups are equal-sized multiples
-    of the mesh row count, so every group scans with the SAME compiled
-    program; splitting is a host-side decision — staging stays
-    execution-free.
+    stage as separate row-group puts, re-joined by ONE on-device concat
+    at scan time (scan_dispatch; per-group scan dispatches measured
+    -16.5% device-resident). Groups are equal-sized multiples of the
+    mesh row count so the grown ``e_pad`` stays shard_map-divisible;
+    splitting is a host-side decision — staging stays execution-free.
     """
-    cap = int(
-        os.environ.get("AUDIO_MATCHER_PUT_BYTES", str(_DEFAULT_PUT_BYTES))
-    )
+    cap = put_bytes_cap()
     if e_pad * row_bytes <= cap or e_pad <= n_dev:
         return None
     r_max = max(cap // (row_bytes * n_dev), 1) * n_dev
@@ -359,6 +350,30 @@ def _concat_rows(chunks):
     donated: the staged handle stays scannable more than once (the
     bench's warmup+timed calls); HBM briefly holds 2× the batch."""
     return jnp.concatenate(chunks, axis=0)
+
+
+def _stage_rows_host(episodes, ns, n_pad, transfer, arena, e_pad, n_dev):
+    """Shared host-pad staging tail for both scanners: fill the wire
+    buffer (silence rows to ``e_pad``), upload monolithically or as
+    row-group chunks per :func:`_put_split_rows`. Execution-free.
+    Returns the (handle, ns_pad, n_real) staged triple."""
+    from ..models.matcher import _WIRE_DTYPES
+
+    r = _put_split_rows(
+        e_pad, n_pad * np.dtype(_WIRE_DTYPES[transfer]).itemsize, n_dev
+    )
+    if r is not None:
+        e_pad = -(-e_pad // r) * r
+    ns_pad = np.zeros(e_pad, np.int32)
+    ns_pad[: len(ns)] = ns
+    buf = _fill_wire_rows(episodes, n_pad, transfer, arena, e_pad)
+    if r is not None:
+        handle = tuple(
+            jnp.asarray(buf[i : i + r]) for i in range(0, e_pad, r)
+        )
+    else:
+        handle = jnp.asarray(buf)
+    return handle, ns_pad, len(episodes)
 
 
 def _pad_episode_rows_on_device(buf: np.ndarray, e_pad: int, transfer_dtype):
@@ -435,24 +450,9 @@ class ShardedSpectrogramScanner:
         if pad_to:  # tail groups keep the full-group compiled shape
             e_pad = max(e_pad, int(pad_to))
         if pad_rows == "host":
-            from ..models.matcher import _WIRE_DTYPES
-
-            r = _put_split_rows(
-                e_pad, n_pad * np.dtype(_WIRE_DTYPES[transfer]).itemsize,
-                n_dev,
+            return _stage_rows_host(
+                episodes, ns, n_pad, transfer, arena, e_pad, n_dev
             )
-            if r is not None:
-                e_pad = -(-e_pad // r) * r
-            ns_pad = np.zeros(e_pad, np.int32)
-            ns_pad[: len(ns)] = ns
-            buf = _fill_wire_rows(episodes, n_pad, transfer, arena, e_pad)
-            if r is not None:
-                chunks = tuple(
-                    jnp.asarray(buf[i : i + r])
-                    for i in range(0, e_pad, r)
-                )
-                return chunks, ns_pad, len(episodes)
-            return jnp.asarray(buf), ns_pad, len(episodes)
         ns_pad = np.zeros(e_pad, np.int32)
         ns_pad[: len(ns)] = ns
         buf = _fill_wire_rows(episodes, n_pad, transfer, arena)
@@ -900,27 +900,12 @@ class ShardedScanner:
         if pad_to:
             e_pad = max(e_pad, int(pad_to))
         transfer = self.config.transfer_dtype
-        from ..models.matcher import _WIRE_DTYPES
-
         if pad_rows == "host":
             # huge buffers stage as equal row-group puts (relay rate
             # collapses on monolithic multi-GB transfers; _put_split_rows)
-            r = _put_split_rows(
-                e_pad, n_pad * np.dtype(_WIRE_DTYPES[transfer]).itemsize,
-                n_dev,
+            return _stage_rows_host(
+                episodes, ns, n_pad, transfer, arena, e_pad, n_dev
             )
-            if r is not None:
-                e_pad = -(-e_pad // r) * r
-            ns_pad = np.zeros(e_pad, np.int32)
-            ns_pad[: len(ns)] = ns
-            buf = _fill_wire_rows(episodes, n_pad, transfer, arena, e_pad)
-            if r is not None:
-                chunks = tuple(
-                    jnp.asarray(buf[i : i + r])
-                    for i in range(0, e_pad, r)
-                )
-                return chunks, ns_pad, len(episodes)
-            return jnp.asarray(buf), ns_pad, len(episodes)
         ns_pad = np.zeros(e_pad, np.int32)
         ns_pad[: len(ns)] = ns
         buf = _fill_wire_rows(episodes, n_pad, transfer, arena)

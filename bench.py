@@ -79,6 +79,11 @@ def measure_tpu(episode, snippets, config, n_episodes=None):
     t_stage0 = time.perf_counter()
     staged = scanner.stage_resident([episode_wire] * n_episodes)
     chunks = staged[0] if isinstance(staged[0], tuple) else (staged[0],)
+    # block_until_ready is a valid fence for TRANSFERS (measured stage
+    # rates track byte volume / the link rate: 682 MB→1.04 s, 3.4 GB→
+    # 49–56 s — a lying fence would return ~instantly); the readback-only
+    # fencing rule (CLAUDE.md) is about fencing EXECUTIONS, and a
+    # readback here would pay a timed per-shape slice compile instead
     for c in chunks:
         c.block_until_ready()
     t_stage = time.perf_counter() - t_stage0
@@ -257,13 +262,12 @@ def main() -> int:
         peaks_impl=os.environ.get("BENCH_PEAKS_IMPL", "pallas"),
     )
 
-    from audio_matcher_tpu.models.matcher import pick_slab
+    from audio_matcher_tpu.models.matcher import effective_slab as _eff
 
-    n_windows = max(-(-len(episode) // int(config.chunk_secs * SR)), 1)
-    effective_slab = (
-        pick_slab(n_windows, config.slab) if config.slab_auto
-        else config.slab
-    )
+    # same chunk rounding as the scanners (int(round(...))) so the
+    # fingerprint records the slab the run actually used
+    chunk = int(round(config.chunk_secs * SR))
+    effective_slab = _eff(config, max(-(-len(episode) // chunk), 1))
 
     (per_pair, per_pair_scan), peaks = measure_tpu(episode, snippets, config)
     hours = EPISODE_SECS / 3600.0

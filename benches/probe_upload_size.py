@@ -47,16 +47,16 @@ def main():
     # chunked: C row-groups device_put separately (no concat — measuring
     # pure upload throughput at smaller grain)
     for chunks in (4, 8, 16):
-        step = rows // chunks
+        step = -(-rows // chunks)  # ceil: remainder rows must ship too
         t0 = time.perf_counter()
         parts = []
-        for c in range(chunks):
-            parts.append(jax.device_put(buf[c * step : (c + 1) * step]))
+        for c in range(0, rows, step):
+            parts.append(jax.device_put(buf[c : c + step]))
         for p in parts:
             fence(p)
         t1 = time.perf_counter() - t0
         print(
-            f"[probe] {chunks} chunks of {total_mb / chunks:.0f} MB: "
+            f"[probe] {len(parts)} chunks of ≤{step * buf.shape[1] * 2 / 2**20:.0f} MB: "
             f"{t1:.2f}s = {total_mb / t1:.0f} MB/s",
             flush=True,
         )

@@ -155,10 +155,14 @@ def test_pick_slab_rules():
     # explicit small slabs never adapt (test configs pin 2/3/4)
     for n in (5, 10, 37):
         assert pick_slab(n, 4) == 4
-    # every pick tiles its own padded count (stage<->scan consistency)
+    # every pick stays in the kernel-supported range and never pads
+    # worse than the preferred slab would
     for n in range(1, 200):
         s = pick_slab(n, 8)
-        assert (-(-n // s) * s) % s == 0
+        assert 4 <= s <= 8
+        assert -(-n // s) * s <= -(-n // 8) * 8
+        if s != 8:  # adapting must beat the 25%-waste bound it fled
+            assert (-(-n // s) * s - n) <= 0.25 * n or n < 8
     assert _divisor_slab(10, 8) == 5
     assert _divisor_slab(32, 8) == 8
     assert _divisor_slab(21, 8) == 7
