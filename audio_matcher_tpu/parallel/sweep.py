@@ -380,10 +380,22 @@ def _pad_episode_rows_on_device(buf: np.ndarray, e_pad: int, transfer_dtype):
     """Upload only the real episode rows; grow to the mesh-filling row
     count ON DEVICE (cheap HBM memset vs staging full-width silence rows
     over the host→device link — a single short episode on an 8-chip mesh
-    would otherwise wire 8× its bytes)."""
-    from ..models.matcher import wire_silence
+    would otherwise wire 8× its bytes). Over-cap buffers upload as row
+    pieces joined by an immediate concat (this path executes a pad
+    program at stage time anyway, so it is not execution-free)."""
+    from ..models.matcher import put_bytes_cap, wire_silence
 
-    dev = jnp.asarray(buf)
+    cap = put_bytes_cap()
+    if buf.nbytes > cap and buf.shape[0] > 1:
+        r = max(int(cap // (buf.nbytes // buf.shape[0])), 1)
+        pieces = [
+            jnp.asarray(buf[i : i + r]) for i in range(0, buf.shape[0], r)
+        ]
+        dev = (
+            jnp.concatenate(pieces, axis=0) if len(pieces) > 1 else pieces[0]
+        )
+    else:
+        dev = jnp.asarray(buf)
     short = e_pad - buf.shape[0]
     if short <= 0:
         return dev

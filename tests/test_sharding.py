@@ -609,6 +609,11 @@ def test_chunked_staging_matches_monolithic(rng, snippets, monkeypatch):
     for pm, pc in zip(got_m, got_c):
         assert [p.position for p in pc[0]] == [p.position for p in pm[0]]
         assert [p.position for p in pc[0]] == [SR]
+    # the device-pad path (sweep_archive's) splits too when over-cap
+    dev_staged = sc.stage_resident(eps, pad_rows="device")
+    got_d = sc.scan_collect(sc.scan_dispatch(dev_staged))
+    for pm, pd in zip(got_m, got_d):
+        assert [p.position for p in pd[0]] == [p.position for p in pm[0]]
 
 
 def test_chunked_staging_spectrogram(rng, snippets, monkeypatch):
