@@ -176,6 +176,9 @@ def test_sweep_cli_crash_resume(tmp_path, rng):
         JAX_PLATFORMS="cpu",
         XLA_FLAGS="--xla_force_host_platform_device_count=8",
         PYTHONPATH=str(Path(__file__).resolve().parent.parent),
+        # compose the r3 staging features with the crash: a tiny put cap
+        # forces the chunked-upload + device-concat path mid-sweep
+        AUDIO_MATCHER_PUT_BYTES=str(256 * 1024),
     )
     # --- interrupted run: subprocess, SIGKILLed once the progress store
     # shows the first group landing (guarantees a mid-run kill, not a
