@@ -644,6 +644,59 @@ def test_chunked_staging_spectrogram(rng, snippets, monkeypatch):
         assert len(got_pos) == 1
 
 
+@pytest.mark.heavy
+def test_staging_policies_fuzz(rng, snippets):
+    """Differential fuzz over the staging decision space: random episode
+    counts/lengths × put caps × pad_rows × slab_auto all yield the SAME
+    peaks as the monolithic pinned-slab oracle. Shapes share one
+    (chunk, fft) bucket family to bound interpret-mode compiles."""
+    from audio_matcher_tpu.parallel.sweep import ShardedScanner
+
+    mesh = make_mesh(2)
+    base = dict(
+        chunk_secs=1.0, distance_secs=2.0, block=256,
+        transfer_dtype="int16",
+    )
+    oracle_sc = ShardedScanner(
+        [snippets[0]], SR, MatchConfig(**base, slab_auto=False), mesh
+    )
+    auto_sc = ShardedScanner(
+        [snippets[0]], SR, MatchConfig(**base), mesh
+    )
+    for trial in range(6):
+        n_eps = int(rng.integers(1, 6))
+        eps, wants = [], []
+        for _ in range(n_eps):
+            secs = int(rng.integers(2, 5))
+            ep = (rng.standard_normal(SR * secs) * 0.05).astype(np.float32)
+            at = int(rng.integers(0, max(secs * SR - len(snippets[0]), 1)))
+            ep[at : at + len(snippets[0])] = snippets[0]
+            eps.append(ep)
+            wants.append(at)
+        want = [
+            [p.position for p in per[0]]
+            for per in oracle_sc.scan_staged(oracle_sc.stage_resident(eps))
+        ]
+        # planted offset must be among the oracle's peaks
+        for got_pos, at in zip(want, wants):
+            assert at in got_pos
+        row_bytes = (
+            oracle_sc.stage_resident(eps)[0].shape[-1] * 2
+        )
+        for cap_rows in (1, 2, 100):
+            with pytest.MonkeyPatch.context() as mp:
+                mp.setenv(
+                    "AUDIO_MATCHER_PUT_BYTES", str(row_bytes * cap_rows)
+                )
+                for pad_rows in ("host", "device"):
+                    got = auto_sc.scan_staged(
+                        auto_sc.stage_resident(eps, pad_rows=pad_rows)
+                    )
+                    assert [
+                        [p.position for p in per[0]] for per in got
+                    ] == want, (trial, cap_rows, pad_rows)
+
+
 def test_sweep_tail_pad_not_sticky_after_byte_flush(
     rng, snippets, tmp_path, monkeypatch
 ):
