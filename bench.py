@@ -228,8 +228,40 @@ def record_history(result: dict, fingerprint: dict, path: str | None = None) -> 
         f.write(json.dumps(entry) + "\n")
 
 
+def acquire_backend(timeout_s: float) -> None:
+    """Bounded backend acquisition. When the axon relay is down,
+    ``jax.devices()`` blocks forever inside the first backend touch —
+    observed >2 h outages — which would hang the whole bench (and its
+    caller) indefinitely. Probe in a daemon thread and exit nonzero with
+    an honest message if no backend appears within the budget. A healthy
+    relay answers in seconds; legit slow REMOTE COMPILES happen later and
+    are not under this clock."""
+    import threading
+
+    got: dict = {}
+
+    def probe():
+        import jax
+
+        got["devices"] = jax.devices()
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if "devices" not in got:
+        print(
+            f"bench: no JAX backend within {timeout_s:.0f}s "
+            "(relay down?) — aborting instead of hanging. "
+            "Set BENCH_BACKEND_TIMEOUT to adjust.",
+            file=sys.stderr,
+        )
+        raise SystemExit(3)
+    print(f"[bench] backend: {got['devices']}", file=sys.stderr)
+
+
 def main() -> int:
     os.environ.setdefault("OMP_NUM_THREADS", "8")
+    acquire_backend(float(os.environ.get("BENCH_BACKEND_TIMEOUT", "600")))
     rng = np.random.default_rng(42)
     n_episodes = int(os.environ.get("BENCH_EPISODES", "4"))
     n_queries = int(os.environ.get("BENCH_QUERIES", "64"))
