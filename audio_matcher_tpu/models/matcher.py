@@ -321,12 +321,14 @@ def put_bytes_cap() -> int:
     """Max bytes per host→device transfer (``AUDIO_MATCHER_PUT_BYTES``,
     default 768 MB) — monolithic multi-GB puts collapse relay-attached
     links to a fraction of their rate (PERF.md "Relay upload throughput
-    vs transfer size")."""
+    vs transfer size"). Values ≤ 0 disable splitting (every splitter
+    would otherwise divide by the cap)."""
     import os
 
-    return int(
+    cap = int(
         os.environ.get("AUDIO_MATCHER_PUT_BYTES", str(768 * 2**20))
     )
+    return cap if cap > 0 else (1 << 62)
 
 
 def _device_put_split(padded: np.ndarray):

@@ -28,9 +28,9 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..models.matcher import (
     MatchConfig,
     _divisor_slab,
+    _joined,
     effective_slab as _effective_slab,
     overshadow_filter,
-    put_bytes_cap,
 )
 from ..ops.correlate import fft_length, prepare_snippet
 from ..ops.peaks import (
@@ -312,90 +312,35 @@ def _fill_wire_rows(
     return buf
 
 
-def _put_split_rows(e_pad: int, row_bytes: int, n_dev: int) -> int | None:
-    """Rows per host→device transfer for an [e_pad, n_pad] wire buffer,
-    or None for one monolithic put.
-
-    The relay's transfer rate COLLAPSES on huge single puts (measured
-    8 MB/s for one 5.2 GB put vs 51–56 MB/s for the same bytes in
-    ≤1.3 GB pieces — PERF.md "Relay upload throughput vs transfer
-    size"), so buffers over ``AUDIO_MATCHER_PUT_BYTES`` (default 768 MB)
-    stage as separate row-group puts, re-joined by ONE on-device concat
-    at scan time (scan_dispatch; per-group scan dispatches measured
-    -16.5% device-resident). Groups are equal-sized multiples of the
-    mesh row count so the grown ``e_pad`` stays shard_map-divisible;
-    splitting is a host-side decision — staging stays execution-free.
-    """
-    cap = put_bytes_cap()
-    if e_pad * row_bytes <= cap or e_pad <= n_dev:
-        return None
-    r_max = max(cap // (row_bytes * n_dev), 1) * n_dev
-    if r_max >= e_pad:
-        return None
-    # among cap-respecting group sizes, minimize the rows added to reach
-    # the group grid (64 rows at a 14-row cap → 8-row groups, 0 pad rows,
-    # not 14-row groups + 6 silence rows); ties → larger r (fewer puts)
-    best, best_excess = r_max, -(-e_pad // r_max) * r_max - e_pad
-    for r in range(r_max - n_dev, 0, -n_dev):
-        excess = -(-e_pad // r) * r - e_pad
-        if excess < best_excess:
-            best, best_excess = r, excess
-        if best_excess == 0:
-            break
-    return best
-
-
-def _concat_rows(chunks):
-    """Row-group staged chunks → one [E, Npad] device array. Not
-    donated: the staged handle stays scannable more than once (the
-    bench's warmup+timed calls); HBM briefly holds 2× the batch."""
-    return jnp.concatenate(chunks, axis=0)
-
-
 def _stage_rows_host(episodes, ns, n_pad, transfer, arena, e_pad, n_dev):
     """Shared host-pad staging tail for both scanners: fill the wire
-    buffer (silence rows to ``e_pad``), upload monolithically or as
-    row-group chunks per :func:`_put_split_rows`. Execution-free.
+    buffer (silence rows to ``e_pad``), upload via the shared
+    element-granular put splitter (models.matcher._device_put_split —
+    buffers over ``AUDIO_MATCHER_PUT_BYTES`` stage as equal flat pieces
+    because the relay's rate COLLAPSES on huge single puts, PERF.md
+    "Relay upload throughput vs transfer size"; a single row can exceed
+    the cap, so the split is by elements, not rows). Execution-free; the
+    scan paths re-join with ONE on-device concat + reshape.
     Returns the (handle, ns_pad, n_real) staged triple."""
-    from ..models.matcher import _WIRE_DTYPES
+    from ..models.matcher import _device_put_split
 
-    r = _put_split_rows(
-        e_pad, n_pad * np.dtype(_WIRE_DTYPES[transfer]).itemsize, n_dev
-    )
-    if r is not None:
-        e_pad = -(-e_pad // r) * r
     ns_pad = np.zeros(e_pad, np.int32)
     ns_pad[: len(ns)] = ns
     buf = _fill_wire_rows(episodes, n_pad, transfer, arena, e_pad)
-    if r is not None:
-        handle = tuple(
-            jnp.asarray(buf[i : i + r]) for i in range(0, e_pad, r)
-        )
-    else:
-        handle = jnp.asarray(buf)
-    return handle, ns_pad, len(episodes)
+    return _device_put_split(buf), ns_pad, len(episodes)
 
 
 def _pad_episode_rows_on_device(buf: np.ndarray, e_pad: int, transfer_dtype):
     """Upload only the real episode rows; grow to the mesh-filling row
     count ON DEVICE (cheap HBM memset vs staging full-width silence rows
     over the host→device link — a single short episode on an 8-chip mesh
-    would otherwise wire 8× its bytes). Over-cap buffers upload as row
-    pieces joined by an immediate concat (this path executes a pad
-    program at stage time anyway, so it is not execution-free)."""
-    from ..models.matcher import put_bytes_cap, wire_silence
+    would otherwise wire 8× its bytes). Over-cap buffers upload as equal
+    flat pieces (shared element-granular splitter; covers a single row
+    above the cap too) joined by an immediate concat — this path executes
+    a pad program at stage time anyway, so it is not execution-free."""
+    from ..models.matcher import _device_put_split, wire_silence
 
-    cap = put_bytes_cap()
-    if buf.nbytes > cap and buf.shape[0] > 1:
-        r = max(int(cap // (buf.nbytes // buf.shape[0])), 1)
-        pieces = [
-            jnp.asarray(buf[i : i + r]) for i in range(0, buf.shape[0], r)
-        ]
-        dev = (
-            jnp.concatenate(pieces, axis=0) if len(pieces) > 1 else pieces[0]
-        )
-    else:
-        dev = jnp.asarray(buf)
+    dev = _joined(_device_put_split(buf), rows=buf.shape[0])
     short = e_pad - buf.shape[0]
     if short <= 0:
         return dev
@@ -460,7 +405,8 @@ class ShardedSpectrogramScanner:
         n_dev = int(self.mesh.devices.size)
         e_pad = -(-len(episodes) // n_dev) * n_dev if episodes else 0
         if pad_to:  # tail groups keep the full-group compiled shape
-            e_pad = max(e_pad, int(pad_to))
+            # rounded up so the row count stays shard_map-divisible
+            e_pad = max(e_pad, -(-int(pad_to) // n_dev) * n_dev)
         if pad_rows == "host":
             return _stage_rows_host(
                 episodes, ns, n_pad, transfer, arena, e_pad, n_dev
@@ -531,8 +477,8 @@ class ShardedSpectrogramScanner:
         (sweep_archive's dispatch-ahead pipeline)."""
         del scale  # NCC scores are scale-invariant by construction
         episodes_dev, ns, n_real = staged
-        if isinstance(episodes_dev, tuple):  # chunked stage (row groups)
-            episodes_dev = _concat_rows(episodes_dev)
+        # chunked stage: ONE on-device concat + reshape back to [E, Npad]
+        episodes_dev = _joined(episodes_dev, rows=len(ns))
         step = self._step(episodes_dev.shape[1])
         outs = step(
             episodes_dev, jnp.asarray(ns, jnp.int32),
@@ -735,27 +681,34 @@ def sweep_archive(
         pending.append((dispatched, ok_items))
 
     # grouping several small files per dispatch must not blow host RAM on
-    # long episodes: a group also flushes once its decoded wire bytes
-    # exceed this budget (so 2-hour episodes still go one per dispatch),
-    # and the same budget bounds the prefetch queue (depth defaults to
+    # long episodes: the budget is judged on the PADDED staging buffer
+    # (rows × the group's widest episode — every row is padded to the
+    # longest, so decoded-bytes undercounts a mixed short+long group by
+    # the row count), so 2-hour episodes still go one per dispatch and a
+    # long episode landing after short ones flushes the shorts first;
+    # the same budget bounds the prefetch queue (depth defaults to
     # group_size — without a byte cap that would hold group_size decoded
     # episodes of host RAM on top of the group being assembled)
     max_group_bytes = int(
         os.environ.get("AUDIO_MATCHER_GROUP_BYTES", str(1 << 30))
     )
-    group_bytes = 0
+    row_max = 0  # widest episode in the current group, wire bytes
     for decoded in decode_prefetched(
         todo, depth=prefetch_depth, wire_dtype=transfer,
         expect_sr=scanner.sr, max_bytes=max_group_bytes,
     ):
+        new_max = max(row_max, decoded.samples.nbytes)
+        if group and (len(group) + 1) * new_max > max_group_bytes:
+            flush(group)  # keep the padded buffer inside the budget
+            group, new_max = [], decoded.samples.nbytes
         group.append(decoded)
-        group_bytes += decoded.samples.nbytes
+        row_max = new_max
         if len(group) == group_size:
             flush(group, pad_to=group_size)
-            group, group_bytes = [], 0
-        elif group_bytes >= max_group_bytes:
+            group, row_max = [], 0
+        elif len(group) * row_max >= max_group_bytes:
             flush(group)
-            group, group_bytes = [], 0
+            group, row_max = [], 0
     if group:
         # tail reuses the full-group compiled shape (avoiding one more
         # relay compile) — but only when the padded staging buffer
@@ -909,12 +862,12 @@ class ShardedScanner:
         n_pad = n_windows_pad * self.chunk + self.overlap
         n_dev = int(self.mesh.devices.size)
         e_pad = -(-len(episodes) // n_dev) * n_dev if episodes else 0
-        if pad_to:
-            e_pad = max(e_pad, int(pad_to))
+        if pad_to:  # rounded up so the row count stays shard_map-divisible
+            e_pad = max(e_pad, -(-int(pad_to) // n_dev) * n_dev)
         transfer = self.config.transfer_dtype
         if pad_rows == "host":
-            # huge buffers stage as equal row-group puts (relay rate
-            # collapses on monolithic multi-GB transfers; _put_split_rows)
+            # huge buffers stage as equal ≤-cap puts (relay rate
+            # collapses on monolithic multi-GB transfers; _device_put_split)
             return _stage_rows_host(
                 episodes, ns, n_pad, transfer, arena, e_pad, n_dev
             )
@@ -928,14 +881,13 @@ class ShardedScanner:
         """Launch the resident scan without blocking on the readback —
         see ShardedSpectrogramScanner.scan_dispatch."""
         episodes_dev, ns, n_real = staged
-        if isinstance(episodes_dev, tuple):
-            # chunked stage: ONE on-device concat (≈ms HBM copy) back to
-            # the monolithic layout, then the single scan program — per-
-            # chunk scan dispatches measured -16.5% device-resident (8 ×
-            # the ~31 ms relay dispatch floor at config #3). The concat
-            # is a device program, but scan time IS execution time; the
-            # execution-free discipline only binds stage_resident.
-            episodes_dev = _concat_rows(episodes_dev)
+        # chunked stage: ONE on-device concat + reshape (≈ms HBM copy)
+        # back to the monolithic [E, Npad] layout, then the single scan
+        # program — per-chunk scan dispatches measured -16.5% device-
+        # resident (8 × the ~31 ms relay dispatch floor at config #3).
+        # The concat is a device program, but scan time IS execution
+        # time; the execution-free discipline only binds stage_resident.
+        episodes_dev = _joined(episodes_dev, rows=len(ns))
         cfg = self.config
         n_windows_pad = (episodes_dev.shape[1] - self.overlap) // self.chunk
         n_max = int(ns.max()) if len(ns) else 0

@@ -500,8 +500,9 @@ def test_sweep_group_byte_budget(rng, snippets, tmp_path, monkeypatch):
         write_wav(p, SR, ep)
         paths.append(p)
         want[str(p)] = at
-    # each file is 4*SR*2 = 8 kB of int16 wire; budget of 20 kB → flush
-    # after 3 files despite group_size=8
+    # each file is 4*SR*2 = 8 kB of int16 wire; budget of 20 kB → the
+    # padded staging buffer holds at most 2 rows (3 × 8 kB would exceed
+    # it), despite group_size=8
     monkeypatch.setenv("AUDIO_MATCHER_GROUP_BYTES", str(20_000))
 
     staged_shapes = []
@@ -519,8 +520,9 @@ def test_sweep_group_byte_budget(rng, snippets, tmp_path, monkeypatch):
         )
     finally:
         sweep_mod.ShardedScanner.stage_resident = orig
-    # byte-flush at 3 files, then the tail of 2 with no count pad
-    assert staged_shapes == [(3, 3), (2, 2)]
+    # byte-flush keeps every staged buffer ≤ budget: two pairs, then the
+    # tail single with no count pad (8 × 8 kB would blow the budget)
+    assert staged_shapes == [(2, 2), (2, 2), (1, 1)]
     for p in paths:
         got = [pk.position for pk in results[str(p)][0] if pk.height > 0.5]
         assert got == [want[str(p)]], p
@@ -562,26 +564,26 @@ def test_stage_resident_host_pad_rows(rng, snippets):
         assert [p.position for p in ph[0]] == [p.position for p in pd[0]]
 
 
-def test_put_split_rows_prefers_even_groups():
-    from audio_matcher_tpu.parallel.sweep import _put_split_rows
+def test_put_cap_validation(monkeypatch):
+    """AUDIO_MATCHER_PUT_BYTES ≤ 0 disables splitting instead of
+    crashing the splitters with a zero/negative divisor."""
+    from audio_matcher_tpu.models.matcher import (
+        _device_put_split, put_bytes_cap,
+    )
 
-    with pytest.MonkeyPatch.context() as mp:
-        mp.setenv("AUDIO_MATCHER_PUT_BYTES", "14")
-        # 64 rows, 1 B/row, cap 14: 8-row groups tile 64 exactly
-        assert _put_split_rows(64, 1, 1) == 8
-        # group sizes stay mesh-row multiples
-        assert _put_split_rows(64, 1, 4) == 8
-        assert _put_split_rows(64, 2, 1) == 4  # cap 7 rows: 4 tiles 64
-        # under the cap, or nothing to split: monolithic
-        assert _put_split_rows(14, 1, 1) is None
-        assert _put_split_rows(8, 2, 8) is None
+    monkeypatch.setenv("AUDIO_MATCHER_PUT_BYTES", "0")
+    assert put_bytes_cap() > 1 << 40
+    buf = np.zeros((4, 1024), np.int16)
+    assert not isinstance(_device_put_split(buf), tuple)
+    monkeypatch.setenv("AUDIO_MATCHER_PUT_BYTES", "-5")
+    assert not isinstance(_device_put_split(buf), tuple)
 
 
 def test_chunked_staging_matches_monolithic(rng, snippets, monkeypatch):
-    """Buffers over AUDIO_MATCHER_PUT_BYTES stage as equal row-group
-    device_puts (the relay collapses on monolithic multi-GB transfers,
-    PERF.md) — same peaks, same compiled shape per group, groups are
-    mesh-row multiples."""
+    """Buffers over AUDIO_MATCHER_PUT_BYTES stage as equal ≤-cap flat
+    pieces (the relay collapses on monolithic multi-GB transfers,
+    PERF.md; element-granular so even a single over-cap row splits) —
+    same peaks, same compiled shape per group, no extra pad rows."""
     from audio_matcher_tpu.parallel.sweep import ShardedScanner
 
     mesh = make_mesh(2)
@@ -597,12 +599,16 @@ def test_chunked_staging_matches_monolithic(rng, snippets, monkeypatch):
     mono = sc.stage_resident(eps)
     assert not isinstance(mono[0], tuple)
     row_bytes = mono[0].shape[1] * 2  # int16
-    # cap below 2 rows per mesh-group → r = 2 rows/put, e_pad 6 → 3 puts
-    monkeypatch.setenv("AUDIO_MATCHER_PUT_BYTES", str(row_bytes * 3))
+    cap = row_bytes * 3
+    monkeypatch.setenv("AUDIO_MATCHER_PUT_BYTES", str(cap))
     chunked = sc.stage_resident(eps)
     assert isinstance(chunked[0], tuple)
-    assert [c.shape[0] for c in chunked[0]] == [2, 2, 2]
-    assert len(chunked[1]) == 6  # ns padded to the group grid
+    # every piece respects the cap (element-granular rounding aside)
+    assert all(c.nbytes <= cap + 2 for c in chunked[0])
+    # total elements reassemble the [6, Npad] buffer, no growth beyond
+    # the mesh grid
+    assert sum(int(c.size) for c in chunked[0]) == 6 * mono[0].shape[1]
+    assert len(chunked[1]) == 6  # ns padded to the mesh grid only
     got_m = sc.scan_collect(sc.scan_dispatch(mono))
     got_c = sc.scan_collect(sc.scan_dispatch(chunked))
     assert len(got_c) == len(got_m) == 5
@@ -616,8 +622,77 @@ def test_chunked_staging_matches_monolithic(rng, snippets, monkeypatch):
         assert [p.position for p in pd[0]] == [p.position for p in pm[0]]
 
 
+def test_single_overcap_row_splits_device_pad(rng, snippets, monkeypatch):
+    """sweep_archive's one-huge-episode-per-group case: a [1, Npad]
+    buffer over the cap still uploads as multiple ≤-cap puts through the
+    device-pad path (the split is element-granular, not per-row)."""
+    import jax as jax_mod
+
+    from audio_matcher_tpu.parallel.sweep import ShardedScanner
+
+    sc = ShardedScanner(
+        [snippets[0]], SR,
+        MatchConfig(
+            chunk_secs=1.0, distance_secs=2.0, block=256,
+            transfer_dtype="int16",
+        ),
+        make_mesh(1),
+    )
+    ep = (rng.standard_normal(SR * 3) * 0.05).astype(np.float32)
+    ep[SR : SR + len(snippets[0])] = snippets[0]
+    want = [
+        p.position
+        for p in sc.scan_collect(
+            sc.scan_dispatch(sc.stage_resident([ep], pad_rows="device"))
+        )[0][0]
+    ]
+    puts = []
+    real_put = jax_mod.device_put
+
+    def spy(x, *a, **k):
+        puts.append(getattr(x, "nbytes", 0))
+        return real_put(x, *a, **k)
+
+    monkeypatch.setattr(jax_mod, "device_put", spy)
+    mono = sc.stage_resident([ep], pad_rows="device")
+    cap = (mono[0].shape[1] * 2) // 2  # half the single row's bytes
+    monkeypatch.setenv("AUDIO_MATCHER_PUT_BYTES", str(cap))
+    puts.clear()
+    staged = sc.stage_resident([ep], pad_rows="device")
+    assert len(puts) >= 2 and all(b <= cap + 2 for b in puts)
+    got = [
+        p.position
+        for p in sc.scan_collect(sc.scan_dispatch(staged))[0][0]
+    ]
+    assert got == want == [SR]
+
+
+def test_pad_to_rounds_up_to_mesh_rows(rng, snippets):
+    """A pad_to that is not a multiple of the mesh size must still yield
+    a shard_map-divisible row count (tail sweep groups on multi-chip
+    meshes)."""
+    from audio_matcher_tpu.parallel.sweep import ShardedScanner
+
+    mesh = make_mesh(4)
+    sc = ShardedScanner(
+        [snippets[0]], SR,
+        MatchConfig(
+            chunk_secs=1.0, distance_secs=2.0, block=256,
+            transfer_dtype="int16",
+        ),
+        mesh,
+    )
+    ep = (rng.standard_normal(SR * 2) * 0.05).astype(np.float32)
+    ep[SR // 2 : SR // 2 + len(snippets[0])] = snippets[0]
+    for pad_rows in ("host", "device"):
+        staged = sc.stage_resident([ep, ep], pad_to=6, pad_rows=pad_rows)
+        assert len(staged[1]) == 8, pad_rows  # 6 → 8 on a 4-mesh
+        got = sc.scan_collect(sc.scan_dispatch(staged))
+        assert [p.position for p in got[0][0]] == [SR // 2]
+
+
 def test_chunked_staging_spectrogram(rng, snippets, monkeypatch):
-    """Same row-group splitting through the spectrogram scanner."""
+    """Same put-cap splitting through the spectrogram scanner."""
     from audio_matcher_tpu.models.spectrogram import SpectrogramConfig
     from audio_matcher_tpu.parallel.sweep import ShardedSpectrogramScanner
 
@@ -720,9 +795,12 @@ def test_sweep_tail_pad_not_sticky_after_byte_flush(
         write_wav(p, SR, ep)
         paths.append(p)
         want[str(p)] = at
-    # int16 wire: big = 24 kB, small = 8 kB; budget 33 kB → the two big
-    # files byte-flush as a pair (48 kB), the four smalls fill a group,
-    # and the 3-file tail pads back to group_size (4 × 8 kB ≤ budget)
+    # int16 wire: big = 24 kB, small = 8 kB; budget 33 kB → each big
+    # file flushes ALONE (a 2-row buffer padded to the 24 kB row would
+    # be 48 kB — the budget is judged on the padded staging buffer, so
+    # mixing rows with a wide one can't blow host RAM), the four smalls
+    # fill a group, and the 3-file tail pads back to group_size
+    # (4 × 8 kB ≤ budget)
     monkeypatch.setenv("AUDIO_MATCHER_GROUP_BYTES", str(33_000))
 
     staged_shapes = []
@@ -740,8 +818,9 @@ def test_sweep_tail_pad_not_sticky_after_byte_flush(
         )
     finally:
         sweep_mod.ShardedScanner.stage_resident = orig
-    # 2 big byte-flush unpadded, 4 small full group, tail of 3 PADDED to 4
-    assert staged_shapes == [(2, 2), (4, 4), (3, 4)]
+    # bigs byte-flush singly unpadded, 4 small full group, tail of 3
+    # PADDED to 4
+    assert staged_shapes == [(1, 1), (1, 1), (4, 4), (3, 4)]
     for p in paths:
         got = [pk.position for pk in results[str(p)][0] if pk.height > 0.5]
         assert got == [want[str(p)]], p
