@@ -141,7 +141,13 @@ def run(args: argparse.Namespace) -> int:
         chunk_secs=float(args.chunk_size),
         distance_secs=float(args.distance),
         prominence=args.prominence,
-        overlap_secs=s_duration,
+        # overlap = snippet duration (audio_matcher.rs:99-105) — but never
+        # below the DECODED length: the tag cache stores whole seconds
+        # (tagger.rs:193 interop), and an overlap shorter than the real
+        # snippet degrades matches that straddle a chunk boundary (the
+        # reference inherits that wart from its own warm tag cache; we
+        # hold the decoded samples anyway, so clamp)
+        overlap_secs=max(s_duration, len(s_samples) / sr),
         transfer_dtype=args.transfer,
         fft_impl=common.resolve_fft_impl(args.fft_impl),
         peaks_impl=common.resolve_peaks_impl(args.peaks_impl),

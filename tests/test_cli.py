@@ -127,3 +127,46 @@ def test_matcher_cli_single_decode_per_file(audio_fixtures, monkeypatch):
     counts = Counter(calls)
     assert counts[str(snip)] == 1, calls
     assert counts[str(ep)] == 1, calls
+
+
+def test_matcher_cli_overlap_survives_whole_second_tag(tmp_path, rng, caplog):
+    """Regression: the snippet's duration tag caches WHOLE seconds
+    (tagger.rs:193 interop), which is shorter than the decoded mp3
+    (codec delay+padding). The overlap must clamp to the decoded length,
+    or a match straddling a chunk boundary degrades to a fraction of its
+    prominence on every run after the first (warm tag cache) — the
+    reference inherits that wart; we hold the decoded samples anyway."""
+    from audio_matcher_tpu.hostio.decode import (
+        audio_duration, encode_audio, read_audio,
+    )
+
+    snippet = (rng.standard_normal(2 * SR) * 0.2).astype(np.float32)
+    snip_path = tmp_path / "intro.mp3"
+    encode_audio(snip_path, SR, snippet)
+    _, snip_decoded = read_audio(snip_path)
+    assert len(snip_decoded) > 2 * SR  # codec pad makes the clamp matter
+    # warm the tag cache: stores int(duration) = 2 (< decoded length)
+    audio_duration(snip_path)
+    assert audio_duration(snip_path) == 2.0
+
+    # plant the DECODED snippet so it straddles the 30 s chunk boundary:
+    # starts 0.05 s before it, ends past it — representable only when
+    # the overlap covers the full decoded snippet
+    episode = (rng.standard_normal(50 * SR) * 0.02).astype(np.float32)
+    at = int(29.95 * SR)
+    episode[at : at + len(snip_decoded)] = snip_decoded
+    ep_path = tmp_path / "episode.wav"
+    write_wav(ep_path, SR, episode)
+
+    with caplog.at_level(logging.INFO, logger="audio_matcher.cli"):
+        rc = run_matcher(
+            [str(ep_path), "--snippet", str(snip_path), "--no-out",
+             "--distance", "10", "--chunk-size", "10"]
+        )
+    assert rc == 0
+    offsets = [r.message for r in caplog.records if "Offset" in r.message]
+    assert len(offsets) == 1, offsets
+    # full-strength peak (the truncated-overlap failure mode leaves a
+    # fraction of the self-correlation prominence)
+    prom = float(offsets[0].rsplit("prominence", 1)[1])
+    assert prom > 0.9, offsets
