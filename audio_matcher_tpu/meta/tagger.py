@@ -114,6 +114,7 @@ _V22_FRAME_MAP = {
 _PIC_MIME = {"JPG": "image/jpeg", "PNG": "image/png", "GIF": "image/gif"}
 
 # v2.4 frame format-flag bits we can't reinterpret textually
+_V4_GROUP = 0x40
 _V4_COMPRESSED, _V4_ENCRYPTED, _V4_UNSYNC, _V4_DLI = 0x08, 0x04, 0x02, 0x01
 
 
@@ -201,20 +202,41 @@ class Id3Tag:
                 fid_s = mapped
             keep_flags = 0
             if major == 4:
+                if fflags & (_V4_COMPRESSED | _V4_ENCRYPTED | _V4_GROUP):
+                    # can't (or shouldn't) interpret; preserve verbatim —
+                    # BEFORE any unsync/DLI transform, so the stored flags
+                    # still describe the stored bytes and render() emits
+                    # the frame byte-exact
+                    tag.other_frames.append((fid_s, fflags, payload))
+                    continue
                 if fflags & _V4_UNSYNC:
                     payload = _deunsync(payload)
                 if fflags & _V4_DLI and len(payload) >= 4:
                     payload = payload[4:]  # drop the data-length indicator
-                if fflags & (_V4_COMPRESSED | _V4_ENCRYPTED):
-                    # can't interpret; preserve verbatim with its flags
-                    tag.other_frames.append((fid_s, fflags, payload))
-                    continue
             elif major == 3 and fflags:
-                # v2.3 format flags: %(compression)(encryption)(grouping)xxxxx
-                if fflags & 0xC0:  # compressed/encrypted: preserve as-is
-                    v4 = (0x08 if fflags & 0x80 else 0) | (
-                        0x04 if fflags & 0x40 else 0
-                    ) | (0x40 if fflags & 0x20 else 0)
+                # v2.3 format flags: %(compression)(encryption)(grouping)
+                # xxxxx — preserve with the extra header data re-ordered to
+                # v2.4 layout (v2.3: [size4][method][group] before the
+                # data; v2.4: [group][method][syncsafe size4], and
+                # compression requires the DLI bit)
+                if fflags & 0xE0:
+                    data = payload
+                    size = method = group = None
+                    if fflags & 0x80 and len(data) >= 4:  # compressed
+                        size = struct.unpack(">I", data[:4])[0]
+                        data = data[4:]
+                    if fflags & 0x40 and data:  # encrypted
+                        method, data = data[:1], data[1:]
+                    if fflags & 0x20 and data:  # grouped
+                        group, data = data[:1], data[1:]
+                    v4 = (0x08 | 0x01 if size is not None else 0) | (
+                        0x04 if method is not None else 0
+                    ) | (0x40 if group is not None else 0)
+                    payload = (
+                        (group or b"") + (method or b"")
+                        + (_syncsafe(size) if size is not None else b"")
+                        + data
+                    )
                     tag.other_frames.append((fid_s, v4, payload))
                     continue
             if (
@@ -295,9 +317,18 @@ class Id3Tag:
             frames += frame("CHAP", payload)
         if indices:
             # CTOC table of contents (top-level, ordered) referencing the
-            # CHAP element IDs — spec-recommended for chapter navigation
-            toc = b"toc\x00" + bytes([0x03, len(indices)])
-            for idx in indices:
+            # CHAP element IDs — spec-recommended for chapter navigation.
+            # The entry-count field is one byte; clamp instead of letting
+            # bytes() raise on a 256+-chapter tag (the CHAP frames
+            # themselves are all still written)
+            if len(indices) > 255:
+                log.warning(
+                    "CTOC lists the first 255 of %d chapters "
+                    "(1-byte entry count)", len(indices),
+                )
+            toc_indices = indices[:255]
+            toc = b"toc\x00" + bytes([0x03, len(toc_indices)])
+            for idx in toc_indices:
                 toc += f"chp{idx}".encode("latin-1") + b"\x00"
             frames += frame("CTOC", toc)
         for fid, fflags, payload in self.other_frames:
@@ -392,8 +423,6 @@ class Id3Tag:
         self.chapters[int(index)] = (int(round(time_secs * 1000.0)), name)
 
     def get_chapters(self) -> list[tuple[int, str, str | None]]:
-        from ..utils.durations import fmt_hmsm
-
         return [
             (idx, fmt_hmsm(start_ms / 1000.0), title)
             for idx, (start_ms, title) in sorted(self.chapters.items())
@@ -735,7 +764,11 @@ class TaggedFile:
         fmt = _format_for(path)
         try:
             inner = fmt.read(path)
-        except TagError:
+        except (TagError, struct.error, IndexError):
+            # struct/Index errors: truncated or corrupt tag structures
+            # escape the byte-level parsers — for default_empty callers
+            # (e.g. tagging freshly exported files) that means "no tags",
+            # not a crash
             if not default_empty:
                 raise
             log.debug("file %s didn't have tags, using empty", path)

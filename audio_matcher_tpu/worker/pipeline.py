@@ -22,7 +22,7 @@ import re
 import shutil
 from pathlib import Path
 
-from ..archive.data import ChapterNumber, build_timelabel_name, parse_line
+from ..archive.data import build_timelabel_name, parse_line
 from ..cli.common import Inputs
 from ..meta.index import MultiIndex, IndexReadError
 from ..meta.progress import Progress, State
@@ -151,27 +151,36 @@ def merge_parts(
         )
 
     api.write_assume_empty("SelAllTracks:")
-    # delete inter-part gaps, latest groups first (worker/mod.rs:1249-1266)
-    for key in sorted(
-        grouped, key=lambda k: (k[0], k[1], k[2] or ""), reverse=True
-    ):
-        group = grouped[key]
-        for earlier, later in zip(group[-2::-1], group[::-1]):
-            api.select_time(earlier.end, later.start)
-            api.write_assume_empty("Delete:")
+    # delete inter-part gaps, latest gap first GLOBALLY. The reference
+    # orders by group key descending (worker/mod.rs:1249-1266), which is
+    # only correct while key order matches time order — ripple deletes
+    # shift everything to their right, so an earlier-keyed group recorded
+    # later would be cut at stale coordinates. Descending start time is
+    # the invariant the coordinates actually need.
+    gaps = [
+        (earlier.end, later.start)
+        for group in grouped.values()
+        for earlier, later in zip(group[-2::-1], group[::-1])
+    ]
+    for start, end in sorted(gaps, reverse=True):
+        api.select_time(start, end)
+        api.write_assume_empty("Delete:")
 
     keys = list(grouped.keys())
     offsets_per_group = calc_merged_offsets(grouped.values())
     tags: list[TaggedFile] = []
     for (series, nr, chapter), offsets in zip(keys, offsets_per_group):
-        chapter_name = chapter if chapter is not None else ""
+        # chapter=None passes through: a chapterless label exports as
+        # "Serie 3.ext" — building the path with "" would add a trailing
+        # space and never match the exported file (the reference panics
+        # on None here, tagger.rs:207-209; we degrade gracefully)
         path = args.tmp_path / (
-            build_timelabel_name(series, nr, None, chapter_name)
+            build_timelabel_name(series, nr, None, chapter)
             + f".{args.export_ext}"
         )
         tag = TaggedFile.new_empty(path)
         tags.append(tag)
-        tag.set(Title, chapter_name)
+        tag.set(Title, chapter if chapter is not None else "")
         tag.set(Album, series)
         tag.set(Genre, args.genre)
         tag.set(Track, nr.nr)
@@ -190,15 +199,11 @@ def merge_parts(
                     if year is not None:
                         tag.set(Year, year)
         if offsets:
-            try:
-                for i, offset in enumerate([0.0, *offsets], start=1):
-                    tag.set_chapter(i, offset, f"Part {i}")
-            except NotImplementedError:
-                # mp3 has no chapter frames in this tag layer; the reference
-                # panics here (tagger.rs:207-209) — we degrade gracefully
-                log.warning(
-                    "chapter marks unsupported for %s; skipping", tag.ext
-                )
+            # both tag formats carry chapters here (ID3 CHAP / Vorbis
+            # CHAPTERxxx) — the reference's opus panic (tagger.rs:207-209)
+            # has no analogue
+            for i, offset in enumerate([0.0, *offsets], start=1):
+                tag.set_chapter(i, offset, f"Part {i}")
     return tags
 
 
@@ -208,12 +213,11 @@ def move_results(tags, from_dir: Path, to_dir: Path, dry_run: bool) -> None:
     title}.{ext}``."""
     for tag in tags:
         album = tag.get(Album)
-        track = tag.get(Track)
-        title = tag.get(Title)
-        name = build_timelabel_name(
-            album, ChapterNumber(int(track or 0)), None, title
-        )
-        src = Path(from_dir) / f"{name}.{tag.ext}"
+        # the handle's path IS the exported file (merge_parts built it
+        # from the parsed label) — rebuilding the name from tag fields
+        # would lose the ChapterNumber's ?/- markers (Track stores only
+        # the number) and crash the move on such episodes
+        src = Path(from_dir) / tag.path.name
         dst = Path(to_dir)
         if album:
             main, sep, sub = album.partition(MultiIndex.SUBSERIES_DELIMITER)
@@ -247,6 +251,13 @@ def run_worker(
     progress = Progress(args.tmp_path / ".done.txt")
 
     paths = args.audio_paths
+    # Exit must go to the last file Audacity actually sees — when the
+    # final path is a skipped sub-file, keying on raw position would
+    # leave Audacity running
+    real = [
+        i for i, p in enumerate(paths) if not _SUB_FILE_RE.search(p.name)
+    ]
+    last_real = real[-1] if real else -1
     for pos, audio_path in enumerate(paths):
         name = audio_path.name
         if _SUB_FILE_RE.search(name):
@@ -305,5 +316,5 @@ def run_worker(
 
         if not args.skip_load:
             api.write_assume_empty(
-                "Close:" if pos < len(paths) - 1 else "Exit:"
+                "Close:" if pos < last_real else "Exit:"
             )

@@ -342,3 +342,87 @@ def test_fake_server_creates_and_removes_marker(tmp_path):
     assert marker.exists()
     srv.stop()
     assert not marker.exists()
+
+
+def _api_with_labels(label_names_times):
+    """Fresh AudacityApi on the fake server with one label track."""
+    from audio_matcher_tpu.worker.audacity import AudacityApi
+
+    api = AudacityApi(timeout=5)
+    api.write_assume_empty("New:")
+    api.write_assume_empty("NewLabelTrack:")
+    for i, (name, start, end) in enumerate(label_names_times):
+        api.select_time(start, end)
+        api.write_assume_empty("AddLabel:")
+        api.set_label(i, name)
+    return api
+
+
+def test_merge_parts_chapterless_and_marker_paths(tmp_path, fake_audacity):
+    """Review r3: a chapterless label ("Serie 3") must produce the tag
+    path 'Serie 3.ext' (no trailing space → matches the export), and a
+    '?'-marked number must survive into the path so move_results finds
+    the exported file."""
+    from audio_matcher_tpu.worker.pipeline import merge_parts, move_results
+
+    api = _api_with_labels([
+        ("Serie 3.1", 0.0, 10.0), ("Serie 3.2", 20.0, 30.0),
+        ("Serie 4?.1 Kap", 40.0, 50.0), ("Serie 4?.2 Kap", 60.0, 70.0),
+    ])
+    work = tmp_path / "w"
+    work.mkdir()
+    args = WorkerArgs(audio_paths=[work / "ep.mp3"], export_ext="opus")
+    tags = merge_parts(args, api, None)
+    names = sorted(t.path.name for t in tags)
+    assert names == ["Serie 3.opus", "Serie 4? Kap.opus"]
+    # simulate the export, then the move keyed on the handle's own path
+    archive = tmp_path / "arch"
+    for t in tags:
+        t.path.write_bytes(b"x")
+    move_results(tags, work, archive, dry_run=False)
+    assert (archive / "Serie" / "Serie 3.opus").exists()
+    assert (archive / "Serie" / "Serie 4? Kap.opus").exists()
+    api.close()
+
+
+def test_merge_parts_gap_deletion_descends_globally(tmp_path, fake_audacity):
+    """Review r3: ripple deletes must run latest-gap-first GLOBALLY —
+    key-descending order cuts stale coordinates when key order and time
+    order disagree (reference latent bug, worker/mod.rs:1249-1266)."""
+    from audio_matcher_tpu.worker.pipeline import merge_parts
+
+    # key order (Beta > Alpha) is the OPPOSITE of time order
+    api = _api_with_labels([
+        ("Beta 1.1", 10.0, 20.0), ("Beta 1.2", 30.0, 40.0),
+        ("Alpha 2.1", 100.0, 110.0), ("Alpha 2.2", 120.0, 130.0),
+    ])
+    args = WorkerArgs(audio_paths=[tmp_path / "ep.mp3"])
+    merge_parts(args, api, None)
+    dels = []
+    log = fake_audacity.command_log
+    for i, line in enumerate(log):
+        if line.startswith("Delete") and i > 0:
+            sel = log[i - 1]
+            assert sel.startswith("Select"), log
+            start = float(sel.split("Start=")[1].split()[0])
+            dels.append(start)
+    assert dels == sorted(dels, reverse=True), dels
+    assert dels == [110.0, 20.0]
+    api.close()
+
+
+def test_exit_sent_when_last_path_is_sub_file(tmp_path, fake_audacity):
+    """Review r3: Exit keys on the last file Audacity actually sees — a
+    trailing skipped sub-file must not leave Audacity running."""
+    from audio_matcher_tpu.cli.common import Inputs
+
+    audio = tmp_path / "show.mp3"
+    audio.write_bytes(b"x")
+    sub = tmp_path / "show(1).mp3"
+    sub.write_bytes(b"x")
+    Progress(tmp_path / ".done.txt").append(audio.name, State.DONE)
+    run_worker(
+        WorkerArgs(audio_paths=[audio, sub]), inputs=Inputs(script=[])
+    )
+    sent = [c for c in fake_audacity.command_log if c.startswith(("Close", "Exit"))]
+    assert sent == ["Exit:"], fake_audacity.command_log
