@@ -12,7 +12,9 @@ from __future__ import annotations
 
 import ctypes
 import logging
+import os
 import subprocess
+import threading
 import wave
 from pathlib import Path
 
@@ -33,28 +35,47 @@ class DecodeError(RuntimeError):
 def _build_native() -> bool:
     if not _SRC_PATH.exists():
         return False
+    # build to a temp name + atomic rename: concurrent processes (the
+    # prefetch pool spans threads, sweeps span processes) must never
+    # CDLL a half-written .so
+    tmp = _NATIVE_PATH.with_suffix(f".tmp{os.getpid()}.so")
     try:
         subprocess.run(
             [
                 "g++", "-O2", "-std=c++17", "-shared", "-fPIC",
-                "-o", str(_NATIVE_PATH), str(_SRC_PATH), "-ldl",
+                "-o", str(tmp), str(_SRC_PATH), "-ldl",
             ],
             check=True, capture_output=True, timeout=120,
         )
+        os.replace(tmp, _NATIVE_PATH)
         return True
     except Exception as exc:  # pragma: no cover - depends on toolchain
         log.warning("couldn't build native decoder: %s", exc)
+        try:
+            tmp.unlink()
+        except OSError:
+            pass
         return False
 
 
 _lib = None
+_lib_lock = threading.Lock()
 
 
 def _native():
-    """Load (building on first use) the C++ host-IO runtime, or None."""
+    """Load (building on first use) the C++ host-IO runtime, or None.
+    Thread-safe: the prefetch pool's workers race here on first use."""
     global _lib
     if _lib is not None:
         return _lib or None
+    with _lib_lock:
+        if _lib is not None:
+            return _lib or None
+        return _native_locked()
+
+
+def _native_locked():
+    global _lib
     if not _NATIVE_PATH.exists() and not _build_native():
         _lib = False
         return None
@@ -127,7 +148,7 @@ def mp3_duration_probe(path: str | Path) -> float:
         str(path).encode(), ctypes.byref(n), ctypes.byref(sr)
     )
     if rc != 0:
-        raise DecodeError(lib.am_last_error().decode())
+        raise DecodeError(lib.am_last_error().decode(errors="replace"))
     if sr.value <= 0:
         raise DecodeError(f"bad sample rate from duration probe: {sr.value}")
     return n.value / sr.value
@@ -147,7 +168,7 @@ def _native_decode(fn_name: str, path: Path) -> tuple[int, np.ndarray]:
         str(path).encode(), ctypes.byref(out), ctypes.byref(n), ctypes.byref(sr)
     )
     if rc != 0:
-        raise DecodeError(lib.am_last_error().decode())
+        raise DecodeError(lib.am_last_error().decode(errors="replace"))
     try:
         arr = np.ctypeslib.as_array(out, shape=(n.value,)).copy()
     finally:
@@ -229,7 +250,7 @@ def encode_audio(path: str | Path, sr: int, mono: np.ndarray) -> None:
     else:
         raise DecodeError(f"unsupported encode format {ext!r}")
     if rc != 0:
-        raise DecodeError(lib.am_last_error().decode())
+        raise DecodeError(lib.am_last_error().decode(errors="replace"))
 
 
 def read_audio_int16(path: str | Path) -> tuple[int, np.ndarray]:
@@ -250,7 +271,7 @@ def read_audio_int16(path: str | Path) -> tuple[int, np.ndarray]:
                 ctypes.byref(sr),
             )
             if rc != 0:
-                raise DecodeError(lib.am_last_error().decode())
+                raise DecodeError(lib.am_last_error().decode(errors="replace"))
             try:
                 arr = np.ctypeslib.as_array(out, shape=(n.value,)).copy()
             finally:
@@ -271,11 +292,12 @@ def read_audio_int16(path: str | Path) -> tuple[int, np.ndarray]:
         else:
             mono = data.astype(np.int16)
         return srate, mono
-    # fallback: f32 decode + quantize to the grid
+    # fallback: f32 decode + quantize to the grid (ONE definition of the
+    # wire grid: models.matcher.quantize_wire, shared with staging)
+    from ..models.matcher import quantize_wire
+
     srate, samples = read_audio(path)
-    return srate, np.clip(
-        np.round(samples * 65535.0), -32768, 32767
-    ).astype(np.int16)
+    return srate, quantize_wire(samples, "int16")
 
 
 def device_resample_available() -> bool:

@@ -100,6 +100,7 @@ Mpg123Api& mpg123() {
 constexpr int MPG123_OK = 0;
 constexpr int MPG123_DONE = -12;
 constexpr int MPG123_NEW_FORMAT = -11;
+constexpr int MPG123_ERR = -1;
 constexpr int MPG123_ENC_SIGNED_16 = 0xD0;
 
 // ------------------------------------------------------------------ opus
@@ -441,12 +442,24 @@ int am_decode_mp3_i16(const char* path, int16_t** out, int64_t* out_n,
       m.del(h);
       return -1;
     }
+    if (r == MPG123_ERR) {
+      // a truncated/corrupt stream must NOT pass as a short success: the
+      // wrong duration would be cached into the file's Length tag
+      set_error("mp3 decode error mid-stream in %s", path);
+      m.close(h);
+      m.del(h);
+      return -1;
+    }
     if (r != MPG123_OK && done == 0) break;
   }
   m.close(h);
   m.del(h);
 
   int16_t* arr = static_cast<int16_t*>(malloc(mono.size() * sizeof(int16_t)));
+  if (!arr) {
+    set_error("out of memory decoding %s", path);
+    return -1;
+  }
   memcpy(arr, mono.data(), mono.size() * sizeof(int16_t));
   *out = arr;
   *out_n = static_cast<int64_t>(mono.size());
@@ -510,12 +523,22 @@ int am_decode_mp3(const char* path, float** out, int64_t* out_n,
       m.del(h);
       return -1;
     }
+    if (r == MPG123_ERR) {
+      set_error("mp3 decode error mid-stream in %s", path);
+      m.close(h);
+      m.del(h);
+      return -1;
+    }
     if (r != MPG123_OK && done == 0) break;
   }
   m.close(h);
   m.del(h);
 
   float* arr = static_cast<float*>(malloc(mono.size() * sizeof(float)));
+  if (!arr) {
+    set_error("out of memory decoding %s", path);
+    return -1;
+  }
   memcpy(arr, mono.data(), mono.size() * sizeof(float));
   *out = arr;
   *out_n = static_cast<int64_t>(mono.size());
@@ -546,6 +569,12 @@ int am_decode_opus(const char* path, float** out, int64_t* out_n,
     return -1;
   }
   int channels = head.data[9];
+  if (channels < 1 || channels > 2 || head.data[18] != 0) {
+    // mapping family != 0 frames packets for the multistream decoder —
+    // opus_decode on them yields garbage/empty output, not audio
+    set_error("unsupported opus channel layout in %s", path);
+    return -1;
+  }
   uint16_t preskip;
   memcpy(&preskip, head.data.data() + 10, 2);
 
@@ -562,7 +591,13 @@ int am_decode_opus(const char* path, float** out, int64_t* out_n,
     const OggPacket& pk = packets[i];
     int n = o.dec_float(dec, pk.data.data(),
                         static_cast<int32_t>(pk.data.size()), pcm.data(), 5760, 0);
-    if (n < 0) continue;
+    if (n < 0) {
+      // skipping would desync the sample count from the granule trim
+      // and could return rc=0 with empty output for a corrupt file
+      set_error("an opus packet failed to decode in %s", path);
+      o.dec_destroy(dec);
+      return -1;
+    }
     if (channels == 2) {
       for (int j = 0; j < n; ++j)
         mono.push_back((pcm[2 * j] + pcm[2 * j + 1]) * 0.5f * kFloatToI16Scale);
@@ -582,6 +617,10 @@ int am_decode_opus(const char* path, float** out, int64_t* out_n,
   }
   size_t n = end - start;
   float* arr = static_cast<float*>(malloc(n * sizeof(float)));
+  if (!arr) {
+    set_error("out of memory decoding %s", path);
+    return -1;
+  }
   memcpy(arr, mono.data() + start, n * sizeof(float));
   *out = arr;
   *out_n = static_cast<int64_t>(n);
@@ -687,7 +726,11 @@ int am_encode_opus(const char* path, const float* samples, int64_t n,
   std::vector<uint8_t> pkt(4096);
   int64_t pos = 0;
   uint64_t granule = preskip;
-  int64_t total_frames = (n + kFrame - 1) / kFrame;
+  // pad by the lookahead: the encoder delays output by preskip samples,
+  // so without flush frames the final preskip input samples never leave
+  // its internal buffer (the decode-side granule trim expects exactly
+  // preskip + n total samples)
+  int64_t total_frames = (n + preskip + kFrame - 1) / kFrame;
   for (int64_t f = 0; f < total_frames; ++f) {
     for (int j = 0; j < kFrame; ++j) {
       int64_t idx = pos + j;

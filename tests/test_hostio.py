@@ -157,10 +157,30 @@ def test_opus_encode_decode_roundtrip(tmp_path, rng):
     encode_audio(path, 48000, sig)
     sr, back = read_audio(path)
     assert sr == 48000
-    assert abs(len(back) - len(sig)) < 48000 // 50  # within one 20ms frame
-    n = min(len(sig), len(back))
-    corr = np.corrcoef(sig[:n], back[:n])[0, 1]
+    # sample-exact: the encoder flushes its lookahead (review r3 — the
+    # unflushed tail lost ~preskip samples) and the decoder's granule
+    # trim recovers exactly n samples
+    assert len(back) == len(sig)
+    corr = np.corrcoef(sig, back)[0, 1]
     assert corr > 0.99
+
+
+def test_opus_tail_survives_lookahead(tmp_path, rng):
+    """Review r3: with n a multiple of the 960-sample frame, the final
+    preskip (~312) input samples used to stay in the encoder's lookahead
+    buffer — the decoded tail must correlate with the real signal, not
+    silence."""
+    sig = (rng.standard_normal(960 * 150) * 0.2).astype(np.float32) * 0.5
+    path = tmp_path / "tail.opus"
+    encode_audio(path, 48000, sig)
+    sr, back = read_audio(path)
+    assert sr == 48000 and len(back) == len(sig)
+    tail = slice(len(sig) - 312, len(sig))
+    corr = np.corrcoef(sig[tail], back[tail])[0, 1]
+    # opus is lossy on noise, but the unflushed-lookahead bug decoded
+    # this region as pure silence (corr ~0)
+    assert corr > 0.4, corr
+    assert float(np.abs(back[tail]).max()) > 0.01  # not silence
 
 
 def test_prefetch_wire_dtype(tmp_path, rng):
