@@ -196,8 +196,11 @@ class Series:
             while pending is not None:
                 i += 1
                 found_some = False
-                while pending is not None and pending.nr.nr == i:
-                    found_some = True
+                # consume nr < i too (a '0' chapter would otherwise never
+                # advance and spin this loop forever)
+                while pending is not None and pending.nr.nr <= i:
+                    if pending.nr.nr == i:
+                        found_some = True
                     out += f"\n{indent}{pending.display((nr_len, False), contains_extra)}"
                     pending = next(it, None)
                 if not found_some and print_missing:
@@ -387,6 +390,13 @@ class Archive:
             raise ValueError(f"no series or chapter matches {identifier!r}")
 
         def validate(probe_label, expect):
+            if probe_label.lstrip().startswith("#"):
+                # the probe re-parses fine, but archive readers treat the
+                # rewritten labels as comments — the series would vanish
+                raise ValueError(
+                    f"{new_name!r} would turn every label into a "
+                    "'#' comment — refusing to rewrite the archive"
+                )
             got = parse_line(probe_label)
             if got != expect:
                 raise ValueError(

@@ -273,30 +273,49 @@ class MultiIndex:
 
     def _scan(self) -> None:
         self.data = {}
-        for path in glob_expanded(str(self.folder / "**" / "*.{toml, txt}")):
+        rank = {"index.toml": 0, "index_full.txt": 1, "index.txt": 2}
+        paths = glob_expanded(str(self.folder / "**" / "*.{toml, txt}"))
+        # deterministic precedence per series dir: toml → full.txt → txt
+        # (matches try_read_index) — raw glob order is filesystem-
+        # arbitrary, so index_full.txt vs index.txt would be a coin flip
+        for path in sorted(paths, key=lambda p: (rank.get(p.name, 3), str(p))):
             name = path.stem
             if name in ("index", "index_full"):
                 name = path.parent.name
             if name in self.data:
-                # keep the first hit: the glob expands toml before txt, so
-                # this matches try_read_index's toml → txt precedence
-                continue
+                continue  # keep the first (highest-precedence) hit
             try:
-                index = Index.try_read_from_path(path)
+                # same parser modes as try_read_index: full.txt lines are
+                # "title - artist" (yes), index.txt titles may contain
+                # " - " verbatim (no); only standalone files use "try"
+                if path.name == "index_full.txt":
+                    index = Index._read(path, "yes")
+                elif path.name == "index.txt":
+                    index = Index._read(path, "no")
+                else:
+                    index = Index.try_read_from_path(path)
             except IndexReadError as exc:
                 log.warning("failed to open index at %s because %s", path, exc)
                 continue
-            if index.subseries is not None:
-                for sub_name, chapters in index.subseries:
-                    flat = Index(
-                        chapters=chapters,
-                        artist=index.artist,
-                        release=index.release,
-                        url=index.url,
-                    )
-                    self.data[f"{name}{SUBSERIES_DELIMITER}{sub_name}"] = flat
-            else:
-                self.data[name] = index
+            self._absorb(name, index)
+
+    def _absorb(self, name: str, index: "Index") -> None:
+        """Register an index under ``name``, flattening subseries layouts
+        into ``"main: sub"`` keys (the container itself is never cached —
+        its ``try_get`` can't serve chapters without the sub name)."""
+        if index.subseries is not None:
+            for sub_name, chapters in index.subseries:
+                flat = Index(
+                    chapters=chapters,
+                    artist=index.artist,
+                    release=index.release,
+                    url=index.url,
+                )
+                self.data.setdefault(
+                    f"{name}{SUBSERIES_DELIMITER}{sub_name}", flat
+                )
+        else:
+            self.data[name] = index
 
     def reload(self) -> None:
         self._scan()
@@ -317,5 +336,11 @@ class MultiIndex:
     def get_index(self, series: str) -> Index:
         """Cached lookup, falling back to a per-series directory read."""
         if series not in self.data:
-            self.data[series] = Index.try_read_index(self.folder, series)
+            index = Index.try_read_index(self.folder, series)
+            self._absorb(series, index)
+            if series not in self.data:
+                # subseries container: return it uncached (its try_get
+                # raises until the caller names the "main: sub" key) —
+                # caching it would corrupt has_index/get_possible
+                return index
         return self.data[series]

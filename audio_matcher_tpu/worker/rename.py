@@ -106,12 +106,12 @@ class ChapterCompleter:
         if number.is_maybe or number.is_partial:
             name = self.index.title(number)
             return [f"{number} {name}"] if name is not None else []
+        # iterate the ACTUAL chapters: an archive Series is sparse and
+        # marker-numbered, so range(1, len+1) would miss every entry
         out = []
-        for i in range(1, len(self.index) + 1):
-            if str(i).startswith(str(number.nr)):
-                name = self.index.title(ChapterNumber(i))
-                if name is not None:
-                    out.append(f"{ChapterNumber(i)} {name}")
+        for nr, name in self.index.items():
+            if str(nr.nr).startswith(str(number.nr)) and name is not None:
+                out.append(f"{nr} {name}")
         return out
 
 
@@ -161,6 +161,8 @@ def zoom_to_gap(api: AudacityApi, prev_end: float, next_start: float) -> None:
 
 def _gap_bounds(labels, i: int) -> tuple[float, float]:
     """The inter-label gap presented for label i (open-border pairs)."""
+    if not labels:
+        return 0.0, 10.0
     if i == 0:
         lb = labels[0]
         return lb.start, lb.start + 10.0
@@ -208,9 +210,13 @@ def old_flow(args, api: AudacityApi, inputs: Inputs) -> None:
 
         if index is not None:
             entry = index.try_get(number.nr)
-            chapter_name = entry.title if entry is not None else ""
+            # None, not "": build_timelabel_name would append a trailing
+            # space the archive grammar can never re-parse
+            chapter_name = entry.title if entry is not None else None
         else:
-            chapter_name = inputs.read("What is the next episode called: ")
+            chapter_name = (
+                inputs.read("What is the next episode called: ") or None
+            )
 
         remaining = len(labels) - i
         expected_parts = min(
@@ -222,7 +228,12 @@ def old_flow(args, api: AudacityApi, inputs: Inputs) -> None:
             expected_parts,
             lambda s: int(s) if s.isdigit() else None,
         )
-        count = min(count or expected_parts, remaining)
+        # `count or ...` would discard an explicit 0 answer
+        count = min(
+            count if count is not None else expected_parts, remaining
+        )
+        if count <= 0:
+            continue  # re-prompt from the chapter number
         for j in range(count):
             name = build_timelabel_name(series, number, j + 1, chapter_name)
             api.set_label(i + j, name, selected=False)
@@ -266,7 +277,7 @@ class FancyNamer:
         initial = None
         if self.last_read is not None:
             series, nr, _part, chapter = self.last_read
-            if self.m_index.has_index(series):
+            if self.m_index.has_index(series) or chapter is None:
                 initial = f"{series} {nr}"
             else:
                 initial = f"{series} {nr} {chapter}"
@@ -293,10 +304,15 @@ class FancyNamer:
                 index = self.m_index.get_index(series)
                 entry = index.try_get(nr.nr)
                 chapter = entry.title if entry is not None else None
-            except IndexReadError:
+            except (IndexReadError, NotImplementedError):
+                # NotImplementedError: a subseries-layout index needs the
+                # "main: sub" key — fall through to the manual prompt
                 chapter = None
             if chapter is None:
-                chapter = self.inputs.read("What is the next episode called: ")
+                chapter = (
+                    self.inputs.read("What is the next episode called: ")
+                    or None
+                )
         if (
             self.last_read is not None
             and self.last_read[0] == series
@@ -330,9 +346,15 @@ class FancyNamer:
                 return
             gone = self.labels.pop(self.i)
             self.api.select_time(gone.start, gone.end)
-            self.api.select_tracks([1])
+            # the REAL label track — track 1 is only the standard
+            # import-audio-then-labels layout; SplitDelete on a wave
+            # track would cut audio instead of removing the label
+            track = self.api.get_first_label_track_nr()
+            self.api.select_tracks([track if track is not None else 1])
             self.api.write_assume_empty("SplitDelete:")
             self.api.set_label(self.i - 1, end=gone.end)
+            # keep the local copy in step for the next gap zoom
+            self.labels[self.i - 1].end = gone.end
 
 
 def adjust_labels(api: AudacityApi, inputs: Inputs) -> None:

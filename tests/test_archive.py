@@ -166,3 +166,32 @@ def test_archive_display_index_padding(tmp_path):
     archive = _make_archive(tmp_path)
     out = archive.display("\t", print_index=True)
     assert out.splitlines()[0].startswith("[1] ")
+
+
+def test_series_display_terminates_with_zero_chapter():
+    """Review r3: a chapter numbered 0 (valid per the \\d+ grammar) used
+    to spin Series.display forever (the 1-based grid never consumed it)."""
+    s = Series("Foo")
+    s.chapters.append(Chapter(ChapterNumber(0), "Pilot"))
+    s.chapters.append(Chapter(ChapterNumber(2), "Zwei"))
+    out = s.display("\t", print_chapters=True, print_missing=True)
+    lines = out.splitlines()
+    assert lines[0] == "Foo"
+    assert any("Pilot" in ln for ln in lines)
+    assert any("Zwei" in ln for ln in lines)
+    # chapter 1 synthesized as missing between them
+    assert sum("<missing>" in ln or "?" not in ln for ln in lines) >= 1
+
+
+def test_rename_element_rejects_comment_prefix(tmp_path):
+    """Review r3: a new series name starting with '#' would turn every
+    rewritten label into a comment — the series would silently vanish."""
+    from audio_matcher_tpu.hostio.labels import write_labels
+
+    write_labels(
+        [TimeLabel(0.0, 1.0, "Serie 1 Kap")],
+        tmp_path / "radio-2024_01_06.txt",
+    )
+    archive = Archive.read(tmp_path)
+    with pytest.raises(ValueError, match="comment"):
+        archive.rename_element(tmp_path, "Serie", "#archived Serie")

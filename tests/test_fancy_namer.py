@@ -79,3 +79,35 @@ def test_reload_index_picks_up_new_series(setup, tmp_path):
     FancyNamer(api, m_index, inputs).rename()
     labels = api.get_label_info()[1]
     assert labels[0].name == "Neu 1.1 Anders"
+
+
+def test_join_targets_real_label_track(tmp_path, monkeypatch):
+    """Review r3: `join` must SplitDelete on the actual label track —
+    with two wave tracks the label track is #2, and hardcoding track 1
+    would cut audio instead of removing the label."""
+    from audio_matcher_tpu.worker.audacity import AudacityApi
+    from audio_matcher_tpu.worker.fake_audacity import FakeAudacity
+
+    pipe_dir = tmp_path / "pipes2"
+    monkeypatch.setenv("AUDACITY_PIPE_DIR", str(pipe_dir))
+    server = FakeAudacity(pipe_dir)
+    api = AudacityApi(timeout=5)
+    api.import_audio("/tmp/a.mp3")
+    api.import_audio("/tmp/b.mp3")  # label track will be #2
+    api.write_assume_empty("NewLabelTrack:")
+    for start, end in [(0.0, 10.0), (12.0, 20.0)]:
+        api.select_time(start, end)
+        api.write_assume_empty("AddLabel:")
+    d = tmp_path / "Serie"
+    d.mkdir()
+    (d / "index.txt").write_text("Eins\n")
+    inputs = Inputs(script=["Serie 1", "> join", ""])
+    namer = FancyNamer(api, MultiIndex(tmp_path), inputs)
+    namer.rename()
+    labels = api.get_label_info()[2]
+    assert len(labels) == 1
+    assert labels[0].end == 20.0
+    # the local copy followed the extension (next gap zoom uses it)
+    assert namer.labels[0].end == 20.0
+    api.close()
+    server.stop()

@@ -156,3 +156,42 @@ def test_missing_series_and_index(tmp_path):
     (tmp_path / "Empty").mkdir()
     with pytest.raises(NoIndexFile):
         Index.try_read_index(tmp_path, "Empty")
+
+
+def test_multiindex_full_txt_precedence_deterministic(tmp_path):
+    """Review r3: a dir holding BOTH index_full.txt and index.txt must
+    resolve full→txt regardless of filesystem glob order, with the same
+    parser modes as try_read_index (an index.txt title containing ' - '
+    stays one title)."""
+    d = tmp_path / "Serie"
+    d.mkdir()
+    (d / "index_full.txt").write_text("Eins - Wer\n")
+    (d / "index.txt").write_text("Two - Face\n")
+    m = MultiIndex(tmp_path)
+    idx = m.get_index("Serie")
+    entry = idx.try_get(1)
+    assert (entry.title, entry.artist) == ("Eins", "Wer")
+    # index.txt alone: 'no' parser keeps " - " inside the title
+    (d / "index_full.txt").unlink()
+    m.reload()
+    entry = m.get_index("Serie").try_get(1)
+    assert (entry.title, entry.artist) == ("Two - Face", None)
+
+
+def test_multiindex_lazy_subseries_no_cache_pollution(tmp_path):
+    """Review r3: a cache-miss read of a subseries-layout index must not
+    cache the raw container under the main name (its try_get can't serve
+    chapters) — the flattened 'main: sub' keys register instead."""
+    d = tmp_path / "Main"
+    d.mkdir()
+    (d / "index.toml").write_text(
+        '[[subseries]]\nname = "Sub"\nchapters = ["Eins"]\n'
+    )
+    m = MultiIndex(tmp_path / "empty_does_not_exist_yet")
+    (tmp_path / "empty_does_not_exist_yet").mkdir(exist_ok=True)
+    m.folder = tmp_path  # cold cache, then lazy read of Main
+    raw = m.get_index("Main")
+    assert raw.subseries is not None
+    assert not m.has_index("Main")  # container NOT cached
+    assert m.has_index("Main: Sub")
+    assert m.get_index("Main: Sub").try_get(1).title == "Eins"

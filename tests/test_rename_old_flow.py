@@ -123,3 +123,39 @@ def test_chapter_completer_rejects_unknown_provider():
 
     with pytest.raises(TypeError, match="unsupported chapter-list provider"):
         ChapterCompleter(Bogus())
+
+
+def test_old_flow_unknown_chapter_no_trailing_space(api_with_labels, tmp_path):
+    """Review r3: a chapter number past the index must not build a label
+    with a trailing space (the archive grammar can never re-parse it)."""
+    from audio_matcher_tpu.archive.data import parse_line
+
+    idx = tmp_path / "serie.txt"
+    idx.write_text("Eins\n")
+
+    api = api_with_labels
+    # series, index path, then chapter nr 7 (not in the index) + 4 parts
+    inputs = Inputs(script=["Serie", str(idx), "7", "4"])
+
+    class A:
+        always_answer = inputs
+
+    old_flow(A, api, inputs)
+    labels = api.get_label_info()[0]
+    assert labels[0].name == "Serie 7.1"
+    assert parse_line(labels[0].name) == ("Serie", ChapterNumber(7), 1, None)
+
+
+def test_chapter_completer_sparse_series_numbers():
+    """Review r3: numeric completion over an archive Series iterates the
+    ACTUAL chapter numbers (sparse 40-45, marker variants), not
+    range(1, len+1)."""
+    from audio_matcher_tpu.archive.data import Chapter, Series
+
+    s = Series("Foo")
+    for n in range(40, 46):
+        s.chapters.append(Chapter(ChapterNumber(n), f"t{n}"))
+    comp = ChapterCompleter(s)
+    got = comp.get_suggestions("4")
+    assert got == [f"{n} t{n}" for n in range(40, 46)]
+    assert comp.get_suggestions("42") == ["42 t42"]
