@@ -247,6 +247,7 @@ def run(args: argparse.Namespace) -> int:
                     m_samples, scale=True, n_samples=est_samples,
                     progress=progress,
                 )
+                bar.close()  # n_windows is duration-estimated
         print_offsets(peaks, m_sr)
         log.debug("found peaks %s", peaks)
 

@@ -94,11 +94,19 @@ def decode_prefetched(
             )
 
         def refill() -> None:
-            while len(pending) < depth and (
-                len(pending) < max(workers, 1)
-                or max_bytes is None
-                or queued_bytes() < max_bytes
-            ):
+            while len(pending) < depth:
+                if max_bytes is not None:
+                    # in-flight sizes are unknown until done, so cap the
+                    # UNDONE submissions at the worker count — otherwise
+                    # the first refill fills to ``depth`` while
+                    # queued_bytes() is still 0 and a stalled consumer
+                    # later accumulates depth× episodes of host RAM
+                    undone = sum(1 for f in pending if not f.done())
+                    if (
+                        undone >= max(workers, 1)
+                        or queued_bytes() >= max_bytes
+                    ):
+                        return
                 nxt = next(it, None)
                 if nxt is None:
                     return

@@ -61,6 +61,10 @@ class SpectrogramMatcher:
             np.asarray(samples, np.float32),
             self.sr, cfg.n_fft, cfg.hop, cfg.n_mels, fb=self._fb,
         )
+        if episode_fp.shape[0] < self.snippet_fp.shape[0]:
+            # shorter than the query: no valid lag — "no matches", not a
+            # crash (mirrors the PCM path's short-input handling)
+            return []
         scores = np.asarray(fingerprint_scores(episode_fp, self.snippet_fp))
         frame_distance = max(
             int(cfg.distance_secs * self.sr / cfg.hop), 1

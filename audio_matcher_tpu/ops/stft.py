@@ -11,17 +11,24 @@ correlation in [-1, 1].
 
 from __future__ import annotations
 
+import logging
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from .correlate import fft_length
 
+log = logging.getLogger("audio_matcher.stft")
+
 
 def mel_filterbank(
     n_mels: int, n_fft: int, sr: int, fmin: float = 0.0, fmax: float | None = None
 ) -> np.ndarray:
-    """Slaney-style triangular mel filterbank [n_mels, n_fft//2+1]."""
+    """HTK-scale (2595·log10(1+f/700)) triangular mel filterbank,
+    area-normalized, [n_mels, n_fft//2+1] (differs from librosa's
+    Slaney default — both matcher sides share this filterbank, so only
+    the label matters)."""
     fmax = fmax if fmax is not None else sr / 2.0
 
     def hz_to_mel(f):
@@ -74,13 +81,18 @@ def stft_log_mel_core(x, fb, n_fft: int, hop: int, n_frames: int):
         k = n_fft // hop
 
         def frames_of(span):
-            rows = jnp.reshape(
-                jnp.pad(span, (0, (-span_len) % hop)), (-1, hop)
-            )
+            # span_len = hop·(_FRAME_BLOCK-1+k) is hop-divisible by
+            # construction — reshape directly
+            rows = jnp.reshape(span, (-1, hop))
             return jnp.concatenate(
                 [rows[s : s + _FRAME_BLOCK] for s in range(k)], axis=1
             )
     else:
+        log.warning(
+            "n_fft %% hop != 0 (%d %% %d): STFT framing falls back to an "
+            "index-matrix gather — orders of magnitude slower on TPU "
+            "(pick a hop dividing n_fft for the sliced path)", n_fft, hop,
+        )
         local_idx = (
             jnp.arange(_FRAME_BLOCK)[:, None] * hop
             + jnp.arange(n_fft)[None, :]

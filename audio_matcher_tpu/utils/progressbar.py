@@ -9,6 +9,7 @@ glyph arrow (``--fancy-bar``), clamped to the terminal width.
 
 from __future__ import annotations
 
+import os
 import shutil
 import sys
 import threading
@@ -61,11 +62,17 @@ class Progress:
         self.stream = stream if stream is not None else sys.stderr
         self._started = 0
         self._finished = 0
+        self._closed = False
         self._lock = threading.Lock()
         if enabled is None:
             enabled = hasattr(self.stream, "isatty") and self.stream.isatty()
         self.enabled = enabled
-        self.max_len = shutil.get_terminal_size(fallback=(80, 24)).columns
+        try:
+            # width of the TTY the bar actually writes to (stderr);
+            # shutil's default consults COLUMNS/stdout
+            self.max_len = os.get_terminal_size(self.stream.fileno()).columns
+        except (OSError, ValueError, AttributeError):
+            self.max_len = shutil.get_terminal_size(fallback=(80, 24)).columns
 
     def start(self, _i: int | None = None) -> None:
         with self._lock:
@@ -80,14 +87,31 @@ class Progress:
     def _draw(self) -> None:
         if not self.enabled:
             return
-        fracs = (self._started / self.total, self._finished / self.total)
-        counter = f" {self._finished}/{self.total}"
+        # the total is an ESTIMATE (duration metadata × sr): clamp the
+        # fractions and counter so overshoot renders as a full bar, and
+        # terminate the line exactly once (not once per extra finish)
+        done = min(self._finished, self.total)
+        fracs = (
+            min(self._started / self.total, 1.0), done / self.total,
+        )
+        counter = f" {done}/{self.total}"
         width = max(self.max_len - len(self.prefix) - len(counter) - 1, 4)
         bar = self.arrow.render(fracs, width)
         self.stream.write(f"\r{self.prefix}{bar}{counter}")
-        if self._finished >= self.total:
+        if self._finished >= self.total and not self._closed:
+            self._closed = True
             self.stream.write("\n")
         self.stream.flush()
+
+    def close(self) -> None:
+        """Terminate the bar line if it hasn't reached its (estimated)
+        total — an over-estimate would otherwise glue the next log line
+        onto the live bar."""
+        with self._lock:
+            if self.enabled and not self._closed and self._finished > 0:
+                self._closed = True
+                self.stream.write("\n")
+                self.stream.flush()
 
     def wrap(self, iterable):
         """Iterate while reporting both phases around each item."""
@@ -95,3 +119,4 @@ class Progress:
             self.start()
             yield item
             self.finish()
+        self.close()

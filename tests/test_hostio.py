@@ -240,3 +240,36 @@ def test_mp3_duration_probe_no_decode(tmp_path, rng):
     # audio_duration's cold-cache path uses the probe, then caches the tag
     d1 = audio_duration(p)
     assert abs(d1 - want) < 1152 / sr
+
+
+def test_prefetch_byte_budget_caps_submissions(tmp_path, rng, monkeypatch):
+    """Review r3: the budget must bound SUBMITTED work, not just
+    completed results — the first refill used to submit the full depth
+    while queued_bytes() was still 0, so a stalled consumer accumulated
+    depth× episodes of host RAM."""
+    import time
+
+    from audio_matcher_tpu.hostio import prefetch as pf
+
+    paths = []
+    for i in range(8):
+        p = tmp_path / f"h{i}.wav"
+        write_wav(
+            p, 8000, (rng.standard_normal(5000) * 0.1).astype(np.float32)
+        )
+        paths.append(p)
+    calls = []
+    real = pf.read_audio
+
+    def counting(path, *a, **kw):
+        calls.append(str(path))
+        return real(path, *a, **kw)
+
+    monkeypatch.setattr(pf, "read_audio", counting)
+    # every file (20 kB) exceeds the 10 kB budget alone; workers=2 →
+    # at most 2 undone submissions may ever be in flight
+    gen = pf.decode_prefetched(paths, depth=8, workers=2, max_bytes=10_000)
+    next(gen)
+    time.sleep(0.3)  # let any (wrongly) over-submitted decodes complete
+    assert len(calls) <= 4, calls  # 1 consumed + ≤2 in flight + slack
+    assert len(list(gen)) == 7  # completeness unchanged

@@ -221,3 +221,16 @@ def test_sharded_spectrogram_stage_dtype_and_row_pad(rng):
     peaks = sc.scan_staged(staged)[0][0]
     best = max(peaks, key=lambda p: p.height)
     assert abs(best.position - at) <= 256
+
+
+def test_spectrogram_matcher_short_episode_returns_empty(rng):
+    """Review r3: an episode shorter than the query yields no matches —
+    not a ValueError (mirrors the PCM path's short-input handling)."""
+    from audio_matcher_tpu.models.spectrogram import (
+        SpectrogramConfig, SpectrogramMatcher,
+    )
+
+    sr = 8000
+    snippet = (rng.standard_normal(2 * sr) * 0.2).astype(np.float32)
+    m = SpectrogramMatcher(snippet, sr, SpectrogramConfig())
+    assert m.match((rng.standard_normal(sr // 4) * 0.1).astype(np.float32)) == []

@@ -105,3 +105,30 @@ def test_progress_bar_fancy_arrow():
     bar.start()
     bar.finish()
     assert "█" in stream.getvalue()
+
+
+def test_progress_bar_estimate_overshoot_and_close():
+    """Review r3: the total is duration-estimated — overshooting finishes
+    must clamp (one newline total, counter never above total), and
+    close() terminates an under-run bar exactly once."""
+    import io
+
+    from audio_matcher_tpu.utils.progressbar import Progress
+
+    out = io.StringIO()
+    bar = Progress(3, stream=out, enabled=True)
+    for _ in range(5):
+        bar.start()
+        bar.finish()
+    s = out.getvalue()
+    assert s.count("\n") == 1
+    assert "3/3" in s and "4/3" not in s and "5/3" not in s
+    # under-run + close
+    out2 = io.StringIO()
+    bar2 = Progress(10, stream=out2, enabled=True)
+    bar2.start()
+    bar2.finish()
+    assert out2.getvalue().count("\n") == 0
+    bar2.close()
+    bar2.close()  # idempotent
+    assert out2.getvalue().count("\n") == 1
