@@ -147,7 +147,9 @@ class Inputs:
         self, msg: str, initial: Optional[str], completer
     ) -> str:
         if self.script is not None:
-            return self._input(msg)
+            # mirror the interactive fallback's empty-input-means-initial
+            # semantics so scripted tests exercise production behavior
+            return self._input(msg) or (initial or "")
         return self._read_with_readline(msg, initial, completer)
 
     @staticmethod

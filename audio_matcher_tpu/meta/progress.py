@@ -37,7 +37,15 @@ class State(enum.IntEnum):
 
 
 def _build_line(name: str, state: State) -> str:
-    return f"{name} {state}\n"
+    return f"{_safe_name(name)} {state}\n"
+
+
+def _safe_name(name: str) -> str:
+    """The store is line-oriented: a newline in a name would split into
+    bogus entries on reload (and an empty name parses to nothing) —
+    normalize once so the in-memory key and the persisted key agree."""
+    safe = name.replace("\n", " ").replace("\r", " ").strip()
+    return safe or "<unnamed>"
 
 
 class Progress:
@@ -72,6 +80,7 @@ class Progress:
 
     # -- queries ---------------------------------------------------------
     def get(self, name: str) -> State | None:
+        name = _safe_name(name)
         for n, s in self.content:
             if n == name:
                 return s
@@ -80,6 +89,7 @@ class Progress:
     # -- mutations -------------------------------------------------------
     def set(self, name: str, state: State) -> None:
         """In-memory update; persisted on :meth:`save`."""
+        name = _safe_name(name)
         for i, (n, _) in enumerate(self.content):
             if n == name:
                 self.content[i] = (n, state)
@@ -89,6 +99,7 @@ class Progress:
         self._need_save = True
 
     def remove(self, name: str) -> tuple[str, State] | None:
+        name = _safe_name(name)
         for i, (n, s) in enumerate(self.content):
             if n == name:
                 del self.content[i]
@@ -101,6 +112,7 @@ class Progress:
         if ``name`` is the LAST entry, truncate that line and rewrite it;
         if it's an earlier entry, move it to the end (full rewrite);
         otherwise append one line."""
+        name = _safe_name(name)
         idx = next(
             (i for i, (n, _) in enumerate(self.content) if n == name), None
         )

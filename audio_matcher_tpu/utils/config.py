@@ -29,11 +29,18 @@ def default_config_path(sub_config: str) -> Path:
 
 
 def _toml_escape(s: str) -> str:
-    return (
+    s = (
         s.replace("\\", "\\\\")
         .replace('"', '\\"')
         .replace("\n", "\\n")
         .replace("\t", "\\t")
+        .replace("\r", "\\r")
+    )
+    # any remaining control char is invalid inside a TOML basic string —
+    # an unescaped one would make every later load_config raise
+    return "".join(
+        c if ord(c) >= 0x20 or c in "\\" else f"\\u{ord(c):04X}"
+        for c in s
     )
 
 

@@ -33,7 +33,7 @@ def parse_duration(arg: str) -> float:
     """
     if not arg:
         raise NoMatchError(arg)
-    if arg.isdigit():
+    if arg.isdecimal():
         return float(int(arg))
     m = _DURATION_RE.match(arg)
     if m is None:

@@ -78,12 +78,33 @@ def _escapes_enabled() -> bool:
         return env not in ("0", "", "false", "no")
     base = Path(os.environ.get("AUDACITY_PIPE_DIR", "/tmp"))
     marker = base / f"audacity_fake_server.{os.getuid()}"
+    # memoize the marker READ per file identity (bulk flows quote one
+    # parameter per label); the liveness kill(pid, 0) stays per-call so a
+    # crashed server's stale marker never keeps the fake dialect on
+    global _marker_pid_cache
     try:
-        pid = int(marker.read_text().strip())
-        os.kill(pid, 0)  # liveness only — a crashed server's marker is
-        return True  # stale and must not flip a real session's dialect
-    except (OSError, ValueError):
+        st = marker.stat()
+        key = (str(marker), st.st_mtime_ns, st.st_size)
+    except OSError:
         return False
+    if _marker_pid_cache is not None and _marker_pid_cache[0] == key:
+        pid = _marker_pid_cache[1]
+    else:
+        try:
+            pid = int(marker.read_text().strip())
+        except (OSError, ValueError):
+            pid = None
+        _marker_pid_cache = (key, pid)
+    if pid is None:
+        return False
+    try:
+        os.kill(pid, 0)
+        return True
+    except OSError:
+        return False
+
+
+_marker_pid_cache: tuple | None = None
 
 
 def quote_param(value) -> str:
@@ -121,9 +142,43 @@ class AudacityApi:
                     f"scripting pipes not found at {to_path}"
                 )
             time.sleep(0.1)
-        # opening FIFOs can block until the peer opens its end
-        self._to = open(to_path, "w")
-        self._from = open(from_path, "r")
+        # opening FIFOs blocks until the peer opens its end — a stale
+        # pipe from a crashed Audacity would hang forever, so the writer
+        # end opens non-blocking (ENXIO while no reader is live) under
+        # the same deadline
+        while True:
+            try:
+                wfd = os.open(to_path, os.O_WRONLY | os.O_NONBLOCK)
+                break
+            except OSError:
+                if time.monotonic() > deadline:
+                    raise ConnectionTimeout(
+                        f"no Audacity listening on {to_path}"
+                    )
+                time.sleep(0.1)
+        os.set_blocking(wfd, True)
+        self._to = os.fdopen(wfd, "w")
+        # read side: the nonblocking open always succeeds, but reading
+        # before the peer opens its writer end returns instant EOF — poll
+        # until the writer appears (POLLHUP = no writer) under the same
+        # deadline
+        import select
+
+        rfd = os.open(from_path, os.O_RDONLY | os.O_NONBLOCK)
+        poller = select.poll()
+        poller.register(rfd, select.POLLIN)
+        while True:
+            events = poller.poll(100)
+            if not any(fl & select.POLLHUP for _, fl in events):
+                break  # writer connected (or data already buffered)
+            if time.monotonic() > deadline:
+                os.close(rfd)
+                self._to.close()
+                raise ConnectionTimeout(
+                    f"no Audacity writing to {from_path}"
+                )
+        os.set_blocking(rfd, True)
+        self._from = os.fdopen(rfd, "r")
 
     @staticmethod
     def launch(executable: str | None = None) -> subprocess.Popen:
@@ -224,8 +279,19 @@ class AudacityApi:
         for lb in labels:
             self.select_time(lb.start, lb.end)
             self.write_assume_empty("AddLabel:")
-        for i, lb in enumerate(labels):
-            self.set_label(i, lb.name, selected=False)
+        if not labels:
+            return
+        # SetLabel indices are GLOBAL across label tracks, and Audacity
+        # time-sorts within a track — name by sorted order at the new
+        # track's offset (file order would misname unsorted files or any
+        # project that already had a label track)
+        info = self.get_label_info()
+        track_nr = max(info) if info else 0
+        offset = sum(len(info[t]) for t in sorted(info) if t < track_nr)
+        for i, lb in enumerate(
+            sorted(labels, key=lambda l: (l.start, l.end))
+        ):
+            self.set_label(offset + i, lb.name, selected=False)
 
     def export_audio(self, path) -> None:
         """Best-effort scripted export (``Export2``).
@@ -243,10 +309,8 @@ class AudacityApi:
     def export_all_labels_to(self, path, dry_run: bool = False) -> None:
         from ..hostio.labels import write_labels
 
-        labels = [
-            lb for track in sorted(self.get_label_info())
-            for lb in self.get_label_info()[track]
-        ]
+        info = self.get_label_info()
+        labels = [lb for track in sorted(info) for lb in info[track]]
         write_labels(labels, path, dry_run=dry_run)
 
     def set_label(
@@ -276,14 +340,25 @@ class AudacityApi:
             else (max(info.keys()) if info else 0)
         )
         labels = info.get(track_nr, [])
+        if not labels:  # server reported nothing to name
+            return sum(len(info[t]) for t in sorted(info) if t < track_nr)
         idx = next(
             (
                 j
                 for j, lb in enumerate(labels)
-                if lb.start == label.start and lb.name is None
+                # float-tolerant: the echoed start need not repr-equal
+                # the value sent in Select
+                if lb.name is None and abs(lb.start - label.start) < 1e-6
             ),
-            len(labels) - 1,
+            None,
         )
+        if idx is None:
+            # labels are time-sorted, so "last" is wrong for a label
+            # inserted mid-list — take the closest start instead
+            idx = min(
+                range(len(labels)),
+                key=lambda j: abs(labels[j].start - label.start),
+            )
         # index is global across label tracks in SetLabel terms
         offset = sum(
             len(info[t]) for t in sorted(info) if t < track_nr
@@ -325,7 +400,8 @@ class AudacityApi:
         if start is None:
             self.select_all()
         else:
-            self.select_time(start, end)
+            # a lone start would interpolate End=None into the command
+            self.select_time(start, start if end is None else end)
         self.write_assume_empty("ZoomSel:")
 
 

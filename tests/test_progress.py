@@ -159,3 +159,16 @@ def test_progress_fuzz_matches_model(tmp_path):
             p.save()
             p = Progress(path)
             assert p.content == model, step
+
+
+def test_newline_and_empty_names_survive_reload(tmp_path):
+    """Review r3: the store is line-oriented — names with newlines (legal
+    in filenames) must not split into bogus entries on reload."""
+    p = tmp_path / ".done.txt"
+    pr = Progress(p)
+    pr.append("ep\n01.mp3", State.DONE)
+    pr.append("", State.LOADED)
+    back = Progress(p)
+    assert back.get("ep\n01.mp3") == State.DONE  # same key, normalized
+    assert back.get("") == State.LOADED
+    assert len(back.content) == 2

@@ -132,3 +132,15 @@ def test_progress_bar_estimate_overshoot_and_close():
     bar2.close()
     bar2.close()  # idempotent
     assert out2.getvalue().count("\n") == 1
+
+
+def test_config_toml_control_char_round_trip(tmp_path):
+    """Review r3: control characters (\\r, ESC) in saved strings must
+    escape into valid TOML — an unescaped one makes every later
+    load_config raise."""
+    import tomllib
+
+    from audio_matcher_tpu.utils.config import dumps_toml
+
+    data = {"path": "C:\\x\r", "esc": "a\x1bb", "nl": "x\ny\tz"}
+    assert tomllib.loads(dumps_toml(data)) == data

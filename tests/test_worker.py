@@ -426,3 +426,48 @@ def test_exit_sent_when_last_path_is_sub_file(tmp_path, fake_audacity):
     )
     sent = [c for c in fake_audacity.command_log if c.startswith(("Close", "Exit"))]
     assert sent == ["Exit:"], fake_audacity.command_log
+
+
+def test_stale_pipes_raise_connection_timeout(tmp_path, monkeypatch):
+    """Review r3: FIFOs left behind by a crashed Audacity must fail the
+    connect within the timeout, not block forever in open()."""
+    import time as _time
+
+    from audio_matcher_tpu.worker.audacity import (
+        AudacityApi, ConnectionTimeout, pipe_paths,
+    )
+
+    monkeypatch.setenv("AUDACITY_PIPE_DIR", str(tmp_path / "dead"))
+    (tmp_path / "dead").mkdir()
+    for p in pipe_paths():
+        os.mkfifo(p)
+    t0 = _time.monotonic()
+    with pytest.raises(ConnectionTimeout, match="listening"):
+        AudacityApi(timeout=0.5)
+    assert _time.monotonic() - t0 < 5.0
+
+
+def test_import_labels_into_project_with_existing_track(fake_audacity, tmp_path):
+    """Review r3: SetLabel indices are global across label tracks and
+    time-sorted within a track — importing label files twice (or into a
+    project that already has labels) must name the NEW track's labels."""
+    from audio_matcher_tpu.worker.audacity import AudacityApi
+
+    api = AudacityApi(timeout=5)
+    # unsorted file: names must follow time order, not file order
+    write_labels(
+        [TimeLabel(5.0, 6.0, "b"), TimeLabel(1.0, 2.0, "a")],
+        tmp_path / "one.txt",
+    )
+    write_labels(
+        [TimeLabel(3.0, 4.0, "c")],
+        tmp_path / "two.txt",
+    )
+    api.import_labels_from(tmp_path / "one.txt")
+    api.import_labels_from(tmp_path / "two.txt")
+    info = api.get_label_info()
+    assert [(lb.start, lb.name) for lb in info[0]] == [
+        (1.0, "a"), (5.0, "b"),
+    ]
+    assert [(lb.start, lb.name) for lb in info[1]] == [(3.0, "c")]
+    api.close()
