@@ -56,20 +56,28 @@ def command_parser() -> argparse.ArgumentParser:
 
 
 def parse_command(line: str) -> argparse.Namespace:
-    words = shlex.split(line)
+    try:
+        words = shlex.split(line)
+    except ValueError as exc:  # e.g. unmatched quote — warn, don't crash
+        raise CommandError(str(exc)) from exc
     try:
         return command_parser().parse_args(words)
     except argparse.ArgumentError as exc:
         raise CommandError(str(exc)) from exc
-    except SystemExit as exc:  # argparse help paths
-        raise CommandError(str(exc)) from exc
+    except SystemExit as exc:
+        # argparse already printed help/usage; exit code 0 (help) needs
+        # no extra warning line
+        raise CommandError(
+            "" if exc.code in (0, None) else str(exc)
+        ) from exc
 
 
 class Holder:
     """Archive + path pair driving the command loop (archive/mod.rs:30-64)."""
 
-    def __init__(self, path: Path):
+    def __init__(self, path: Path, dry_run: bool = False):
         self.path = Path(path)
+        self.dry_run = dry_run  # session-wide: forces rename dry-run
         self.archive = Archive.read(self.path)
 
     def work_command(self, ns: argparse.Namespace) -> bool:
@@ -95,16 +103,17 @@ class Holder:
             # the reference stubs this ("comming soon", archive/mod.rs:60);
             # here it renames a series / re-titles a chapter across every
             # label file on disk, then reloads the archive
+            dry = ns.dry_run or self.dry_run
             try:
                 labels, files = self.archive.rename_element(
-                    self.path, ns.which, ns.new_name, dry_run=ns.dry_run
+                    self.path, ns.which, ns.new_name, dry_run=dry
                 )
             except ValueError as exc:
                 log.warning("%s", exc)
                 return True
-            verb = "would rename" if ns.dry_run else "renamed"
+            verb = "would rename" if dry else "renamed"
             print(f"{verb} {labels} label(s) across {files} file(s)")
-            if not ns.dry_run and files:
+            if not dry and files:
                 self.archive = Archive.read(self.path)
         return True
 
@@ -119,7 +128,8 @@ class Holder:
             try:
                 ns = parse_command(line)
             except CommandError as exc:
-                log.warning("%s", exc)
+                if str(exc):  # help exits carry no message
+                    log.warning("%s", exc)
                 continue
             if not self.work_command(ns):
                 return

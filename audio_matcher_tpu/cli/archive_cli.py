@@ -8,6 +8,7 @@ prompt on first use), ``-i`` interactive REPL, default = list everything.
 from __future__ import annotations
 
 import argparse
+import logging
 import sys
 from pathlib import Path
 
@@ -17,6 +18,7 @@ from . import common
 from .. import __version__
 
 CONFIG_NAME = "archive"
+log = logging.getLogger("audio_matcher.cli")
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -65,7 +67,10 @@ def main(argv=None) -> int:
             )
             changed = True
     if changed:
-        cfgmod.save_config(CONFIG_NAME, cfg, args.config)
+        if args.dry_run:
+            log.info("[dry-run] would save config %s", cfg)
+        else:
+            cfgmod.save_config(CONFIG_NAME, cfg, args.config)
 
     archive_path = args.archive or (Path(cfg["path"]) if cfg.get("path") else None)
     if archive_path is None:
@@ -73,7 +78,7 @@ def main(argv=None) -> int:
               file=sys.stderr)
         return 1
 
-    holder = Holder(archive_path)
+    holder = Holder(archive_path, dry_run=args.dry_run)
     if args.interactive:
         holder.repl()
     else:

@@ -23,7 +23,7 @@ from ..models.matcher import (
     DEFAULT_PROMINENCE,
     MatchConfig,
 )
-from ..parallel.mesh import make_mesh
+from ..parallel.mesh import init_distributed, make_mesh
 from ..parallel.sweep import sweep_archive
 from ..utils.durations import parse_duration
 from . import common
@@ -146,7 +146,18 @@ def run(args: argparse.Namespace) -> int:
         peaks_impl=common.resolve_peaks_impl(args.peaks_impl),
         resample_impl=args.resample_impl,
     )
-    mesh = make_mesh(args.devices)
+    # join a configured multi-host cluster (env-driven; no-op otherwise).
+    # On multi-host, leave mesh=None so sweep_archive builds each host's
+    # LOCAL mesh (whole episodes per host, zero DCN device traffic) — a
+    # process-spanning mesh here would stage local groups onto other
+    # hosts' non-addressable devices.
+    init_distributed()
+    import jax
+
+    if jax.process_count() > 1 and args.devices is None:
+        mesh = None
+    else:
+        mesh = make_mesh(args.devices)
 
     def write_result(path: Path, q: int, peaks) -> None:
         if args.no_out:

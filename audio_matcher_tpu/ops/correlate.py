@@ -151,14 +151,21 @@ def correlate(
     else:
         raise ValueError(f"unknown mode {mode!r}")
     if scale:
-        out = out / jnp.sum(sample * sample)
+        # zero-energy (silent) snippet: match prepare_snippet's
+        # inv_autocorr=0 convention instead of emitting 0/0 NaNs
+        energy = jnp.sum(sample * sample)
+        out = jnp.where(energy > 0, out / jnp.where(energy > 0, energy, 1.0), 0.0)
     return out
 
 
 # ------------------------------------------------ packed-inverse XLA path
 def full_spectrum(s_half: jax.Array, n: int) -> jax.Array:
-    """Hermitian-extend an rfft spectrum [..., n//2+1] to full length n."""
-    mid = s_half[..., 1:-1]
+    """Hermitian-extend an rfft spectrum [..., n//2+1] to full length n.
+
+    Odd ``n`` has no real Nyquist bin — every bin but DC mirrors (the
+    even-only slice dropped the last bin's conjugate and returned n-1
+    wrong values)."""
+    mid = s_half[..., 1:-1] if n % 2 == 0 else s_half[..., 1:]
     return jnp.concatenate([s_half, jnp.conj(mid[..., ::-1])], axis=-1)
 
 

@@ -40,17 +40,23 @@ def _resample_conv(
     x, h, up: int, down: int, n_out: int, wire_int16: bool = False
 ):
     # scipy centers the filter: pad so output sample j corresponds to
-    # input time j*down/up with the group delay removed
+    # input time j*down/up with the group delay removed. Right pad must
+    # reach the last output index: out_len = floor(((T-1)·up + 1 + half
+    # + pad_r − K)/down) + 1 ≥ ceil(T·up/down) needs pad_r ≥ half + down
+    # + up − 1 (a fixed half+down came up short whenever up > down and
+    # the input landed on a bucket boundary)
     half = (h.shape[0] - 1) // 2
-    lhs = x[None, None, :]  # [N=1, C=1, T]
+    flat = x.reshape((-1, x.shape[-1]))  # leading dims → conv batch
+    lhs = flat[:, None, :]  # [N, C=1, T]
     rhs = h[::-1][None, None, :]  # [O=1, I=1, K] (conv = corr w/ reversed)
     y = jax.lax.conv_general_dilated(
         lhs, rhs,
         window_strides=(down,),
-        padding=[(half, half + down)],
+        padding=[(half, half + down + up - 1)],
         lhs_dilation=(up,),
         dimension_numbers=("NCH", "OIH", "NCH"),
-    )[0, 0][:n_out]
+    )[:, 0, :n_out]
+    y = y.reshape(x.shape[:-1] + (y.shape[-1],))
     if wire_int16:
         # quantize to the staging wire grid ON DEVICE: halves the
         # device→host readback bytes on relayed links

@@ -82,12 +82,7 @@ def make_local_mesh(
     per host, each host scanning on its local-chip mesh (sweep_archive
     partitions the file list by ``jax.process_index()``).
     """
-    devices = jax.local_devices()
-    n = len(devices)
-    seq = 2 if n % 2 == 0 and n >= 4 else 1
-    data = n // seq
-    dev_grid = np.array(devices[: data * seq]).reshape(data, seq)
-    return Mesh(dev_grid, axis_names)
+    return _grid_mesh(jax.local_devices(), axis_names)
 
 
 def make_mesh(
@@ -104,7 +99,20 @@ def make_mesh(
     """
     devices = jax.devices()  # global across processes once distributed
     if n_devices is not None:
+        if n_devices <= 0:
+            raise ValueError(f"n_devices must be positive, got {n_devices}")
+        if n_devices > len(devices):
+            log.warning(
+                "requested %d devices but only %d available — using %d",
+                n_devices, len(devices), len(devices),
+            )
         devices = devices[:n_devices]
+    return _grid_mesh(devices, axis_names)
+
+
+def _grid_mesh(devices, axis_names) -> Mesh:
+    """Shared (data × seq) grid shaping: wide ``data`` axis (episode
+    parallelism dominates), ``seq`` ∈ {1, 2}."""
     n = len(devices)
     seq = 2 if n % 2 == 0 and n >= 4 else 1
     data = n // seq

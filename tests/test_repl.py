@@ -299,3 +299,40 @@ def test_reload_adopts_new_path_for_rename(tmp_path, capsys):
     assert names_a == ["Alt 1 X"]  # untouched
     names_b = [lb.name for lb in read_labels(dir_b / "radio-2024_01_07.txt")]
     assert names_b == ["Neu 1 Y"]
+
+
+def test_repl_unmatched_quote_warns_not_crashes(tmp_path, caplog):
+    """Review r3: shlex's ValueError (unmatched quote) must surface as a
+    warning, not kill the REPL."""
+    import logging as _logging
+
+    from audio_matcher_tpu.archive.repl import CommandError, parse_command
+
+    with pytest.raises(CommandError, match="quotation"):
+        parse_command('rename "My Series 7')
+
+
+def test_archive_cli_dry_run_blocks_writes(tmp_path, monkeypatch, capsys):
+    """Review r3: the top-level --dry-run must gate the config save and
+    force REPL renames into dry-run."""
+    from audio_matcher_tpu.cli import archive_cli
+    from audio_matcher_tpu.hostio.labels import read_labels, write_labels
+    from audio_matcher_tpu.hostio.labels import TimeLabel
+
+    write_labels(
+        [TimeLabel(0.0, 1.0, "Serie 1 Kap")],
+        tmp_path / "radio-2024_01_06.txt",
+    )
+    cfgfile = tmp_path / "cfg.toml"
+    monkeypatch.setattr(
+        "sys.stdin", __import__("io").StringIO('rename "Serie" "Neu"\nexit\n')
+    )
+    rc = archive_cli.main(
+        [str(tmp_path), "-i", "--dry-run", "--config", str(cfgfile),
+         "-y", "--silent"]
+    )
+    assert rc == 0
+    assert "would rename" in capsys.readouterr().out
+    labels = read_labels(tmp_path / "radio-2024_01_06.txt")
+    assert labels[0].name == "Serie 1 Kap"  # untouched
+    assert not cfgfile.exists()  # config save skipped

@@ -104,3 +104,34 @@ def test_hostio_resample_impl_dispatch(rng):
     xi = np.clip(np.round(x * 65535.0), -32768, 32767).astype(np.int16)
     c = resample(xi, 8000, 12000, impl="device")
     assert np.max(np.abs(c - b)) < 1e-4
+
+
+def test_resample_exact_length_at_bucket_boundaries(rng):
+    """Review r3 (execution-confirmed): with up > down and the input
+    length on a bucket boundary, the conv's right pad came up short and
+    the output lost up to up-1 samples vs scipy."""
+    from scipy.signal import resample_poly
+
+    from audio_matcher_tpu.ops.resample import resample_poly_device
+
+    for n, fr, to in [(1024, 16000, 48000), (1000, 8000, 48000),
+                      (8, 8000, 48000), (4410, 44100, 48000)]:
+        x = (rng.standard_normal(n) * 0.1).astype(np.float32)
+        g = np.gcd(fr, to)
+        want = resample_poly(x, to // g, fr // g)
+        got = np.asarray(resample_poly_device(x, fr, to))
+        assert got.shape == want.shape, (n, fr, to, got.shape, want.shape)
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_resample_batched_2d(rng):
+    """Leading dims ride the conv batch dimension."""
+    from scipy.signal import resample_poly
+
+    from audio_matcher_tpu.ops.resample import resample_poly_device
+
+    xb = (rng.standard_normal((3, 1024)) * 0.1).astype(np.float32)
+    got = np.asarray(resample_poly_device(xb, 16000, 48000))
+    want = resample_poly(xb, 3, 1, axis=-1)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=1e-5)
