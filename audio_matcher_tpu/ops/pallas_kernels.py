@@ -24,8 +24,6 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_NEG = jnp.float32(-jnp.inf)
-_POS = jnp.float32(jnp.inf)
 
 
 # Mosaic block-tiling: output blocks must be (8k, 128k)-shaped, so each
@@ -103,10 +101,12 @@ def local_max_block_reduce(
 
     Returns (best_val [B, NB], best_pos [B, NB], bmin [B, NB], bmax [B, NB])
     where NB = V // block; best_pos holds GLOBAL column indices.
-    Tile-boundary local maxima (a peak exactly on a tile edge) are NOT
-    detected by this kernel — callers re-check the 2-wide seams on the tiny
-    block arrays (see tests for the repair contract). Rows/tiles are padded
-    to the (8, 128) Mosaic block grid internally and cropped on return.
+    Seam contract: the in-kernel roll spans each whole GROUP·block
+    segment, so in-segment tile edges ARE detected; only the two columns
+    at each GROUP-segment boundary are blind — callers repair exactly
+    those seams (peaks._merge_seams, with its asymmetric >/>= tie rules
+    preserving argmax-first order). Rows/tiles are padded to the (8, 128)
+    Mosaic block grid internally and cropped on return.
     """
     B, V = x.shape
     assert V % block == 0, "pad V to a multiple of block"

@@ -92,8 +92,12 @@ def _distance_suppress(y: jax.Array, distance: int, n_peaks: int):
     """Iterated masked argmax = scipy's greedy-by-height distance filter.
 
     Suppression removes peaks with |Δpos| < distance (strict, matching
-    scipy's ``_select_by_peak_distance``). Returns ([B,S] pos, [B,S] height);
-    exhausted slots have height -inf.
+    scipy's ``_select_by_peak_distance``). Tie caveat: on EXACT equal
+    heights scipy processes the highest index first while argmax keeps
+    the lowest — surviving sets can differ on ties (float audio
+    correlation has no exact ties in practice; same class of deviation
+    as the plateau rules in the module docstring). Returns ([B,S] pos,
+    [B,S] height); exhausted slots have height -inf.
     """
     V = y.shape[-1]
     cols = jnp.arange(V, dtype=jnp.int32)
@@ -259,20 +263,6 @@ def pick_peaks_core(
     pos, height = _distance_suppress(y, distance, n_peaks)
     prom = _prominences(x_min, x_max, jnp.clip(pos, 0), height, valid_len, block)
     return pos, height, prom
-
-
-def _gather_window(x, starts, width: int):
-    """[B] starts → [B, width] rows via clamped dynamic slices (HBM gather).
-
-    ``width`` is clamped to the row length (degenerate single-tile rows);
-    callers track true column indices, so short windows stay correct.
-    """
-    width = min(width, x.shape[1])
-
-    def one(row, s):
-        return jax.lax.dynamic_slice(row, (s,), (width,))
-
-    return jax.vmap(one)(x, jnp.clip(starts, 0, max(x.shape[1] - width, 0)))
 
 
 class _DenseRows:
@@ -644,6 +634,14 @@ def find_peaks_device(
             Peak(int(p), float(x[p]), float(pr))
             for p, pr in zip(idx, props["prominences"])
         ]
+    # bucket the static shape/slot count: per-episode lengths would
+    # otherwise compile a fresh 256-round scan program per call (minutes
+    # each on relayed TPU links with no persistent cache). Pad is -inf —
+    # never a local maximum — and valid_len masks it anyway.
+    n_peaks = 1 << max(int(n_peaks) - 1, 1).bit_length()
+    V_pad = max(-(-V // 4096) * 4096, 4096)
+    if V_pad != V:
+        x = np.pad(x, (0, V_pad - V), constant_values=-np.inf)
     pos, h, prom = pick_peaks_batch(
         jnp.asarray(x)[None, :],
         jnp.asarray([V], jnp.int32),

@@ -34,17 +34,24 @@ def test_block_reduce_finds_interior_peaks(rng):
 
 
 def test_block_reduce_seam_contract(rng):
-    # a peak exactly on a tile boundary is the caller's responsibility
+    """Seam contract (review r3 — the old assertion was vacuous): the
+    in-kernel roll spans each whole GROUP·block segment, so an in-segment
+    tile-edge peak IS detected by the kernel; only GROUP-segment boundary
+    columns are blind, and the host repair covers every tile seam
+    regardless."""
     B, V, block = 1, 2048, 512
     x = (rng.standard_normal((B, V)) * 0.01).astype(np.float32)
-    x[0, 512] = 9.0  # first column of tile 1 — on the seam
+    x[0, 512] = 9.0  # first column of tile 1 — an IN-SEGMENT tile edge
     bv, bp, _, _ = local_max_block_reduce(
         jnp.asarray(x), jnp.asarray([V], np.int32), block=block,
         interpret=INTERPRET,
     )
     seams = seam_repair_host(x[0], V, block)
     assert (512, 9.0) in seams  # host repair sees it
-    assert not np.isclose(np.asarray(bv)[0, 1], 9.0) or np.asarray(bp)[0, 1] != 512 or True
+    # ... and so does the kernel (GROUP=128 → the whole 2048-wide row is
+    # one segment; the roll crosses the 512-column tile edge)
+    assert np.isclose(np.asarray(bv)[0, 1], 9.0)
+    assert np.asarray(bp)[0, 1] == 512
 
 
 class TestPickPeaksPallas:
