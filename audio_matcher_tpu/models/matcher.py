@@ -224,15 +224,9 @@ def dequantize_on_device(episode: jax.Array) -> jax.Array:
     TPU gathers over a whole episode are orders of magnitude slower than
     a few elementwise ops (same lesson as the STFT framing, PERF.md).
     """
-    if episode.dtype == jnp.int16:
-        return episode.astype(jnp.float32) * (1.0 / 65535.0)
-    if episode.dtype == jnp.uint8:
-        b = episode.astype(jnp.float32) * (1.0 / 127.5) - 1.0
-        u = jnp.sign(b) * jnp.expm1(
-            jnp.abs(b) * jnp.float32(np.log1p(_MU))
-        ) * jnp.float32(1.0 / _MU)
-        return u * jnp.float32(32768.0 / 65535.0)
-    return episode
+    from ..ops.wire import dequant_to_f32
+
+    return dequant_to_f32(episode)
 
 
 def pad_wire_on_device(episode: jax.Array, target: int) -> jax.Array:
@@ -487,6 +481,11 @@ def _match_episode_resident(
     if not fused_wire:
         episode = dequantize_on_device(episode)
     crop = min(peaks_crop_width(valid_max, block, peaks_impl), fft_len)
+    if fused_wire:
+        # the planes kernels' width must sit on the 8·M output grid
+        from ..ops.pallas_fft import round_planes_width
+
+        crop = round_planes_width(crop, fft_len)
 
     def body(base):
         starts = (base + jnp.arange(slab, dtype=jnp.int32)) * chunk
@@ -574,8 +573,18 @@ def overshadow_filter(
     peaks: Sequence[Peak], sr: int, distance_secs: float
 ) -> list[Peak]:
     """Drop peaks overshadowed by a strictly-more-prominent original
-    neighbour within ``distance``. Parity: audio_matcher.rs:136-160."""
-    peaks = sorted(peaks, key=lambda p: p.position)
+    neighbour within ``distance``. Parity: audio_matcher.rs:136-160.
+
+    Exact-position duplicates collapse first (keep the most prominent):
+    the overlap-save seam sample sits in TWO adjacent windows' emittable
+    interiors, and their prominences tie bit-exactly — the
+    strictly-greater rule alone would keep both copies."""
+    best: dict[int, Peak] = {}
+    for p in peaks:
+        q = best.get(p.position)
+        if q is None or p.prominence > q.prominence:
+            best[p.position] = p
+    peaks = sorted(best.values(), key=lambda p: p.position)
     out = []
     for i, p in enumerate(peaks):
         shadowed = False
@@ -665,7 +674,7 @@ class SnippetMatcher:
                     scrambled_query_spectra,
                     static_argnames=("fft_len", "pack"),
                 )(self.snippet.data[None, :], self.fft_len, False)
-            elif self.config.fft_impl == "mxu":
+            elif self.fft_impl == "mxu":  # read the RESOLVED impl like every other branch
                 from ..ops.mxu_fft import scrambled_spectra_parts
 
                 self._sample_f_cache = jax.jit(

@@ -280,17 +280,12 @@ def fft_major(
 
 
 def _dequant_block(x, dtype):
-    """In-kernel wire→f32 expansion (mirrors models.matcher.
-    dequantize_on_device — arithmetic, no LUT gathers)."""
-    if dtype == jnp.int16:
-        return x.astype(jnp.float32) * jnp.float32(1.0 / 65535.0)
-    if dtype == jnp.uint8:
-        b = x.astype(jnp.float32) * jnp.float32(1.0 / 127.5) - 1.0
-        u = jnp.sign(b) * jnp.expm1(
-            jnp.abs(b) * jnp.float32(np.log1p(255.0))
-        ) * jnp.float32(1.0 / 255.0)
-        return u * jnp.float32(32768.0 / 65535.0)
-    return x.astype(jnp.float32)
+    """In-kernel wire→f32 expansion — the ONE decode definition
+    (ops.wire.dequant_to_f32), shared with dequantize_on_device."""
+    del dtype  # dispatch on the ref's dtype directly
+    from .wire import dequant_to_f32
+
+    return dequant_to_f32(x)
 
 
 def _major_fwd_wire_kernel(
@@ -665,9 +660,10 @@ def scrambled_query_spectra(padded_snippets, fft_len: int, pack: bool):
     (multi-query); pack=False → conj(S)/n per query (single-query window
     packing). Returns (Tr, Ti) f32 [rows, fft_len].
     """
+    from .correlate import full_spectrum
+
     S = jnp.fft.rfft(jnp.asarray(padded_snippets, jnp.float32), n=fft_len)
-    mid = S[..., 1:-1]
-    Sf = jnp.concatenate([S, jnp.conj(mid[..., ::-1])], axis=-1)
+    Sf = full_spectrum(S, fft_len)  # shared Hermitian extension
     T = jnp.conj(Sf) * jnp.float32(1.0 / fft_len)
     if pack:
         Q = T.shape[0]
@@ -865,6 +861,17 @@ def corr_single_query_vpu_planes_wire(
         a_crop=width // M,
     )
     return yr.reshape(P, width), yi.reshape(P, width)
+
+
+def round_planes_width(width: int, n: int) -> int:
+    """Round a crop width up to the planes kernels' output granularity
+    (the inverse major's a_crop must keep 8-sublane Mosaic tiles: width
+    must be a multiple of 8·M or the full n). Callers of the *_planes*
+    entry points must route their crop through this — peaks_crop_width
+    alone is only block-granular and trips the width assertion once
+    8·M exceeds the peak block (large fft_len or small blocks)."""
+    _, M = split_factors(n)
+    return min(-(-width // (8 * M)) * (8 * M), n)
 
 
 def corr_single_query_vpu(

@@ -108,6 +108,11 @@ def resident_match_step(
     """
 
     crop = min(peaks_crop_width(valid_max, block, peaks_impl), fft_len)
+    if fft_impl == "vpu" and peaks_impl == "pallas":
+        # the fused planes kernels' width must sit on the 8·M output grid
+        from ..ops.pallas_fft import round_planes_width
+
+        crop = round_planes_width(crop, fft_len)
 
     def per_episode(episode, n, sample_f, inv_ac, m):
         from ..models.matcher import (

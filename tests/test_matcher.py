@@ -297,3 +297,47 @@ def test_live_progress_odd_group_remainder(rng, snippet):
     assert [(p.position, p.height) for p in live] == [
         (p.position, p.height) for p in silent
     ]
+
+
+def test_no_duplicate_peak_on_window_seam(rng):
+    """Review r3 (execution-confirmed): the +2 overlap safety margin puts
+    the seam sample inside BOTH adjacent windows' emittable interiors
+    with bit-identical prominences — the strictly-greater overshadow rule
+    kept both copies. Exact-position duplicates must collapse."""
+    sr = 100
+    snippet = np.full(10, 0.25, np.float32)
+    episode = (rng.standard_normal(3 * sr) * 0.01).astype(np.float32)
+    chunk = int(0.5 * sr)
+    at = chunk + 1  # the one lag inside both windows' interiors
+    episode[at : at + len(snippet)] = snippet
+    m = SnippetMatcher(
+        snippet, sr,
+        # low threshold: the seam-cut triangle's window-local prominence
+        # is ~0.10
+        MatchConfig(chunk_secs=0.5, distance_secs=0.3, prominence=1.0),
+    )
+    peaks = m.match(episode)
+    positions = [p.position for p in peaks]
+    assert len(positions) == len(set(positions)), positions
+    assert positions.count(at) == 1
+
+
+def test_overshadow_filter_collapses_exact_duplicates():
+    dup = [Peak(100, 1.0, 0.5), Peak(100, 1.0, 0.5), Peak(400, 1.0, 0.9)]
+    out = overshadow_filter(dup, sr=100, distance_secs=1.0)
+    assert [p.position for p in out] == [100, 400]
+
+
+def test_round_planes_width_grid():
+    """Review r3: the fused planes crop must land on the 8·M grid (or n)
+    — peaks_crop_width alone is only block-granular."""
+    from audio_matcher_tpu.ops.pallas_fft import (
+        round_planes_width, split_factors,
+    )
+
+    for n in (1 << 14, 1 << 20, 1 << 25):
+        _, M = split_factors(n)
+        for w in (1, 8 * M - 1, 8 * M, 8 * M + 1, n - 1, n):
+            r = round_planes_width(w, n)
+            assert r >= min(w, n)
+            assert r == n or (r // M) % 8 == 0
