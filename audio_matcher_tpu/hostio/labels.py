@@ -44,6 +44,10 @@ def read_labels(path: str | Path) -> list[TimeLabel]:
     for line in Path(path).read_text().splitlines():
         if not line.strip():
             continue
+        if line.startswith("\\"):
+            # Audacity spectral-selection frequency line ("\\<lo>\t<hi>")
+            # accompanying the previous label — not a label itself
+            continue
         out.append(TimeLabel.from_line(line))
     return out
 
@@ -71,9 +75,11 @@ def timelabel_from_peaks(
     Parity: archive/data.rs:87-107 + matcher/mod.rs:92-100.
     """
     starts = [p.start_secs(sr) for p in peaks]
+    # peaks closer than the delay would invert the label (start > end,
+    # which Audacity rejects) — clamp to a zero-length label instead
     return [
         TimeLabel(
-            start=a + delay_start_secs,
+            start=min(a + delay_start_secs, b),
             end=b,
             name=name_pattern.replace("#", str(i)),
         )

@@ -436,16 +436,22 @@ class Id3Tag:
 
 
 # ----------------------------------------------------------- Ogg / opus
-_OGG_CRC_TABLE = []
+def _build_ogg_crc_table() -> tuple:
+    out = []
+    for i in range(256):
+        r = i << 24
+        for _ in range(8):
+            r = ((r << 1) ^ 0x04C11DB7 if r & 0x80000000 else r << 1) & 0xFFFFFFFF
+        out.append(r)
+    return tuple(out)
+
+
+# built eagerly: a lazy shared-list build raced under threads (interleaved
+# appends scramble the table and every page CRC after)
+_OGG_CRC_TABLE = _build_ogg_crc_table()
 
 
 def _ogg_crc(data: bytes) -> int:
-    if not _OGG_CRC_TABLE:
-        for i in range(256):
-            r = i << 24
-            for _ in range(8):
-                r = ((r << 1) ^ 0x04C11DB7 if r & 0x80000000 else r << 1) & 0xFFFFFFFF
-            _OGG_CRC_TABLE.append(r)
     crc = 0
     for b in data:
         crc = ((crc << 8) & 0xFFFFFFFF) ^ _OGG_CRC_TABLE[((crc >> 24) & 0xFF) ^ b]
@@ -460,6 +466,7 @@ class _OggPage:
     seq: int
     segments: list[bytes]
     lacing: list[int]
+    offset: int = 0  # byte offset of the page header in the source file
 
     def render(self, seq: int | None = None) -> bytes:
         seq = self.seq if seq is None else seq
@@ -498,7 +505,9 @@ def _ogg_parse_pages(data: bytes) -> list[_OggPage]:
         for l in lacing:
             segs.append(data[p : p + l])
             p += l
-        pages.append(_OggPage(header_type, granule, serial, seq, segs, lacing))
+        pages.append(
+            _OggPage(header_type, granule, serial, seq, segs, lacing, off)
+        )
         off = p
     return pages
 
@@ -556,7 +565,10 @@ class OpusTag:
         "artist": ["ARTIST", "AUTHOR"],
         "album": ["ALBUM"],
         "genre": ["GENRE"],
-        "disk": ["DISKNUMBER"],
+        # DISCNUMBER appended as a READ alias beyond the reference's
+        # table (tagger.rs:271 lists DISKNUMBER only, but the de-facto
+        # Vorbis spelling is DISC-; writes keep the reference's primary)
+        "disk": ["DISKNUMBER", "DISCNUMBER"],
         "track": ["TRACKNUMBER"],
         "year": ["YEAR"],
         "total_disks": ["TOTALDISCS", "DISCTOTAL"],
@@ -678,6 +690,17 @@ class OpusTag:
         self.set_first(k, str(value))
 
     def set_chapter(self, index: int, time_secs: float, name: str | None) -> None:
+        if not 0 <= index <= 999:
+            # the Vorbis chapter extension is CHAPTER000..CHAPTER999 —
+            # a 4-digit comment would be written but never read back
+            log.warning("opus chapter index %d out of 0..999; skipped", index)
+            return
+        # idempotent like the ID3 path: replace an existing entry for the
+        # same index instead of appending duplicates on every re-tag
+        keys = {f"CHAPTER{index:03}", f"CHAPTER{index:03}NAME"}
+        self.comments = [
+            (k, v) for k, v in self.comments if k.upper() not in keys
+        ]
         self.comments.append((f"CHAPTER{index:03}", fmt_hmsm(time_secs)))
         if name is not None:
             self.comments.append((f"CHAPTER{index:03}NAME", name))
@@ -725,9 +748,17 @@ class OpusTag:
         for page in new_tag_pages:
             out += page.render(seq)
             seq += 1
-        for page in pages[tags_end:]:
-            out += page.render(seq)
-            seq += 1
+        audio = pages[tags_end:]
+        if audio and all(pg.seq == seq + i for i, pg in enumerate(audio)):
+            # sequence numbers unchanged (the common same-page-count
+            # save): pass the audio bytes through VERBATIM — re-rendering
+            # re-CRCs every page byte-by-byte in Python, O(file size) per
+            # tag save on a 1-vCPU host
+            out += data[audio[0].offset :]
+        else:
+            for page in audio:
+                out += page.render(seq)
+                seq += 1
         path.write_bytes(bytes(out))
 
     ext = "opus"
@@ -792,7 +823,18 @@ class TaggedFile:
         return value
 
     def set(self, field: Field, value) -> None:
-        if self.get(field) == value:
+        current = self.get(field)
+        if current == value:
+            return
+        if (
+            field.key == "length"
+            and current is not None
+            and value is not None
+            and float(int(value)) == current
+        ):
+            # both formats store WHOLE seconds (reference interop) — a
+            # fractional duration whose floor is already stored would
+            # mark the file dirty and rewrite it byte-identically
             return
         self._inner.set_field(field, value)
         self.was_changed = True

@@ -276,11 +276,14 @@ class AudacityApi:
 
         labels = read_labels(path)
         self.write_assume_empty("NewLabelTrack:")
+        if not labels:
+            return
+        # route AddLabel to the NEW track explicitly — a stale selection
+        # on an older label track would otherwise capture the labels
+        self.select_tracks([len(self.get_track_info()) - 1])
         for lb in labels:
             self.select_time(lb.start, lb.end)
             self.write_assume_empty("AddLabel:")
-        if not labels:
-            return
         # SetLabel indices are GLOBAL across label tracks, and Audacity
         # time-sorts within a track — name by sorted order at the new
         # track's offset (file order would misname unsorted files or any

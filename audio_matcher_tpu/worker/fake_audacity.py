@@ -76,14 +76,23 @@ class FakeAudacity:
     # -- lifecycle -------------------------------------------------------
     def stop(self) -> None:
         self._shutdown = True
-        # unblock the reader by connecting once
+        # unblock BOTH opens the serve loop may be parked in: the to-pipe
+        # read needs a writer, and (review r3 — leaked thread + a full
+        # 2 s join timeout per idle stop) the from-pipe write-open needs
+        # a reader
         try:
             fd = os.open(self.to_path, os.O_WRONLY | os.O_NONBLOCK)
             os.write(fd, b"Exit:\n")
             os.close(fd)
         except OSError:
             pass
+        try:
+            rfd = os.open(self.from_path, os.O_RDONLY | os.O_NONBLOCK)
+        except OSError:
+            rfd = None
         self._thread.join(timeout=2)
+        if rfd is not None:
+            os.close(rfd)
         for p in (self.to_path, self.from_path, self.marker_path):
             try:
                 p.unlink()

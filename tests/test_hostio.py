@@ -273,3 +273,23 @@ def test_prefetch_byte_budget_caps_submissions(tmp_path, rng, monkeypatch):
     time.sleep(0.3)  # let any (wrongly) over-submitted decodes complete
     assert len(calls) <= 4, calls  # 1 consumed + ≤2 in flight + slack
     assert len(list(gen)) == 7  # completeness unchanged
+
+
+def test_labels_skip_spectral_selection_lines(tmp_path):
+    """Review r3: Audacity spectral-selection exports carry a
+    '\\<lo>\\t<hi>' frequency line per label — not a label."""
+    p = tmp_path / "spec.txt"
+    p.write_text("1.0\t2.0\tseg\n\\\t400.0\t800.0\n3.0\t4.0\tseg2\n")
+    labels = read_labels(p)
+    assert [(lb.start, lb.name) for lb in labels] == [
+        (1.0, "seg"), (3.0, "seg2"),
+    ]
+
+
+def test_timelabel_from_peaks_never_inverts():
+    """Review r3: peaks closer than the start delay must not produce a
+    start > end label (Audacity rejects those)."""
+    sr = 10
+    peaks = [Peak(1000, 1.0, 1.0), Peak(1050, 1.0, 1.0)]  # 5 s apart
+    labels = timelabel_from_peaks(peaks, sr, 7.0, "Segment #")
+    assert labels[0].start == labels[0].end == 105.0
