@@ -67,10 +67,13 @@ def measure_tpu(episode, snippets, config, n_episodes=None):
     # untimed: the int16 wire samples stand in for the native decoder's
     # output (mpg123 decodes to int16; the f32 PCM scaling is applied on
     # device) — quantization is decode work, not scan work
-    if config.transfer_dtype == "int16":
-        episode_wire = np.clip(
-            np.round(episode * 65535.0), -32768, 32767
-        ).astype(np.int16)
+    if config.transfer_dtype != "float32":
+        # ONE definition of the wire grid (handles int16 AND mulaw8 —
+        # a float pass-through would push mu-law companding into the
+        # timed staging phase)
+        from audio_matcher_tpu.models.matcher import quantize_wire
+
+        episode_wire = quantize_wire(episode, config.transfer_dtype)
     else:
         episode_wire = episode
 
@@ -260,7 +263,6 @@ def acquire_backend(timeout_s: float) -> None:
 
 
 def main() -> int:
-    os.environ.setdefault("OMP_NUM_THREADS", "8")
     acquire_backend(float(os.environ.get("BENCH_BACKEND_TIMEOUT", "600")))
     rng = np.random.default_rng(42)
     n_episodes = int(os.environ.get("BENCH_EPISODES", "4"))
@@ -276,7 +278,11 @@ def main() -> int:
         ).astype(np.float32)
         for q in range(n_queries)
     ]
-    offsets = [21.0, EPISODE_SECS * 0.55]
+    # keep plants inside shrunken BENCH_EPISODE_SECS runs
+    offsets = [
+        o for o in (21.0, EPISODE_SECS * 0.55)
+        if (o + SNIPPET_SECS + 0.5) < EPISODE_SECS
+    ] or [0.0]
     episode = make_audio(rng, EPISODE_SECS, snippets[0], offsets)
 
     from audio_matcher_tpu.models.matcher import MatchConfig
@@ -311,7 +317,9 @@ def main() -> int:
     # min-distance, suppression legitimately keeps only one (and exact
     # height ties make WHICH one nondeterministic on threaded-CPU runs);
     # the default config keeps them ≥ distance apart → strict check
-    gaps_ok = (offsets[1] - offsets[0]) >= config.distance_secs
+    gaps_ok = len(offsets) > 1 and (
+        offsets[1] - offsets[0]
+    ) >= config.distance_secs
     ok = True
     for e, ep_peaks in enumerate(peaks):
         got = sorted(p.position for p in ep_peaks if p.height > 0.5)
@@ -343,6 +351,7 @@ def main() -> int:
         "metric": "(episode,snippet)-pair audio-hours scanned/sec/"
         f"chip (batch scan: {n_episodes} episodes x "
         f"{n_queries} query snippets, 44.1kHz; staging included)",
+        "ok": ok,
         "value": round(value, 4),
         "unit": "pair_audio_hours/s",
         "vs_baseline": round(value / baseline, 2),
@@ -350,6 +359,13 @@ def main() -> int:
         "device_resident_vs_baseline": round(value_scan / baseline, 2),
     }
     import jax
+
+    if not ok:
+        # a wrong-but-fast run must not become the rolling best the
+        # regression gate compares against, and callers reading the JSON
+        # or exit code must see the failure
+        print(json.dumps(result))
+        return 2
 
     record_history(
         result,

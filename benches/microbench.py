@@ -117,7 +117,15 @@ def bench_impl_matrix(quick: bool):
     episode[11 * sr : 11 * sr + len(snippet)] = snippet
     on_tpu = jax.default_backend() == "tpu"
     peak_impls = ("jnp", "pallas") if on_tpu else ("jnp",)
-    for fft_impl in ("xla", "xla_packed", "mxu", "vpu"):
+    # "vpu" off-TPU runs the pallas FFT in INTERPRET mode — it would
+    # grind for hours on the 1-vCPU host, same reason pallas peaks are
+    # gated above
+    fft_impls = (
+        ("xla", "xla_packed", "mxu", "vpu")
+        if on_tpu
+        else ("xla", "xla_packed", "mxu")
+    )
+    for fft_impl in fft_impls:
         for peaks_impl in peak_impls:
             cfg = MatchConfig(
                 distance_secs=60.0, fft_impl=fft_impl, peaks_impl=peaks_impl
