@@ -6,10 +6,18 @@ CPU-backed jax device tests the reference never had).
 """
 
 import os
+import re
 
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
+m = re.search(r"--xla_force_host_platform_device_count=(\d+)", flags)
+if m and int(m.group(1)) < 8:
+    # replace a smaller inherited count — the sharding tests need 8
+    flags = flags.replace(
+        m.group(0), "--xla_force_host_platform_device_count=8"
+    )
+    os.environ["XLA_FLAGS"] = flags
+elif not m:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
