@@ -341,3 +341,50 @@ def test_round_planes_width_grid():
             r = round_planes_width(w, n)
             assert r >= min(w, n)
             assert r == n or (r // M) % 8 == 0
+
+
+def test_overshadow_filter_fuzz_vs_bruteforce(rng):
+    """Property fuzz: overshadow_filter == an independently-written
+    brute-force of the reference rule (audio_matcher.rs:136-160: drop a
+    peak iff an immediate position-order neighbour within `distance` is
+    strictly more prominent), after exact-position dedup."""
+
+    def spec(peaks, sr, distance_secs):
+        best = {}
+        for p in peaks:
+            if p.position not in best or p.prominence > best[p.position].prominence:
+                best[p.position] = p
+        ordered = sorted(best.values(), key=lambda p: p.position)
+        out = []
+        for i, p in enumerate(ordered):
+            neigh = [
+                ordered[j]
+                for j in (i - 1, i + 1)
+                if 0 <= j < len(ordered)
+            ]
+            if not any(
+                abs(p.position - q.position) / sr < distance_secs
+                and q.prominence > p.prominence
+                for q in neigh
+            ):
+                out.append(p)
+        return [(p.position, p.prominence) for p in out]
+
+    from audio_matcher_tpu.models.matcher import overshadow_filter
+
+    for trial in range(200):
+        n = int(rng.integers(0, 12))
+        peaks = [
+            Peak(
+                int(rng.integers(0, 40)),
+                float(rng.integers(1, 5)),
+                float(rng.integers(0, 4)) / 2.0,  # frequent exact ties
+            )
+            for _ in range(n)
+        ]
+        dist = float(rng.integers(1, 10))
+        got = [
+            (p.position, p.prominence)
+            for p in overshadow_filter(peaks, sr=10, distance_secs=dist)
+        ]
+        assert got == spec(peaks, 10, dist), (trial, peaks, dist)
