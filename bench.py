@@ -9,9 +9,12 @@ rFFT + scipy find_peaks, single thread) — a stand-in for the Rust
 reference's single-core realfft path, which publishes no numbers and can't
 be built here (no cargo; BASELINE.md).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "ok", "value", "unit", "vs_baseline",
+"device_resident_value", "device_resident_vs_baseline"}; exits nonzero
+(and records nothing in the history) when the correctness check fails
+or no backend appears within BENCH_BACKEND_TIMEOUT.
 Knobs: BENCH_EPISODE_SECS, BENCH_EPISODES, BENCH_QUERIES, BENCH_SLAB,
-BENCH_TRANSFER_DTYPE.
+BENCH_TRANSFER_DTYPE, BENCH_FFT_IMPL, BENCH_PEAKS_IMPL.
 """
 
 from __future__ import annotations
