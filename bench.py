@@ -12,7 +12,12 @@ be built here (no cargo; BASELINE.md).
 Prints ONE JSON line: {"metric", "ok", "value", "unit", "vs_baseline",
 "device_resident_value", "device_resident_vs_baseline"}; exits nonzero
 (and records nothing in the history) when the correctness check fails
-or no backend appears within BENCH_BACKEND_TIMEOUT.
+or no backend appears within the acquisition budget. Backend
+acquisition retries with backoff (relay outages observed run hours):
+per-attempt probe timeout BENCH_BACKEND_TIMEOUT (default 180 s), total
+budget BENCH_BACKEND_BUDGET (default 2400 s); on final failure the JSON
+line still carries "last_good" — the newest same-fingerprint
+benches/history.jsonl entry — so an outage can't erase the number.
 Knobs: BENCH_EPISODE_SECS, BENCH_EPISODES, BENCH_QUERIES, BENCH_SLAB,
 BENCH_TRANSFER_DTYPE, BENCH_FFT_IMPL, BENCH_PEAKS_IMPL.
 """
@@ -153,6 +158,14 @@ def measure_cpu_baseline(episode, snippet, config):
     return 1.0 / (per_window * windows_per_hour)  # audio-hours/sec
 
 
+def _history_path() -> str:
+    """benches/history.jsonl next to this file; BENCH_HISTORY_PATH
+    overrides (tests point it at a scratch file)."""
+    return os.environ.get("BENCH_HISTORY_PATH") or os.path.join(
+        os.path.dirname(__file__), "benches", "history.jsonl"
+    )
+
+
 def record_history(result: dict, fingerprint: dict, path: str | None = None) -> None:
     """Append this run to benches/history.jsonl (criterion's tracked-
     history role, VERDICT r2 #8) and compare against the latest prior
@@ -163,9 +176,7 @@ def record_history(result: dict, fingerprint: dict, path: str | None = None) -> 
     import datetime
 
     if path is None:
-        path = os.path.join(
-            os.path.dirname(__file__), "benches", "history.jsonl"
-        )
+        path = _history_path()
     prev = None
     same_cfg = []
     try:
@@ -234,16 +245,133 @@ def record_history(result: dict, fingerprint: dict, path: str | None = None) -> 
         f.write(json.dumps(entry) + "\n")
 
 
-def acquire_backend(timeout_s: float) -> None:
-    """Bounded backend acquisition. When the axon relay is down,
-    ``jax.devices()`` blocks forever inside the first backend touch —
-    observed >2 h outages — which would hang the whole bench (and its
-    caller) indefinitely. Probe in a daemon thread and exit nonzero with
-    an honest message if no backend appears within the budget. A healthy
-    relay answers in seconds; legit slow REMOTE COMPILES happen later and
-    are not under this clock."""
+def make_config():
+    """The bench's MatchConfig from env knobs (shared by the run and the
+    failure path's fingerprint lookup)."""
+    from audio_matcher_tpu.models.matcher import MatchConfig
+
+    return MatchConfig(
+        slab=int(os.environ.get("BENCH_SLAB", "8")),
+        # an explicit BENCH_SLAB pins the slab for A/Bs; otherwise the
+        # production adaptive pick (pick_slab) applies
+        slab_auto="BENCH_SLAB" not in os.environ,
+        transfer_dtype=os.environ.get("BENCH_TRANSFER_DTYPE", "int16"),
+        # measured winners on v5e (benches/probe_pallas_fft.py + bench A/B):
+        # the pallas VPU FFT (9.81 pair-h/s e2e vs 9.18 with xla_packed)
+        # + the single-pass pallas peak kernel
+        fft_impl=os.environ.get("BENCH_FFT_IMPL", "vpu"),
+        peaks_impl=os.environ.get("BENCH_PEAKS_IMPL", "pallas"),
+    )
+
+
+def expected_fingerprint(config, backend: str = "tpu") -> dict:
+    """The history fingerprint this configuration records. Computable
+    WITHOUT touching a JAX backend (module imports don't initialize one)
+    so the no-backend failure path can still look up history evidence;
+    ``backend`` defaults to the bench's target platform."""
+    from audio_matcher_tpu.models.matcher import effective_slab as _eff
+
+    # same chunk rounding as the scanners (int(round(...))) so the
+    # fingerprint records the slab the run actually uses
+    chunk = int(round(config.chunk_secs * SR))
+    n_samples = int(EPISODE_SECS * SR)
+    return {
+        "backend": backend,
+        "episode_secs": EPISODE_SECS,
+        "episodes": int(os.environ.get("BENCH_EPISODES", "4")),
+        "queries": int(os.environ.get("BENCH_QUERIES", "64")),
+        # the EFFECTIVE slab (adaptive pick resolved for this episode
+        # length), so history entries from explicit BENCH_SLAB A/Bs
+        # and adaptive runs of the same shape share a fingerprint
+        "slab": _eff(config, max(-(-n_samples // chunk), 1)),
+        "transfer_dtype": config.transfer_dtype,
+        "fft_impl": config.fft_impl,
+        "peaks_impl": config.peaks_impl,
+    }
+
+
+def _fail_no_backend(budget_s: float) -> None:
+    """Exit 3, but emit a JSON line that carries evidence: the newest
+    history entry with this run's fingerprint (``last_good``), so a relay
+    outage at capture time can't erase the round's number (VERDICT r3 #2
+    — round 3's 25.4/32.0 pair-h/s run sat in history while the artifact
+    recorded null)."""
+    fingerprint = expected_fingerprint(make_config())
+    last_good = None
+    path = _history_path()
+    try:
+        with open(path) as f:
+            for line in f:
+                try:
+                    rec = json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+                if (
+                    rec.get("tag") == "bench"
+                    and rec.get("fingerprint") == fingerprint
+                    and not rec.get("regression")
+                ):
+                    last_good = rec
+    except FileNotFoundError:
+        pass
+    print(
+        f"bench: no JAX backend within {budget_s:.0f}s "
+        "(relay down?) — aborting instead of hanging. "
+        "Set BENCH_BACKEND_BUDGET / BENCH_BACKEND_TIMEOUT to adjust.",
+        file=sys.stderr,
+    )
+    out = {
+        "metric": "no-backend failure (relay outage at capture time)",
+        "ok": False,
+        "error": f"no JAX backend within {budget_s:.0f}s",
+        "fingerprint": fingerprint,
+        "last_good": last_good,
+    }
+    print(json.dumps(out))
+    raise SystemExit(3)
+
+
+def acquire_backend(per_attempt_s: float, budget_s: float) -> None:
+    """Bounded backend acquisition with retry + backoff. When the axon
+    relay is down, ``jax.devices()`` blocks forever inside the first
+    backend touch — observed outages run HOURS (round 3's single 600 s
+    window lost the whole capture) — so probe in a SUBPROCESS (clean
+    backend state per attempt; a blocked in-process init thread can't be
+    retried) every ~4 min until ``budget_s`` runs out, then initialize
+    in-process once a probe answers. A healthy relay answers in seconds;
+    legit slow REMOTE COMPILES happen later and are not under this
+    clock. Exits 3 with ``last_good`` history evidence on failure."""
+    import subprocess
     import threading
 
+    t_end = time.monotonic() + budget_s
+    attempt = 0
+    while True:
+        attempt += 1
+        left = t_end - time.monotonic()
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=max(min(per_attempt_s, left), 30.0),
+                stdout=subprocess.DEVNULL,
+                stderr=subprocess.DEVNULL,
+            )
+            if r.returncode == 0:
+                break
+        except subprocess.TimeoutExpired:
+            pass
+        left = t_end - time.monotonic()
+        if left <= 0:
+            _fail_no_backend(budget_s)
+        print(
+            f"[bench] backend probe {attempt} failed; retrying "
+            f"({left:.0f}s of budget left)",
+            file=sys.stderr,
+        )
+        time.sleep(min(240.0, max(left, 1.0)))
+
+    # a clean probe answered — init this process's backend, still bounded
+    # (the relay could die between the probe and here)
     got: dict = {}
 
     def probe():
@@ -253,20 +381,17 @@ def acquire_backend(timeout_s: float) -> None:
 
     t = threading.Thread(target=probe, daemon=True)
     t.start()
-    t.join(timeout_s)
+    t.join(max(per_attempt_s, 120.0))
     if "devices" not in got:
-        print(
-            f"bench: no JAX backend within {timeout_s:.0f}s "
-            "(relay down?) — aborting instead of hanging. "
-            "Set BENCH_BACKEND_TIMEOUT to adjust.",
-            file=sys.stderr,
-        )
-        raise SystemExit(3)
+        _fail_no_backend(budget_s)
     print(f"[bench] backend: {got['devices']}", file=sys.stderr)
 
 
 def main() -> int:
-    acquire_backend(float(os.environ.get("BENCH_BACKEND_TIMEOUT", "600")))
+    acquire_backend(
+        float(os.environ.get("BENCH_BACKEND_TIMEOUT", "180")),
+        float(os.environ.get("BENCH_BACKEND_BUDGET", "2400")),
+    )
     rng = np.random.default_rng(42)
     n_episodes = int(os.environ.get("BENCH_EPISODES", "4"))
     n_queries = int(os.environ.get("BENCH_QUERIES", "64"))
@@ -288,27 +413,7 @@ def main() -> int:
     ] or [0.0]
     episode = make_audio(rng, EPISODE_SECS, snippets[0], offsets)
 
-    from audio_matcher_tpu.models.matcher import MatchConfig
-
-    config = MatchConfig(
-        slab=int(os.environ.get("BENCH_SLAB", "8")),
-        # an explicit BENCH_SLAB pins the slab for A/Bs; otherwise the
-        # production adaptive pick (pick_slab) applies
-        slab_auto="BENCH_SLAB" not in os.environ,
-        transfer_dtype=os.environ.get("BENCH_TRANSFER_DTYPE", "int16"),
-        # measured winners on v5e (benches/probe_pallas_fft.py + bench A/B):
-        # the pallas VPU FFT (9.81 pair-h/s e2e vs 9.18 with xla_packed)
-        # + the single-pass pallas peak kernel
-        fft_impl=os.environ.get("BENCH_FFT_IMPL", "vpu"),
-        peaks_impl=os.environ.get("BENCH_PEAKS_IMPL", "pallas"),
-    )
-
-    from audio_matcher_tpu.models.matcher import effective_slab as _eff
-
-    # same chunk rounding as the scanners (int(round(...))) so the
-    # fingerprint records the slab the run actually used
-    chunk = int(round(config.chunk_secs * SR))
-    effective_slab = _eff(config, max(-(-len(episode) // chunk), 1))
+    config = make_config()
 
     (per_pair, per_pair_scan), peaks = measure_tpu(episode, snippets, config)
     hours = EPISODE_SECS / 3600.0
@@ -371,20 +476,7 @@ def main() -> int:
         return 2
 
     record_history(
-        result,
-        {
-            "backend": jax.default_backend(),
-            "episode_secs": EPISODE_SECS,
-            "episodes": n_episodes,
-            "queries": n_queries,
-            # the EFFECTIVE slab (adaptive pick resolved for this episode
-            # length), so history entries from explicit BENCH_SLAB A/Bs
-            # and adaptive runs of the same shape share a fingerprint
-            "slab": effective_slab,
-            "transfer_dtype": config.transfer_dtype,
-            "fft_impl": config.fft_impl,
-            "peaks_impl": config.peaks_impl,
-        },
+        result, expected_fingerprint(config, backend=jax.default_backend())
     )
     print(json.dumps(result))
     return 0
