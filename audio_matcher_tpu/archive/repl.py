@@ -4,7 +4,9 @@ Parity: reference src/archive/mod.rs — non-interactive default prints the
 whole archive (``List`` with tab indent, chapters on, missing off); ``-i``
 starts a ``$>`` loop whose commands are parsed shell-words-style by the
 same parser that defines the CLI (``exit``, ``reload [path]``,
-``list [indent] [-c] [-m]``, ``rename`` stub).
+``list [indent] [-c] [-m]``, ``rename``). Unlike the reference — which
+stubs ``rename`` — this one is REAL: series rename / chapter re-title
+across every label file on disk, with ``--dry-run``.
 """
 
 from __future__ import annotations
