@@ -48,7 +48,12 @@ def init_distributed(
     process_id_env = os.environ.get("AM_PROCESS_ID")
     if process_id is None and process_id_env is not None:
         process_id = int(process_id_env)
-    on_cloud_tpu = os.environ.get("TPU_WORKER_HOSTNAMES") is not None
+    # Cloud TPU auto-detection: only a REAL multi-host slice lists several
+    # worker hostnames. Single-entry values (axon relay images export
+    # TPU_WORKER_HOSTNAMES=localhost) are not a cluster — auto-joining
+    # there would fail or hang every CLI on a plain single-chip box.
+    hostnames = os.environ.get("TPU_WORKER_HOSTNAMES") or ""
+    on_cloud_tpu = len([h for h in hostnames.split(",") if h.strip()]) > 1
     if not coordinator and not on_cloud_tpu:
         return False
     kwargs = {}
@@ -63,7 +68,14 @@ def init_distributed(
             num_processes=num_processes,
             process_id=process_id,
         )
-    jax.distributed.initialize(**kwargs)
+    try:
+        jax.distributed.initialize(**kwargs)
+    except RuntimeError as e:
+        # the XLA backend is already up (e.g. a library user touched jax
+        # before calling us): joining is impossible now — degrade to
+        # single-process instead of killing the sweep
+        log.warning("cannot join distributed cluster: %s", e)
+        return False
     _DISTRIBUTED_INITIALIZED = True
     log.info(
         "joined distributed cluster: process %d/%d, %d global devices",

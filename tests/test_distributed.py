@@ -124,3 +124,43 @@ def test_two_process_sweep_matches_single_process(rng, tmp_path):
         ]
         got = [[tuple(t) for t in pk] for pk in merged[path]]
         assert got == want, path
+
+
+def test_single_hostname_is_not_a_cluster(monkeypatch):
+    """axon relay images export ``TPU_WORKER_HOSTNAMES=localhost``; a
+    single-entry value must NOT trigger Cloud-TPU cluster auto-join —
+    it broke every CLI once the backend was already initialized."""
+    import jax
+
+    from audio_matcher_tpu.parallel import mesh as mesh_mod
+
+    monkeypatch.setattr(mesh_mod, "_DISTRIBUTED_INITIALIZED", False)
+    monkeypatch.delenv("AM_COORDINATOR", raising=False)
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "localhost")
+    called = []
+    monkeypatch.setattr(
+        jax.distributed, "initialize", lambda **kw: called.append(kw)
+    )
+    assert mesh_mod.init_distributed() is False
+    assert not called
+
+
+def test_init_distributed_degrades_when_backend_already_up(monkeypatch):
+    """A genuine multi-host hostname list with an already-initialized XLA
+    backend degrades to single-process (warning) instead of raising."""
+    import jax
+
+    from audio_matcher_tpu.parallel import mesh as mesh_mod
+
+    monkeypatch.setattr(mesh_mod, "_DISTRIBUTED_INITIALIZED", False)
+    monkeypatch.delenv("AM_COORDINATOR", raising=False)
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "host-a,host-b")
+
+    def boom(**kw):
+        raise RuntimeError(
+            "jax.distributed.initialize() must be called before any JAX "
+            "calls that might initialise the XLA backend."
+        )
+
+    monkeypatch.setattr(jax.distributed, "initialize", boom)
+    assert mesh_mod.init_distributed() is False
