@@ -335,6 +335,30 @@ def _stage_rows_host(episodes, ns, n_pad, transfer, arena, e_pad, n_dev):
     return _device_put_split(buf), ns_pad, len(episodes)
 
 
+def spectrogram_pad_width(
+    n_max: int, n_fft: int, max_waste: float = 0.25
+) -> int:
+    """Staged episode width for the spectrogram scanner.
+
+    Compiled programs key on the padded width, so widths bucket to a
+    quantum — but the old FIXED 4M-sample quantum staged up to 3× air
+    for short episodes, and every padded sample is wire bytes AND STFT
+    compute (VERDICT r3 #5). Mirror of the pcm path's ``pick_slab``
+    policy: keep the largest power-of-two quantum in [2^18, 2^22] whose
+    padding stays under ``max_waste`` of the real samples; when none
+    qualifies (tiny episodes) the 2^18 floor (≈6 s at 44.1 kHz) bounds
+    the absolute waste while keeping every test/short-clip shape on ONE
+    compiled program. Deterministic in (n_max, n_fft) alone, so staging
+    and scanning recompute the same width."""
+    n = max(int(n_max), int(n_fft))
+    p = 1 << 18
+    for b in (1 << 22, 1 << 21, 1 << 20, 1 << 19, 1 << 18):
+        p = max(-(-n // b) * b, b)
+        if p - n <= max_waste * n:
+            return p
+    return p
+
+
 def _pad_episode_rows_on_device(buf: np.ndarray, e_pad: int, transfer_dtype):
     """Upload only the real episode rows; grow to the mesh-filling row
     count ON DEVICE (cheap HBM memset vs staging full-width silence rows
@@ -404,9 +428,9 @@ class ShardedSpectrogramScanner:
         n_max = int(ns.max()) if len(ns) else 0
         cfg = self.config
         transfer = getattr(cfg, "transfer_dtype", "float32")
-        # bucket to whole STFT blocks so compiled shapes are reused
-        bucket = 1 << 22
-        n_pad = max(-(-max(n_max, cfg.n_fft) // bucket) * bucket, bucket)
+        # bucket the staged width so compiled shapes are reused without
+        # staging multiples of the episode in padding air
+        n_pad = spectrogram_pad_width(n_max, cfg.n_fft)
         n_dev = int(self.mesh.devices.size)
         e_pad = -(-len(episodes) // n_dev) * n_dev if episodes else 0
         if pad_to:  # tail groups keep the full-group compiled shape

@@ -20,6 +20,14 @@ line still carries "last_good" — the newest same-fingerprint
 benches/history.jsonl entry — so an outage can't erase the number.
 Knobs: BENCH_EPISODE_SECS, BENCH_EPISODES, BENCH_QUERIES, BENCH_SLAB,
 BENCH_TRANSFER_DTYPE, BENCH_FFT_IMPL, BENCH_PEAKS_IMPL.
+
+BENCH_MODE=spectrogram benches the second model family instead
+(BASELINE config #4: log-mel fingerprints + tiled multi-query ZNCC,
+`ShardedSpectrogramScanner`) against a single-core scipy pipeline with
+the same semantics; its history entries carry a distinct fingerprint
+(``"mode": "spectrogram"``) so both modes inherit the >15% regression
+gate independently (VERDICT r3 #5 — config #4 previously lived only in
+a one-off probe and could silently regress).
 """
 
 from __future__ import annotations
@@ -124,6 +132,61 @@ def measure_tpu(episode, snippets, config, n_episodes=None):
     return ((t_stage + t_compute) / n_pairs, t_compute / n_pairs), peaks
 
 
+def measure_tpu_spectrogram(episode, snippets, config, n_episodes=None):
+    """Stage-then-scan throughput for the spectrogram family (BASELINE
+    config #4 at batch scale): same phases and fences as
+    :func:`measure_tpu`, with log-mel + tiled multi-query ZNCC + on-device
+    peaks as the resident program. Returns seconds per (episode, snippet)
+    pair (e2e, device-resident) and the primary query's peaks."""
+    if n_episodes is None:
+        n_episodes = int(os.environ.get("BENCH_EPISODES", "4"))
+    import jax
+
+    from audio_matcher_tpu.parallel.mesh import make_mesh
+    from audio_matcher_tpu.parallel.sweep import ShardedSpectrogramScanner
+
+    scanner = ShardedSpectrogramScanner(
+        snippets, SR, config, mesh=make_mesh(1)
+    )
+
+    # untimed: link/backend init + the wire quantization (decode work —
+    # see measure_tpu's int16 rationale)
+    jax.device_put(np.zeros(1024, np.int16)).block_until_ready()
+    if config.transfer_dtype != "float32":
+        from audio_matcher_tpu.models.matcher import quantize_wire
+
+        episode_wire = quantize_wire(episode, config.transfer_dtype)
+    else:
+        episode_wire = episode
+
+    t_stage0 = time.perf_counter()
+    staged = scanner.stage_resident([episode_wire] * n_episodes)
+    chunks = staged[0] if isinstance(staged[0], tuple) else (staged[0],)
+    for c in chunks:
+        c.block_until_ready()
+    t_stage = time.perf_counter() - t_stage0
+    staged_bytes = sum(c.nbytes for c in chunks)
+
+    scanner.scan_staged(staged)  # untimed: compile + first run
+    jax.effects_barrier()
+
+    t0 = time.perf_counter()
+    results = scanner.scan_staged(staged)
+    t_compute = time.perf_counter() - t0
+    peaks = [per_query[0] for per_query in results]
+
+    n_pairs = n_episodes * len(snippets)
+    print(
+        f"[bench] spectrogram stage {n_episodes} episodes "
+        f"({staged_bytes / 1e6:.0f}MB in {len(chunks)} put(s), "
+        f"{config.transfer_dtype}): {t_stage:.2f}s; "
+        f"batch scan x{len(snippets)} queries: {t_compute:.2f}s "
+        f"(amortized per-pair {t_compute / n_pairs * 1e3:.0f} ms)",
+        file=sys.stderr,
+    )
+    return ((t_stage + t_compute) / n_pairs, t_compute / n_pairs), peaks
+
+
 def measure_cpu_baseline(episode, snippet, config):
     """Single-core scipy pipeline: per-window rfft→conj-mult→irfft→find_peaks."""
     import scipy.fft
@@ -156,6 +219,64 @@ def measure_cpu_baseline(episode, snippet, config):
         )
     windows_per_hour = 3600.0 / config.chunk_secs
     return 1.0 / (per_window * windows_per_hour)  # audio-hours/sec
+
+
+def measure_cpu_baseline_spectrogram(episode, snippet, config):
+    """Single-core scipy/numpy pipeline with the device path's exact
+    semantics (hann STFT → mel matmul → log → FFT-based patch-flat ZNCC
+    with cumsum window norms → find_peaks), timed on a 60 s slice and
+    extrapolated — both stages are linear in episode length, and the full
+    half-hour episode would take minutes on the 1-vCPU host."""
+    import scipy.fft
+    import scipy.signal
+
+    from audio_matcher_tpu.ops.stft import mel_filterbank
+
+    cfg = config
+    fb_t = mel_filterbank(cfg.n_mels, cfg.n_fft, SR).T  # [bins, mels]
+    win = np.hanning(cfg.n_fft).astype(np.float32)
+
+    def logmel(x):
+        n_frames = 1 + (len(x) - cfg.n_fft) // cfg.hop
+        frames = np.lib.stride_tricks.sliding_window_view(x, cfg.n_fft)[
+            :: cfg.hop
+        ][:n_frames]
+        z = scipy.fft.rfft(frames * win, axis=1, workers=1)
+        return np.log((z.real**2 + z.imag**2) @ fb_t + 1e-8)
+
+    snip_fp = logmel(snippet)
+    t_s = snip_fp.shape[0]
+    s0 = (snip_fp - snip_fp.mean()).astype(np.float32)
+    snorm = float(np.sqrt((s0 * s0).sum()))
+    patch = t_s * cfg.n_mels
+    slice_secs = min(60.0, len(episode) / SR)
+    x = episode[: int(slice_secs * SR)]
+
+    elapsed = float("inf")
+    for _ in range(3):  # best-of-3 (see measure_cpu_baseline)
+        t0 = time.perf_counter()
+        ep_fp = logmel(x)
+        t_e = ep_fp.shape[0]
+        n_valid = t_e - t_s + 1
+        L = scipy.fft.next_fast_len(t_e + t_s - 1, real=True)
+        S = scipy.fft.rfft(s0.T, n=L, axis=1, workers=1)  # [M, F]
+        E = scipy.fft.rfft(ep_fp.T, n=L, axis=1, workers=1)
+        corr = scipy.fft.irfft(
+            (E * np.conj(S)).sum(axis=0), n=L, workers=1
+        )[:n_valid]
+        s1 = np.concatenate([[0.0], np.cumsum(ep_fp.sum(axis=1))])
+        s2 = np.concatenate([[0.0], np.cumsum((ep_fp * ep_fp).sum(axis=1))])
+        win_sum = s1[t_s:] - s1[:-t_s]
+        win_norm2 = np.maximum(
+            (s2[t_s:] - s2[:-t_s]) - win_sum * win_sum / patch, 0.0
+        )
+        scores = corr / (np.sqrt(win_norm2[:n_valid]) * snorm + 1e-8)
+        frame_distance = max(int(cfg.distance_secs * SR / cfg.hop), 1)
+        scipy.signal.find_peaks(
+            scores, distance=min(frame_distance, max(len(scores) - 1, 1))
+        )
+        elapsed = min(elapsed, time.perf_counter() - t0)
+    return 1.0 / (elapsed * 3600.0 / slice_secs)  # audio-hours/sec
 
 
 def _history_path() -> str:
@@ -264,6 +385,50 @@ def make_config():
     )
 
 
+def make_spec_config():
+    """The spectrogram bench's config from env knobs (BENCH_MODE=
+    spectrogram). Defaults match the hardware-measured probe shape
+    (benches/probe_spectrogram.py: int16 wire, n_fft 1024 / hop 256 /
+    64 mels — hop divides n_fft so framing stays on the sliced path)."""
+    from audio_matcher_tpu.models.spectrogram import SpectrogramConfig
+
+    return SpectrogramConfig(
+        transfer_dtype=os.environ.get("BENCH_TRANSFER_DTYPE", "int16"),
+    )
+
+
+def spec_queries_default() -> int:
+    """BENCH_QUERIES default for spectrogram mode: 8, the probe's
+    measured shape (the pcm mode's 64 amortizes staging; fingerprint
+    NCC is per-query cheap enough that 8 already saturates)."""
+    return int(os.environ.get("BENCH_QUERIES", "8"))
+
+
+def expected_fingerprint_spec(config, backend: str = "tpu") -> dict:
+    """Spectrogram-mode history fingerprint (same no-backend-needed
+    contract as :func:`expected_fingerprint`; the ``mode`` key keeps it
+    disjoint from every pcm entry)."""
+    return {
+        "backend": backend,
+        "mode": "spectrogram",
+        "episode_secs": EPISODE_SECS,
+        "episodes": int(os.environ.get("BENCH_EPISODES", "4")),
+        "queries": spec_queries_default(),
+        "n_fft": config.n_fft,
+        "hop": config.hop,
+        "n_mels": config.n_mels,
+        "transfer_dtype": config.transfer_dtype,
+    }
+
+
+def current_fingerprint(backend: str = "tpu") -> dict:
+    """The fingerprint of THIS invocation's mode/config (shared by the
+    run and the no-backend failure path's history lookup)."""
+    if os.environ.get("BENCH_MODE", "pcm") == "spectrogram":
+        return expected_fingerprint_spec(make_spec_config(), backend)
+    return expected_fingerprint(make_config(), backend)
+
+
 def expected_fingerprint(config, backend: str = "tpu") -> dict:
     """The history fingerprint this configuration records. Computable
     WITHOUT touching a JAX backend (module imports don't initialize one)
@@ -296,7 +461,7 @@ def _fail_no_backend(budget_s: float) -> None:
     outage at capture time can't erase the round's number (VERDICT r3 #2
     — round 3's 25.4/32.0 pair-h/s run sat in history while the artifact
     recorded null)."""
-    fingerprint = expected_fingerprint(make_config())
+    fingerprint = current_fingerprint()
     last_good = None
     path = _history_path()
     try:
@@ -387,11 +552,95 @@ def acquire_backend(per_attempt_s: float, budget_s: float) -> None:
     print(f"[bench] backend: {got['devices']}", file=sys.stderr)
 
 
+def main_spectrogram() -> int:
+    """BENCH_MODE=spectrogram body (backend already acquired)."""
+    rng = np.random.default_rng(42)
+    n_episodes = int(os.environ.get("BENCH_EPISODES", "4"))
+    n_queries = spec_queries_default()
+    snippets = [
+        np.clip(
+            rng.standard_normal(
+                int((SNIPPET_SECS + 0.5 * (q % 8)) * SR)
+            ) * 0.15,
+            -0.45, 0.45,
+        ).astype(np.float32)
+        for q in range(n_queries)
+    ]
+    offsets = [
+        o for o in (21.0, EPISODE_SECS * 0.55)
+        if (o + SNIPPET_SECS + 0.5) < EPISODE_SECS
+    ] or [0.0]
+    episode = make_audio(rng, EPISODE_SECS, snippets[0], offsets)
+    config = make_spec_config()
+
+    (per_pair, per_pair_scan), peaks = measure_tpu_spectrogram(
+        episode, snippets, config, n_episodes
+    )
+    hours = EPISODE_SECS / 3600.0
+    value = hours / per_pair
+    value_scan = hours / per_pair_scan
+
+    # offsets are frame-accurate (hop grid); plants closer than the
+    # min-distance legitimately suppress down to one (see main)
+    want = sorted(int(o * SR) for o in offsets)
+    gaps_ok = len(offsets) > 1 and (
+        offsets[1] - offsets[0]
+    ) >= config.distance_secs
+    ok = True
+    for e, ep_peaks in enumerate(peaks):
+        got = sorted(p.position for p in ep_peaks if p.height > 0.5)
+        good = len(got) >= 1 and all(
+            any(abs(g - w) <= config.hop for w in want) for g in got
+        )
+        if gaps_ok:
+            good = good and len(got) == len(want)
+        if not good:
+            ok = False
+            print(
+                f"bench correctness check failed (spectrogram, episode "
+                f"{e}): got {got}, want {want} (±{config.hop})",
+                file=sys.stderr,
+            )
+
+    baseline = measure_cpu_baseline_spectrogram(episode, snippets[0], config)
+    print(
+        f"[bench] spectrogram: {hours:.2f} pair-hours per {per_pair:.2f}s "
+        f"({value:.3f} pair-h/s end-to-end, {value_scan:.3f} "
+        f"device-resident); cpu single-core baseline {baseline:.4f} "
+        f"pair-h/s; matches {'OK' if ok else 'WRONG'}",
+        file=sys.stderr,
+    )
+    result = {
+        "metric": "(episode,snippet)-pair audio-hours scanned/sec/chip "
+        f"(spectrogram mode: {n_episodes} episodes x {n_queries} query "
+        "fingerprints, 44.1kHz log-mel ZNCC; staging included)",
+        "ok": ok,
+        "value": round(value, 4),
+        "unit": "pair_audio_hours/s",
+        "vs_baseline": round(value / baseline, 2),
+        "device_resident_value": round(value_scan, 4),
+        "device_resident_vs_baseline": round(value_scan / baseline, 2),
+    }
+    import jax
+
+    if not ok:
+        print(json.dumps(result))
+        return 2
+    record_history(
+        result,
+        expected_fingerprint_spec(config, backend=jax.default_backend()),
+    )
+    print(json.dumps(result))
+    return 0
+
+
 def main() -> int:
     acquire_backend(
         float(os.environ.get("BENCH_BACKEND_TIMEOUT", "180")),
         float(os.environ.get("BENCH_BACKEND_BUDGET", "2400")),
     )
+    if os.environ.get("BENCH_MODE", "pcm") == "spectrogram":
+        return main_spectrogram()
     rng = np.random.default_rng(42)
     n_episodes = int(os.environ.get("BENCH_EPISODES", "4"))
     n_queries = int(os.environ.get("BENCH_QUERIES", "64"))

@@ -1,0 +1,132 @@
+"""Probe 19: what ends the relay's pre-execution fast path during staging?
+
+PERF.md's "Relay upload throughput vs transfer size" measured chunked
+puts at ~41-56 MB/s WITH per-put readback fences and hypothesized an
+execution-free chunked stage "should ride the ~0.7 GB/s fast path" —
+never tested end-to-end (VERDICT r3 #3): the literal config-#3 shape
+stages 3.4 GB at ~61 MB/s even though stage_resident is execution-free.
+Suspects: (a) the bench's untimed warmup put's ``block_until_ready``
+flips the relay into its post-execution slow mode before staging starts,
+(b) ``block_until_ready`` on the pieces themselves does, or (c) the slow
+rate is intrinsic to this transfer size and fencing is irrelevant.
+
+One fresh subprocess per variant (the fast path is per-process state —
+any readback/execution ends it for everything after), all staging the
+same SIZE_MB int16 buffer split into ≤ AUDIO_MATCHER_PUT_BYTES pieces:
+
+  bench      warmup put + bur; all puts; bur each   (bench.py today)
+  nowarm     no warmup;        all puts; bur each
+  serial     warmup put + bur; put+bur per piece    (stage-as-you-fence)
+  nofence    warmup put, NO bur; all puts (dispatch timed); bur at end
+
+Each subprocess prints one JSON line: per-phase seconds + MB/s, plus an
+untimed integrity readback (first/last 64 elements of every piece must
+round-trip — a lying fence shows up as a rate that ignores byte volume,
+a lying transfer as a mismatch). Run on the real chip with python -u.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+SIZE_MB = int(os.environ.get("SIZE_MB", "3392"))  # literal config-#3 bytes
+VARIANTS = ("bench", "nowarm", "serial", "nofence")
+
+
+def make_buffer(n_bytes: int) -> np.ndarray:
+    """Non-trivial int16 pattern, cheap to build (RNG over 1.7G elements
+    would dominate the probe)."""
+    block = np.arange(1 << 20, dtype=np.int16) * 7 + 3
+    reps = -(-(n_bytes // 2) // len(block))
+    return np.tile(block, reps)[: n_bytes // 2]
+
+
+def run_variant(variant: str) -> None:
+    import jax
+
+    from audio_matcher_tpu.models.matcher import put_bytes_cap
+
+    buf = make_buffer(SIZE_MB * 2**20)
+    cap = put_bytes_cap()
+    step = -(-buf.nbytes // cap)
+    step = -(-len(buf) // step)
+    pieces_host = [buf[i : i + step] for i in range(0, len(buf), step)]
+
+    t_warm = 0.0
+    if variant != "nowarm":
+        t0 = time.perf_counter()
+        w = jax.device_put(np.zeros(1024, np.int16))
+        if variant != "nofence":
+            w.block_until_ready()
+        t_warm = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    if variant == "serial":
+        pieces = []
+        for p in pieces_host:
+            d = jax.device_put(p)
+            d.block_until_ready()
+            pieces.append(d)
+        t_put, t_fence = time.perf_counter() - t0, 0.0
+    else:
+        pieces = [jax.device_put(p) for p in pieces_host]
+        t_put = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        for d in pieces:
+            d.block_until_ready()
+        t_fence = time.perf_counter() - t0
+
+    total = t_put + t_fence
+    # untimed integrity: the bytes must actually be on the device
+    ok = all(
+        np.array_equal(np.asarray(d[:64]), p[:64])
+        and np.array_equal(np.asarray(d[-64:]), p[-64:])
+        for d, p in zip(pieces, pieces_host)
+    )
+    print(
+        json.dumps(
+            {
+                "variant": variant,
+                "size_mb": SIZE_MB,
+                "pieces": len(pieces),
+                "warmup_s": round(t_warm, 3),
+                "put_s": round(t_put, 3),
+                "fence_s": round(t_fence, 3),
+                "mbps": round(SIZE_MB / total, 1),
+                "dispatch_mbps": round(SIZE_MB / t_put, 1) if t_put else None,
+                "integrity_ok": bool(ok),
+            }
+        ),
+        flush=True,
+    )
+
+
+def main() -> None:
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    only = os.environ.get("VARIANTS")
+    for variant in only.split(",") if only else VARIANTS:
+        env = dict(os.environ, _PROBE_VARIANT=variant)
+        r = subprocess.run(
+            [sys.executable, "-u", os.path.abspath(__file__)],
+            env=env, cwd=repo,
+        )
+        if r.returncode != 0:
+            print(f"[probe] variant {variant} FAILED rc={r.returncode}",
+                  file=sys.stderr, flush=True)
+
+
+if __name__ == "__main__":
+    v = os.environ.get("_PROBE_VARIANT")
+    if v:
+        sys.path.insert(
+            0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        )
+        run_variant(v)
+    else:
+        main()

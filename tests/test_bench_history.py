@@ -125,6 +125,43 @@ def test_no_backend_failure_with_empty_history(tmp_path, monkeypatch, capsys):
     assert out["ok"] is False and out["last_good"] is None
 
 
+def test_spectrogram_fingerprint_is_disjoint_and_mode_dispatched(
+    monkeypatch,
+):
+    """BENCH_MODE=spectrogram entries must never share a fingerprint with
+    pcm entries (the regression gate compares same-fingerprint runs), and
+    the no-backend failure path must look up the RIGHT mode's history."""
+    mod = _bench_module()
+    pcm = mod.expected_fingerprint(mod.make_config())
+    spec = mod.expected_fingerprint_spec(mod.make_spec_config())
+    assert spec["mode"] == "spectrogram" and "mode" not in pcm
+    assert spec != pcm
+    assert mod.current_fingerprint() == pcm
+    monkeypatch.setenv("BENCH_MODE", "spectrogram")
+    assert mod.current_fingerprint() == spec
+
+
+def test_bench_spectrogram_mode_end_to_end(tmp_path, monkeypatch, capsys):
+    """BENCH_MODE=spectrogram runs the full bench body on the CPU backend
+    at a tiny shape: plants found, JSON emitted, fingerprinted history
+    entry appended (VERDICT r3 #5 — config #4 now sits under the same
+    regression gate as the pcm path)."""
+    monkeypatch.setenv("BENCH_MODE", "spectrogram")
+    monkeypatch.setenv("BENCH_EPISODE_SECS", "60")
+    monkeypatch.setenv("BENCH_EPISODES", "2")
+    monkeypatch.setenv("BENCH_QUERIES", "2")
+    hist = tmp_path / "history.jsonl"
+    monkeypatch.setenv("BENCH_HISTORY_PATH", str(hist))
+    mod = _bench_module()  # re-exec so EPISODE_SECS picks up the env
+    assert mod.main_spectrogram() == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["ok"] is True and out["value"] > 0
+    assert "spectrogram" in out["metric"]
+    (entry,) = _entries(hist)
+    assert entry["fingerprint"]["mode"] == "spectrogram"
+    assert entry["result"]["device_resident_value"] > 0
+
+
 def test_acquire_backend_retries_until_probe_succeeds(monkeypatch):
     """Dead-relay probes must retry with backoff inside the budget (round
     3 lost its capture to a single 600 s window in a multi-hour outage)."""

@@ -223,6 +223,47 @@ def test_sharded_spectrogram_stage_dtype_and_row_pad(rng):
     assert abs(best.position - at) <= 256
 
 
+def test_spectrogram_pad_width_bounds_air():
+    """The staged width adapts to the episode (VERDICT r3 #5): padding
+    stays ≤25% above the 2^18 floor, tiny shapes share one bucket, and
+    near-full 4M multiples keep the coarse quantum."""
+    from audio_matcher_tpu.parallel.sweep import spectrogram_pad_width
+
+    # tiny episodes share ONE compiled shape at the floor
+    assert spectrogram_pad_width(4000, 1024) == 1 << 18
+    assert spectrogram_pad_width(0, 128) == 1 << 18
+    # big episodes just under a 4M multiple keep the coarse quantum
+    n = 8 * (1 << 22) - 1000
+    assert spectrogram_pad_width(n, 1024) == 8 * (1 << 22)
+    # a 5-min 44.1 kHz episode padded ~27% under the old fixed 4M bucket
+    n = 300 * 44100
+    p = spectrogram_pad_width(n, 1024)
+    assert n <= p <= 1.25 * n
+    assert p % (1 << 18) == 0
+    # never narrower than the FFT frame
+    assert spectrogram_pad_width(1, 1 << 20) >= 1 << 20
+
+
+def test_spectrogram_staged_width_adapts(rng):
+    """A short episode stages at the 2^18-sample floor, not the old fixed
+    4M bucket (wire bytes and STFT compute track the episode length)."""
+    from audio_matcher_tpu.parallel.mesh import make_mesh
+    from audio_matcher_tpu.parallel.sweep import ShardedSpectrogramScanner
+
+    snippet = make_snippet(rng)
+    ep = (rng.standard_normal(8 * SR) * 0.05).astype(np.float32)
+    at = 3 * SR
+    ep[at : at + len(snippet)] += snippet
+    cfg = SpectrogramConfig(distance_secs=10.0)
+    sc = ShardedSpectrogramScanner([snippet], SR, cfg, make_mesh(1))
+    staged = sc.stage_resident([ep])
+    dev = staged[0][0] if isinstance(staged[0], tuple) else staged[0]
+    assert dev.shape[-1] == 1 << 18
+    peaks = sc.scan_staged(staged)[0][0]
+    best = max(peaks, key=lambda p: p.height)
+    assert abs(best.position - at) <= cfg.hop
+
+
 def test_spectrogram_matcher_short_episode_returns_empty(rng):
     """Review r3: an episode shorter than the query yields no matches —
     not a ValueError (mirrors the PCM path's short-input handling)."""
