@@ -71,10 +71,16 @@ def init_distributed(
     try:
         jax.distributed.initialize(**kwargs)
     except RuntimeError as e:
-        # the XLA backend is already up (e.g. a library user touched jax
-        # before calling us): joining is impossible now — degrade to
-        # single-process instead of killing the sweep
-        log.warning("cannot join distributed cluster: %s", e)
+        # Degrade ONLY for the auto-detected single-host case where the
+        # XLA backend is already up (a library user touched jax first):
+        # joining is impossible then, and single-process is correct. An
+        # EXPLICITLY configured cluster member must stay loud — silently
+        # dropping to single-process would double-scan the archive while
+        # the peers hang at the initialize barrier. Other runtime
+        # failures (coordinator unreachable, etc.) also stay loud.
+        if kwargs or "before any JAX calls" not in str(e):
+            raise
+        log.warning("cannot join auto-detected cluster: %s", e)
         return False
     _DISTRIBUTED_INITIALIZED = True
     log.info(

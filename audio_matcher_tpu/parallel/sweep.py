@@ -389,7 +389,7 @@ class ShardedSpectrogramScanner:
 
     def __init__(self, snippets, sr, config=None, mesh=None):
         from ..models.spectrogram import SpectrogramConfig
-        from ..ops.stft import log_mel, mel_filterbank
+        from ..ops.stft import mel_filterbank
         from .mesh import make_mesh
 
         self.sr = int(sr)
@@ -397,23 +397,46 @@ class ShardedSpectrogramScanner:
         self.mesh = mesh or make_mesh()
         cfg = self.config
         self._fb = np.asarray(mel_filterbank(cfg.n_mels, cfg.n_fft, self.sr))
-        fps = [
-            np.asarray(
-                log_mel(np.asarray(s, np.float32), self.sr,
-                        cfg.n_fft, cfg.hop, cfg.n_mels)
-            )
-            for s in snippets
-        ]
-        self._t_ss = tuple(fp.shape[0] for fp in fps)
-        t_max = max(self._t_ss)
-        padded = np.zeros((len(fps), t_max, cfg.n_mels), np.float32)
-        for q, fp in enumerate(fps):
-            padded[q, : fp.shape[0]] = fp
-        self._snip_fps = padded
+        self._snippets = [np.asarray(s, np.float32) for s in snippets]
+        # frame counts are closed-form (log_mel pads short inputs to
+        # n_fft) — no device work needed to know the shapes
+        self._t_ss = tuple(
+            1 + (max(len(s), cfg.n_fft) - cfg.n_fft) // cfg.hop
+            for s in self._snippets
+        )
+        self._snip_fps_cache: np.ndarray | None = None
         self.distance_frames = max(
             int(cfg.distance_secs * self.sr / cfg.hop), 1
         )
         self._step_cache: dict = {}
+
+    @property
+    def _snip_fps(self) -> np.ndarray:
+        """Padded [Q, t_max, n_mels] query fingerprints, computed lazily:
+        construction and :meth:`stage_resident` stay EXECUTION-FREE so a
+        batch of episodes can stage on the relay's pre-execution fast
+        upload path (the device log_mel here was the first execution —
+        it silently flipped every later upload onto the ~30–160 MB/s
+        post-execution path; same rationale as ShardedScanner's lazy
+        query spectra)."""
+        if self._snip_fps_cache is None:
+            from ..ops.stft import log_mel
+
+            cfg = self.config
+            fps = [
+                np.asarray(
+                    log_mel(s, self.sr, cfg.n_fft, cfg.hop, cfg.n_mels)
+                )
+                for s in self._snippets
+            ]
+            assert tuple(fp.shape[0] for fp in fps) == self._t_ss
+            padded = np.zeros(
+                (len(fps), max(self._t_ss), cfg.n_mels), np.float32
+            )
+            for q, fp in enumerate(fps):
+                padded[q, : fp.shape[0]] = fp
+            self._snip_fps_cache = padded
+        return self._snip_fps_cache
 
     def stage_resident(
         self,

@@ -53,28 +53,23 @@ def make_audio(rng, secs, snippet, offsets):
     return x
 
 
-def measure_tpu(episode, snippets, config, n_episodes=None):
-    """Stage-then-scan throughput over a batch of episodes × query
-    snippets (the batch-scan regime, BASELINE config #3): all episode
-    uploads happen BEFORE the first program execution (the host→device
-    path of tunneled links degrades sharply once the execution stream
-    starts), then every staged window's forward FFT is shared across all
-    queries. Staging time is included; returns seconds per
-    (episode, snippet) pair."""
-    if n_episodes is None:
-        n_episodes = int(os.environ.get("BENCH_EPISODES", "4"))
+def _measure_staged_scan(scanner, episode, transfer_dtype, n_episodes,
+                         n_queries, label):
+    """Shared stage→fence→warm→scan timing core for BOTH bench modes:
+    all episode uploads happen BEFORE the first program execution (the
+    host→device path of tunneled links degrades sharply once the
+    execution stream starts — scanner construction and
+    ``stage_resident`` are execution-free by contract). Staging time is
+    included in the e2e number; returns seconds per (episode, snippet)
+    pair (e2e, device-resident) and the primary query's peaks.
+
+    NOTE: deliberately NO persistent compilation cache here. The axon
+    relay bypasses it on TPU, and on CPU a cache dir shared across
+    heterogeneous hosts can load AOT executables compiled for another
+    machine type — observed to produce silently WRONG peak results
+    (XLA logs a feature-mismatch error but still runs the executable).
+    """
     import jax
-
-    # NOTE: deliberately NO persistent compilation cache here. The axon
-    # relay bypasses it on TPU, and on CPU a cache dir shared across
-    # heterogeneous hosts can load AOT executables compiled for another
-    # machine type — observed to produce silently WRONG peak results
-    # (XLA logs a feature-mismatch error but still runs the executable).
-
-    from audio_matcher_tpu.parallel.mesh import make_mesh
-    from audio_matcher_tpu.parallel.sweep import ShardedScanner
-
-    scanner = ShardedScanner(snippets, SR, config, mesh=make_mesh(1))
 
     # untimed: first-touch link/backend init (a fixed ~10s session cost on
     # the relay, unrelated to data volume)
@@ -83,13 +78,13 @@ def measure_tpu(episode, snippets, config, n_episodes=None):
     # untimed: the int16 wire samples stand in for the native decoder's
     # output (mpg123 decodes to int16; the f32 PCM scaling is applied on
     # device) — quantization is decode work, not scan work
-    if config.transfer_dtype != "float32":
+    if transfer_dtype != "float32":
         # ONE definition of the wire grid (handles int16 AND mulaw8 —
         # a float pass-through would push mu-law companding into the
         # timed staging phase)
         from audio_matcher_tpu.models.matcher import quantize_wire
 
-        episode_wire = quantize_wire(episode, config.transfer_dtype)
+        episode_wire = quantize_wire(episode, transfer_dtype)
     else:
         episode_wire = episode
 
@@ -119,12 +114,12 @@ def measure_tpu(episode, snippets, config, n_episodes=None):
     # correctness: every episode must find the primary query's plants
     peaks = [per_query[0] for per_query in results]
 
-    n_pairs = n_episodes * len(snippets)
+    n_pairs = n_episodes * n_queries
     print(
-        f"[bench] stage {n_episodes} episodes "
+        f"[bench] {label}stage {n_episodes} episodes "
         f"({staged_bytes / 1e6:.0f}MB in {len(chunks)} put(s), "
-        f"{config.transfer_dtype}): "
-        f"{t_stage:.2f}s; batch scan x{len(snippets)} queries: "
+        f"{transfer_dtype}): "
+        f"{t_stage:.2f}s; batch scan x{n_queries} queries: "
         f"{t_compute:.2f}s (amortized per-pair match latency "
         f"{t_compute / n_pairs * 1e3:.0f} ms)",
         file=sys.stderr,
@@ -132,59 +127,36 @@ def measure_tpu(episode, snippets, config, n_episodes=None):
     return ((t_stage + t_compute) / n_pairs, t_compute / n_pairs), peaks
 
 
-def measure_tpu_spectrogram(episode, snippets, config, n_episodes=None):
-    """Stage-then-scan throughput for the spectrogram family (BASELINE
-    config #4 at batch scale): same phases and fences as
-    :func:`measure_tpu`, with log-mel + tiled multi-query ZNCC + on-device
-    peaks as the resident program. Returns seconds per (episode, snippet)
-    pair (e2e, device-resident) and the primary query's peaks."""
+def measure_tpu(episode, snippets, config, n_episodes=None):
+    """Batch-scan regime, BASELINE config #3 (see _measure_staged_scan)."""
     if n_episodes is None:
         n_episodes = int(os.environ.get("BENCH_EPISODES", "4"))
-    import jax
+    from audio_matcher_tpu.parallel.mesh import make_mesh
+    from audio_matcher_tpu.parallel.sweep import ShardedScanner
 
+    scanner = ShardedScanner(snippets, SR, config, mesh=make_mesh(1))
+    return _measure_staged_scan(
+        scanner, episode, config.transfer_dtype, n_episodes,
+        len(snippets), "",
+    )
+
+
+def measure_tpu_spectrogram(episode, snippets, config, n_episodes=None):
+    """Spectrogram family, BASELINE config #4: log-mel + tiled
+    multi-query ZNCC + on-device peaks as the resident program (same
+    phases/fences — see _measure_staged_scan)."""
+    if n_episodes is None:
+        n_episodes = int(os.environ.get("BENCH_EPISODES", "4"))
     from audio_matcher_tpu.parallel.mesh import make_mesh
     from audio_matcher_tpu.parallel.sweep import ShardedSpectrogramScanner
 
     scanner = ShardedSpectrogramScanner(
         snippets, SR, config, mesh=make_mesh(1)
     )
-
-    # untimed: link/backend init + the wire quantization (decode work —
-    # see measure_tpu's int16 rationale)
-    jax.device_put(np.zeros(1024, np.int16)).block_until_ready()
-    if config.transfer_dtype != "float32":
-        from audio_matcher_tpu.models.matcher import quantize_wire
-
-        episode_wire = quantize_wire(episode, config.transfer_dtype)
-    else:
-        episode_wire = episode
-
-    t_stage0 = time.perf_counter()
-    staged = scanner.stage_resident([episode_wire] * n_episodes)
-    chunks = staged[0] if isinstance(staged[0], tuple) else (staged[0],)
-    for c in chunks:
-        c.block_until_ready()
-    t_stage = time.perf_counter() - t_stage0
-    staged_bytes = sum(c.nbytes for c in chunks)
-
-    scanner.scan_staged(staged)  # untimed: compile + first run
-    jax.effects_barrier()
-
-    t0 = time.perf_counter()
-    results = scanner.scan_staged(staged)
-    t_compute = time.perf_counter() - t0
-    peaks = [per_query[0] for per_query in results]
-
-    n_pairs = n_episodes * len(snippets)
-    print(
-        f"[bench] spectrogram stage {n_episodes} episodes "
-        f"({staged_bytes / 1e6:.0f}MB in {len(chunks)} put(s), "
-        f"{config.transfer_dtype}): {t_stage:.2f}s; "
-        f"batch scan x{len(snippets)} queries: {t_compute:.2f}s "
-        f"(amortized per-pair {t_compute / n_pairs * 1e3:.0f} ms)",
-        file=sys.stderr,
+    return _measure_staged_scan(
+        scanner, episode, config.transfer_dtype, n_episodes,
+        len(snippets), "spectrogram ",
     )
-    return ((t_stage + t_compute) / n_pairs, t_compute / n_pairs), peaks
 
 
 def measure_cpu_baseline(episode, snippet, config):
@@ -552,11 +524,12 @@ def acquire_backend(per_attempt_s: float, budget_s: float) -> None:
     print(f"[bench] backend: {got['devices']}", file=sys.stderr)
 
 
-def main_spectrogram() -> int:
-    """BENCH_MODE=spectrogram body (backend already acquired)."""
+def make_bench_inputs(n_queries):
+    """Deterministic snippets/offsets/episode shared by BOTH bench modes.
+    Query lengths 10–13.5 s: varied (exercises per-query valid masking)
+    while keeping the pcm FFT bucket at 2^22 for any query count; plants
+    stay inside shrunken BENCH_EPISODE_SECS runs."""
     rng = np.random.default_rng(42)
-    n_episodes = int(os.environ.get("BENCH_EPISODES", "4"))
-    n_queries = spec_queries_default()
     snippets = [
         np.clip(
             rng.standard_normal(
@@ -571,6 +544,46 @@ def main_spectrogram() -> int:
         if (o + SNIPPET_SECS + 0.5) < EPISODE_SECS
     ] or [0.0]
     episode = make_audio(rng, EPISODE_SECS, snippets[0], offsets)
+    return snippets, offsets, episode
+
+
+def check_plants(peaks, offsets, distance_secs, tol, label="") -> bool:
+    """Every episode must find the primary query's plants within ``tol``
+    samples. When a shrunken BENCH_EPISODE_SECS puts the plants within
+    the min-distance, suppression legitimately keeps only one (and exact
+    height ties make WHICH one nondeterministic on threaded-CPU runs) —
+    the check then relaxes to at-least-one-near-a-plant. The default
+    config keeps them ≥ distance apart → strict zip-wise check."""
+    want = sorted(int(o * SR) for o in offsets)
+    gaps_ok = len(offsets) > 1 and (
+        offsets[1] - offsets[0]
+    ) >= distance_secs
+    ok = True
+    for e, ep_peaks in enumerate(peaks):
+        got = sorted(p.position for p in ep_peaks if p.height > 0.5)
+        if gaps_ok:
+            good = len(got) == len(want) and all(
+                abs(a - b) <= tol for a, b in zip(got, want)
+            )
+        else:
+            good = len(got) >= 1 and all(
+                any(abs(g - w) <= tol for w in want) for g in got
+            )
+        if not good:
+            ok = False
+            print(
+                f"bench correctness check failed ({label}episode {e}): "
+                f"got {got}, want {want} (±{tol})",
+                file=sys.stderr,
+            )
+    return ok
+
+
+def main_spectrogram() -> int:
+    """BENCH_MODE=spectrogram body (backend already acquired)."""
+    n_episodes = int(os.environ.get("BENCH_EPISODES", "4"))
+    n_queries = spec_queries_default()
+    snippets, offsets, episode = make_bench_inputs(n_queries)
     config = make_spec_config()
 
     (per_pair, per_pair_scan), peaks = measure_tpu_spectrogram(
@@ -580,27 +593,10 @@ def main_spectrogram() -> int:
     value = hours / per_pair
     value_scan = hours / per_pair_scan
 
-    # offsets are frame-accurate (hop grid); plants closer than the
-    # min-distance legitimately suppress down to one (see main)
-    want = sorted(int(o * SR) for o in offsets)
-    gaps_ok = len(offsets) > 1 and (
-        offsets[1] - offsets[0]
-    ) >= config.distance_secs
-    ok = True
-    for e, ep_peaks in enumerate(peaks):
-        got = sorted(p.position for p in ep_peaks if p.height > 0.5)
-        good = len(got) >= 1 and all(
-            any(abs(g - w) <= config.hop for w in want) for g in got
-        )
-        if gaps_ok:
-            good = good and len(got) == len(want)
-        if not good:
-            ok = False
-            print(
-                f"bench correctness check failed (spectrogram, episode "
-                f"{e}): got {got}, want {want} (±{config.hop})",
-                file=sys.stderr,
-            )
+    # offsets are frame-accurate → tolerance is one hop
+    ok = check_plants(
+        peaks, offsets, config.distance_secs, config.hop, "spectrogram, "
+    )
 
     baseline = measure_cpu_baseline_spectrogram(episode, snippets[0], config)
     print(
@@ -641,26 +637,9 @@ def main() -> int:
     )
     if os.environ.get("BENCH_MODE", "pcm") == "spectrogram":
         return main_spectrogram()
-    rng = np.random.default_rng(42)
     n_episodes = int(os.environ.get("BENCH_EPISODES", "4"))
     n_queries = int(os.environ.get("BENCH_QUERIES", "64"))
-    # query lengths 10-13.5 s: varied (exercises per-query valid masking)
-    # while keeping the FFT bucket at 2^22 for any query count
-    snippets = [
-        np.clip(
-            rng.standard_normal(
-                int((SNIPPET_SECS + 0.5 * (q % 8)) * SR)
-            ) * 0.15,
-            -0.45, 0.45,
-        ).astype(np.float32)
-        for q in range(n_queries)
-    ]
-    # keep plants inside shrunken BENCH_EPISODE_SECS runs
-    offsets = [
-        o for o in (21.0, EPISODE_SECS * 0.55)
-        if (o + SNIPPET_SECS + 0.5) < EPISODE_SECS
-    ] or [0.0]
-    episode = make_audio(rng, EPISODE_SECS, snippets[0], offsets)
+    snippets, offsets, episode = make_bench_inputs(n_queries)
 
     config = make_config()
 
@@ -669,32 +648,8 @@ def main() -> int:
     value = hours / per_pair  # pair audio-hours per second
     value_scan = hours / per_pair_scan  # device-resident (staging excluded)
 
-    want = sorted(int(o * SR) for o in offsets)
-    # when a shrunken BENCH_EPISODE_SECS puts the plants within the
-    # min-distance, suppression legitimately keeps only one (and exact
-    # height ties make WHICH one nondeterministic on threaded-CPU runs);
-    # the default config keeps them ≥ distance apart → strict check
-    gaps_ok = len(offsets) > 1 and (
-        offsets[1] - offsets[0]
-    ) >= config.distance_secs
-    ok = True
-    for e, ep_peaks in enumerate(peaks):
-        got = sorted(p.position for p in ep_peaks if p.height > 0.5)
-        if gaps_ok:
-            good = len(got) == len(want) and all(
-                abs(a - b) <= 1 for a, b in zip(got, want)
-            )
-        else:
-            good = len(got) >= 1 and all(
-                any(abs(g - w) <= 1 for w in want) for g in got
-            )
-        if not good:
-            ok = False
-            print(
-                f"bench correctness check failed (episode {e}): "
-                f"got {got}, want {want}",
-                file=sys.stderr,
-            )
+    # sample-exact matching → tolerance 1
+    ok = check_plants(peaks, offsets, config.distance_secs, 1)
 
     baseline = measure_cpu_baseline(episode, snippets[0], config)
     print(

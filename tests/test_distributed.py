@@ -164,3 +164,28 @@ def test_init_distributed_degrades_when_backend_already_up(monkeypatch):
 
     monkeypatch.setattr(jax.distributed, "initialize", boom)
     assert mesh_mod.init_distributed() is False
+
+
+def test_init_distributed_explicit_cluster_failure_stays_loud(monkeypatch):
+    """An EXPLICITLY configured cluster member must not silently degrade
+    to single-process (it would double-scan the archive while its peers
+    hang at the initialize barrier) — any join failure raises."""
+    import pytest
+
+    import jax
+
+    from audio_matcher_tpu.parallel import mesh as mesh_mod
+
+    monkeypatch.setattr(mesh_mod, "_DISTRIBUTED_INITIALIZED", False)
+
+    def boom(**kw):
+        raise RuntimeError("DEADLINE_EXCEEDED: coordinator unreachable")
+
+    monkeypatch.setattr(jax.distributed, "initialize", boom)
+    with pytest.raises(RuntimeError, match="DEADLINE_EXCEEDED"):
+        mesh_mod.init_distributed("10.0.0.1:1234", 2, 1)
+    # and an unrelated runtime failure during auto-detect stays loud too
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "host-a,host-b")
+    monkeypatch.delenv("AM_COORDINATOR", raising=False)
+    with pytest.raises(RuntimeError, match="DEADLINE_EXCEEDED"):
+        mesh_mod.init_distributed()

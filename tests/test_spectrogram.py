@@ -264,6 +264,37 @@ def test_spectrogram_staged_width_adapts(rng):
     assert abs(best.position - at) <= cfg.hop
 
 
+def test_spectrogram_scanner_staging_is_execution_free(rng, monkeypatch):
+    """Scanner construction + host-pad stage_resident must run NO device
+    program: the query log_mel (a jitted execution) is computed lazily at
+    scan time, so a staged batch rides the relay's pre-execution fast
+    upload path (review r4 — the eager fingerprints silently flipped
+    every bench upload onto the ~30–160 MB/s post-execution path)."""
+    from audio_matcher_tpu.ops import stft as stft_mod
+    from audio_matcher_tpu.parallel.mesh import make_mesh
+    from audio_matcher_tpu.parallel.sweep import ShardedSpectrogramScanner
+
+    calls = []
+    real = stft_mod.log_mel
+    monkeypatch.setattr(
+        stft_mod, "log_mel",
+        lambda *a, **k: (calls.append(1), real(*a, **k))[1],
+    )
+    snippet = make_snippet(rng)
+    sc = ShardedSpectrogramScanner(
+        [snippet], SR, SpectrogramConfig(distance_secs=10.0), make_mesh(1)
+    )
+    ep = (rng.standard_normal(8 * SR) * 0.05).astype(np.float32)
+    at = 3 * SR
+    ep[at : at + len(snippet)] += snippet
+    staged = sc.stage_resident([ep])
+    assert not calls, "staging computed query fingerprints eagerly"
+    peaks = sc.scan_staged(staged)[0][0]
+    assert calls, "scan must lazily compute the fingerprints"
+    best = max(peaks, key=lambda p: p.height)
+    assert abs(best.position - at) <= sc.config.hop
+
+
 def test_spectrogram_matcher_short_episode_returns_empty(rng):
     """Review r3: an episode shorter than the query yields no matches —
     not a ValueError (mirrors the PCM path's short-input handling)."""
