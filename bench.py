@@ -193,19 +193,19 @@ def measure_cpu_baseline(episode, snippet, config):
     return 1.0 / (per_window * windows_per_hour)  # audio-hours/sec
 
 
-def measure_cpu_baseline_spectrogram(episode, snippet, config):
-    """Single-core scipy/numpy pipeline with the device path's exact
-    semantics (hann STFT → mel matmul → log → FFT-based patch-flat ZNCC
-    with cumsum window norms → find_peaks), timed on a 60 s slice and
-    extrapolated — both stages are linear in episode length, and the full
-    half-hour episode would take minutes on the 1-vCPU host."""
+def cpu_spectrogram_scores(episode, snippet, config, sr=None):
+    """Single-core scipy/numpy ZNCC scores with the device path's exact
+    semantics: hann STFT → mel matmul → log → FFT-based patch-flat ZNCC
+    with cumsum window norms. Pinned against ops.stft.fingerprint_scores
+    by tests/test_bench_history.py so vs_baseline can't silently measure
+    a different algorithm."""
     import scipy.fft
-    import scipy.signal
 
     from audio_matcher_tpu.ops.stft import mel_filterbank
 
     cfg = config
-    fb_t = mel_filterbank(cfg.n_mels, cfg.n_fft, SR).T  # [bins, mels]
+    sr = SR if sr is None else sr
+    fb_t = mel_filterbank(cfg.n_mels, cfg.n_fft, sr).T  # [bins, mels]
     win = np.hanning(cfg.n_fft).astype(np.float32)
 
     def logmel(x):
@@ -221,28 +221,38 @@ def measure_cpu_baseline_spectrogram(episode, snippet, config):
     s0 = (snip_fp - snip_fp.mean()).astype(np.float32)
     snorm = float(np.sqrt((s0 * s0).sum()))
     patch = t_s * cfg.n_mels
+    ep_fp = logmel(episode)
+    n_valid = ep_fp.shape[0] - t_s + 1
+    L = scipy.fft.next_fast_len(ep_fp.shape[0] + t_s - 1, real=True)
+    S = scipy.fft.rfft(s0.T, n=L, axis=1, workers=1)  # [M, F]
+    E = scipy.fft.rfft(ep_fp.T, n=L, axis=1, workers=1)
+    corr = scipy.fft.irfft(
+        (E * np.conj(S)).sum(axis=0), n=L, workers=1
+    )[:n_valid]
+    s1 = np.concatenate([[0.0], np.cumsum(ep_fp.sum(axis=1))])
+    s2 = np.concatenate([[0.0], np.cumsum((ep_fp * ep_fp).sum(axis=1))])
+    win_sum = s1[t_s:] - s1[:-t_s]
+    win_norm2 = np.maximum(
+        (s2[t_s:] - s2[:-t_s]) - win_sum * win_sum / patch, 0.0
+    )
+    return corr / (np.sqrt(win_norm2[:n_valid]) * snorm + 1e-8)
+
+
+def measure_cpu_baseline_spectrogram(episode, snippet, config):
+    """Single-core pipeline cost (see :func:`cpu_spectrogram_scores` for
+    the semantics), timed on a 60 s slice and extrapolated — both stages
+    are linear in episode length, and the full half-hour episode would
+    take minutes on the 1-vCPU host."""
+    import scipy.signal
+
+    cfg = config
     slice_secs = min(60.0, len(episode) / SR)
     x = episode[: int(slice_secs * SR)]
 
     elapsed = float("inf")
     for _ in range(3):  # best-of-3 (see measure_cpu_baseline)
         t0 = time.perf_counter()
-        ep_fp = logmel(x)
-        t_e = ep_fp.shape[0]
-        n_valid = t_e - t_s + 1
-        L = scipy.fft.next_fast_len(t_e + t_s - 1, real=True)
-        S = scipy.fft.rfft(s0.T, n=L, axis=1, workers=1)  # [M, F]
-        E = scipy.fft.rfft(ep_fp.T, n=L, axis=1, workers=1)
-        corr = scipy.fft.irfft(
-            (E * np.conj(S)).sum(axis=0), n=L, workers=1
-        )[:n_valid]
-        s1 = np.concatenate([[0.0], np.cumsum(ep_fp.sum(axis=1))])
-        s2 = np.concatenate([[0.0], np.cumsum((ep_fp * ep_fp).sum(axis=1))])
-        win_sum = s1[t_s:] - s1[:-t_s]
-        win_norm2 = np.maximum(
-            (s2[t_s:] - s2[:-t_s]) - win_sum * win_sum / patch, 0.0
-        )
-        scores = corr / (np.sqrt(win_norm2[:n_valid]) * snorm + 1e-8)
+        scores = cpu_spectrogram_scores(x, snippet, cfg)
         frame_distance = max(int(cfg.distance_secs * SR / cfg.hop), 1)
         scipy.signal.find_peaks(
             scores, distance=min(frame_distance, max(len(scores) - 1, 1))

@@ -162,6 +162,38 @@ def test_bench_spectrogram_mode_end_to_end(tmp_path, monkeypatch, capsys):
     assert entry["result"]["device_resident_value"] > 0
 
 
+def test_cpu_spectrogram_baseline_matches_device_semantics():
+    """The scipy baseline pipeline must compute the SAME scores as the
+    device path (ops.stft log_mel + fingerprint_scores) — otherwise
+    vs_baseline compares against a different algorithm."""
+    import numpy as np
+
+    from audio_matcher_tpu.models.spectrogram import SpectrogramConfig
+    from audio_matcher_tpu.ops.stft import fingerprint_scores, log_mel
+
+    mod = _bench_module()
+    sr = 8000
+    rng = np.random.default_rng(11)
+    t = np.arange(2 * sr) / sr
+    snippet = (0.2 * np.sin(2 * np.pi * 330 * t)).astype(np.float32)
+    episode = (rng.standard_normal(20 * sr) * 0.05).astype(np.float32)
+    episode[5 * sr : 5 * sr + len(snippet)] += snippet
+
+    cfg = SpectrogramConfig(n_fft=256, hop=64, n_mels=32)
+    got = mod.cpu_spectrogram_scores(episode, snippet, cfg, sr=sr)
+    want = np.asarray(
+        fingerprint_scores(
+            log_mel(episode, sr, cfg.n_fft, cfg.hop, cfg.n_mels),
+            log_mel(snippet, sr, cfg.n_fft, cfg.hop, cfg.n_mels),
+        )
+    )
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+    # and both see the plant where it was planted (additive sine over
+    # noise: the score ridge is a couple of frames wide)
+    assert abs(int(got.argmax()) * cfg.hop - 5 * sr) <= 2 * cfg.hop
+
+
 def test_acquire_backend_retries_until_probe_succeeds(monkeypatch):
     """Dead-relay probes must retry with backoff inside the budget (round
     3 lost its capture to a single 600 s window in a multi-hour outage)."""
