@@ -162,6 +162,33 @@ def test_bench_spectrogram_mode_end_to_end(tmp_path, monkeypatch, capsys):
     assert entry["result"]["device_resident_value"] > 0
 
 
+def test_bench_pcm_mode_end_to_end(tmp_path, monkeypatch, capsys):
+    """The default (pcm) bench body runs end-to-end on the CPU backend at
+    a tiny shape — guards the shared _measure_staged_scan/check_plants
+    scaffold both gated modes now go through."""
+    monkeypatch.setenv("BENCH_EPISODE_SECS", "60")
+    monkeypatch.setenv("BENCH_EPISODES", "2")
+    monkeypatch.setenv("BENCH_QUERIES", "2")
+    # compiled-on-CPU impls (the production vpu+pallas pair would run the
+    # pallas interpreter here — minutes instead of seconds)
+    monkeypatch.setenv("BENCH_FFT_IMPL", "xla_packed")
+    monkeypatch.setenv("BENCH_PEAKS_IMPL", "jnp")
+    hist = tmp_path / "history.jsonl"
+    monkeypatch.setenv("BENCH_HISTORY_PATH", str(hist))
+    mod = _bench_module()
+    # skip backend acquisition (separately tested): its probe SUBPROCESS
+    # inherits PALLAS_AXON_POOL_IPS and would retry the axon relay for
+    # the whole BENCH_BACKEND_BUDGET — the in-process backend is already
+    # the conftest CPU mesh
+    monkeypatch.setattr(mod, "acquire_backend", lambda *a, **k: None)
+    assert mod.main() == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["ok"] is True and out["value"] > 0
+    (entry,) = _entries(hist)
+    assert entry["fingerprint"]["fft_impl"] == "xla_packed"
+    assert "mode" not in entry["fingerprint"]
+
+
 def test_cpu_spectrogram_baseline_matches_device_semantics():
     """The scipy baseline pipeline must compute the SAME scores as the
     device path (ops.stft log_mel + fingerprint_scores) — otherwise
