@@ -1,0 +1,127 @@
+"""Driver for the round-4 hardware staging experiments (VERDICT r3 #3/#4).
+
+Waits for the axon relay (bounded probes), then runs, in order:
+
+  1. probe_staging_fence.py — the fence/warmup A/B at the literal
+     config-#3 byte volume (what ends the pre-execution fast path?)
+  2. a piece-size sweep on the best-looking fence variant
+     (AUDIO_MATCHER_PUT_BYTES in {128, 256, 512, 768} MB)
+  3. single-pair latency (BASELINE config #2): bench.py at
+     EPISODE_SECS=3600 EPISODES=1 QUERIES=1, int16 vs mulaw8 wire
+  4. the literal config-#3 shape (EPISODES=64 QUERIES=4
+     EPISODE_SECS=600), int16 vs mulaw8
+
+Appends everything to benches/staging_experiments.log (stdout lines are
+also mirrored) so a later session can read the results even if this one
+dies. Each stage is bounded; a dead relay mid-run skips the remainder
+rather than hanging. Run with python -u.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+LOG = os.path.join(REPO, "benches", "staging_experiments.log")
+
+
+def log(msg: str) -> None:
+    line = f"[{time.strftime('%H:%M:%S')}] {msg}"
+    print(line, flush=True)
+    with open(LOG, "a") as f:
+        f.write(line + "\n")
+
+
+def run(cmd, env_extra=None, timeout_s=3600) -> int:
+    env = dict(os.environ)
+    env.update(env_extra or {})
+    log(f"RUN {' '.join(cmd)} env={env_extra}")
+    try:
+        r = subprocess.run(
+            cmd, cwd=REPO, env=env, timeout=timeout_s,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for ln in (r.stdout or "").splitlines()[-30:]:
+            log(f"  | {ln}")
+        log(f"rc={r.returncode}")
+        return r.returncode
+    except subprocess.TimeoutExpired:
+        log("TIMEOUT")
+        return 124
+
+
+def wait_for_relay(budget_s: float = 14400.0) -> bool:
+    t_end = time.monotonic() + budget_s
+    attempt = 0
+    while time.monotonic() < t_end:
+        attempt += 1
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=180, stdout=subprocess.DEVNULL,
+                stderr=subprocess.DEVNULL,
+            )
+            if r.returncode == 0:
+                log(f"relay UP after {attempt} probe(s)")
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        log(f"relay probe {attempt} failed")
+        time.sleep(240)
+    log("relay never answered within budget")
+    return False
+
+
+def main() -> int:
+    if not wait_for_relay(float(os.environ.get("EXP_BUDGET", "14400"))):
+        return 3
+    py = sys.executable
+
+    # 1. fence/warmup A/B (fresh subprocess per variant inside)
+    run([py, "-u", "benches/probe_staging_fence.py"], timeout_s=5400)
+
+    # 2. piece-size sweep on the no-warmup-fence variant
+    for cap_mb in (128, 256, 512):
+        run(
+            [py, "-u", "benches/probe_staging_fence.py"],
+            env_extra={
+                "VARIANTS": "nofence",
+                "AUDIO_MATCHER_PUT_BYTES": str(cap_mb * 2**20),
+            },
+            timeout_s=3600,
+        )
+
+    # 3. single-pair latency (config #2): int16 vs mulaw8
+    for dtype in ("int16", "mulaw8"):
+        run(
+            [py, "-u", "bench.py"],
+            env_extra={
+                "BENCH_EPISODE_SECS": "3600",
+                "BENCH_EPISODES": "1",
+                "BENCH_QUERIES": "1",
+                "BENCH_TRANSFER_DTYPE": dtype,
+            },
+            timeout_s=3600,
+        )
+
+    # 4. literal config-#3 shape: int16 vs mulaw8
+    for dtype in ("int16", "mulaw8"):
+        run(
+            [py, "-u", "bench.py"],
+            env_extra={
+                "BENCH_EPISODE_SECS": "600",
+                "BENCH_EPISODES": "64",
+                "BENCH_QUERIES": "4",
+                "BENCH_TRANSFER_DTYPE": dtype,
+            },
+            timeout_s=5400,
+        )
+    log("experiments complete")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
