@@ -119,6 +119,22 @@ def main() -> int:
             },
             timeout_s=5400,
         )
+
+    # 5. spectrogram mode's first fingerprinted hardware history entry
+    # (VERDICT r3 #5) at the probe's measured shape
+    run(
+        [py, "-u", "bench.py"],
+        env_extra={"BENCH_MODE": "spectrogram"},
+        timeout_s=5400,
+    )
+
+    # 6. canonical batch shape, mulaw8 wire (halves the 635 MB stage; the
+    # in-register mu-law expand may tax the fused forward kernel — A/B)
+    run(
+        [py, "-u", "bench.py"],
+        env_extra={"BENCH_TRANSFER_DTYPE": "mulaw8"},
+        timeout_s=5400,
+    )
     log("experiments complete")
     return 0
 
