@@ -18,6 +18,9 @@ same SIZE_MB int16 buffer split into ≤ AUDIO_MATCHER_PUT_BYTES pieces:
   nowarm     no warmup;        all puts; bur each
   serial     warmup put + bur; put+bur per piece    (stage-as-you-fence)
   nofence    warmup put, NO bur; all puts (dispatch timed); bur at end
+  postexec   warmup put + a tiny EXECUTION + readback first (ends the
+             fast path by construction), then puts + bur — the
+             post-execution rate the dispatch-ahead pipeline would see
 
 Each subprocess prints one JSON line: per-phase seconds + MB/s, plus an
 untimed integrity readback (first/last 64 elements of every piece must
@@ -36,7 +39,7 @@ import time
 import numpy as np
 
 SIZE_MB = int(os.environ.get("SIZE_MB", "3392"))  # literal config-#3 bytes
-VARIANTS = ("bench", "nowarm", "serial", "nofence")
+VARIANTS = ("bench", "nowarm", "serial", "nofence", "postexec")
 
 
 def make_buffer(n_bytes: int) -> np.ndarray:
@@ -64,6 +67,12 @@ def run_variant(variant: str) -> None:
         w = jax.device_put(np.zeros(1024, np.int16))
         if variant != "nofence":
             w.block_until_ready()
+        if variant == "postexec":
+            # a real compiled execution + device→host readback: ends the
+            # pre-execution fast path by construction
+            import jax.numpy as jnp
+
+            _ = np.asarray(jnp.asarray(w) * np.int16(2))[:8]
         t_warm = time.perf_counter() - t0
 
     t0 = time.perf_counter()
