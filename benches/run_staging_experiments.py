@@ -80,6 +80,10 @@ def main() -> int:
         return 3
     py = sys.executable
 
+    # 0. canonical int16 bench FIRST — the round's headline capture must
+    # not be hostage to hours of experiments if the relay dies again
+    run([py, "-u", "bench.py"], timeout_s=5400)
+
     # 1. fence/warmup A/B (fresh subprocess per variant inside)
     run([py, "-u", "benches/probe_staging_fence.py"], timeout_s=5400)
 
