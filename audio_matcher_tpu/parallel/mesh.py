@@ -71,17 +71,23 @@ def init_distributed(
     try:
         jax.distributed.initialize(**kwargs)
     except RuntimeError as e:
-        # Degrade ONLY for the auto-detected single-host case where the
-        # XLA backend is already up (a library user touched jax first):
-        # joining is impossible then, and single-process is correct. An
-        # EXPLICITLY configured cluster member must stay loud — silently
-        # dropping to single-process would double-scan the archive while
-        # the peers hang at the initialize barrier. Other runtime
-        # failures (coordinator unreachable, etc.) also stay loud.
-        if kwargs or "before any JAX calls" not in str(e):
-            raise
-        log.warning("cannot join auto-detected cluster: %s", e)
-        return False
+        # Every join failure stays LOUD. Auto-detection only fires on a
+        # genuine >1-host slice (single-entry TPU_WORKER_HOSTNAMES
+        # returned False above), and on such a slice silently dropping to
+        # single-process would make EVERY host scan the whole archive —
+        # N× duplicate work plus racing label/progress writes — while any
+        # peer that did join hangs at the initialize barrier. The one
+        # recoverable cause (a library user touched jax before us) gets a
+        # actionable message instead of a swallow.
+        if not kwargs and "before any JAX calls" in str(e):
+            raise RuntimeError(
+                "multi-host TPU slice detected (TPU_WORKER_HOSTNAMES="
+                f"{hostnames!r}) but the XLA backend was initialized "
+                "before init_distributed() — call it before any other "
+                "jax use, or set AM_COORDINATOR/AM_NUM_PROCESSES/"
+                "AM_PROCESS_ID explicitly"
+            ) from e
+        raise
     _DISTRIBUTED_INITIALIZED = True
     log.info(
         "joined distributed cluster: process %d/%d, %d global devices",

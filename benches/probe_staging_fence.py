@@ -119,15 +119,27 @@ def run_variant(variant: str) -> None:
 def main() -> None:
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     only = os.environ.get("VARIANTS")
+    # a dead relay mid-variant blocks device_put unboundedly; the bound
+    # here (not in the caller) kills the actual blocked process so no
+    # orphan keeps ~SIZE_MB of host RAM pinned on the 1-vCPU bench box
+    budget_s = float(os.environ.get("VARIANT_BUDGET", "900"))
     for variant in only.split(",") if only else VARIANTS:
         env = dict(os.environ, _PROBE_VARIANT=variant)
-        r = subprocess.run(
-            [sys.executable, "-u", os.path.abspath(__file__)],
-            env=env, cwd=repo,
-        )
-        if r.returncode != 0:
-            print(f"[probe] variant {variant} FAILED rc={r.returncode}",
+        try:
+            r = subprocess.run(
+                [sys.executable, "-u", os.path.abspath(__file__)],
+                env=env, cwd=repo, timeout=budget_s,
+            )
+            rc = r.returncode
+        except subprocess.TimeoutExpired:
+            rc = 124
+        if rc != 0:
+            print(f"[probe] variant {variant} FAILED rc={rc}",
                   file=sys.stderr, flush=True)
+            if rc == 124:
+                print("[probe] relay presumed dead; skipping the rest",
+                      file=sys.stderr, flush=True)
+                sys.exit(124)
 
 
 if __name__ == "__main__":

@@ -2,14 +2,19 @@
 
 Waits for the axon relay (bounded probes), then runs, in order:
 
+  0. the canonical int16 bench — the round's headline capture comes
+     FIRST so hours of experiments can't hold it hostage
   1. probe_staging_fence.py — the fence/warmup A/B at the literal
      config-#3 byte volume (what ends the pre-execution fast path?)
-  2. a piece-size sweep on the best-looking fence variant
-     (AUDIO_MATCHER_PUT_BYTES in {128, 256, 512, 768} MB)
+  2. a piece-size sweep on the nofence variant
+     (AUDIO_MATCHER_PUT_BYTES in {128, 256, 512} MB; 768 MB is the
+     default cap already covered by stage 1)
   3. single-pair latency (BASELINE config #2): bench.py at
      EPISODE_SECS=3600 EPISODES=1 QUERIES=1, int16 vs mulaw8 wire
   4. the literal config-#3 shape (EPISODES=64 QUERIES=4
      EPISODE_SECS=600), int16 vs mulaw8
+  5. spectrogram mode's first fingerprinted hardware history entry
+  6. the canonical batch shape on the mulaw8 wire
 
 Appends everything to benches/staging_experiments.log (stdout lines are
 also mirrored) so a later session can read the results even if this one
@@ -39,18 +44,32 @@ def run(cmd, env_extra=None, timeout_s=3600) -> int:
     env = dict(os.environ)
     env.update(env_extra or {})
     log(f"RUN {' '.join(cmd)} env={env_extra}")
+    # own session + killpg on timeout: a stage that spawns helpers (the
+    # fence probe's per-variant subprocesses, bench.py's backend probes)
+    # must not leave a grandchild blocked in device_put pinning GBs of
+    # host RAM after the stage is killed
+    p = subprocess.Popen(
+        cmd, cwd=REPO, env=env, start_new_session=True,
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+    )
     try:
-        r = subprocess.run(
-            cmd, cwd=REPO, env=env, timeout=timeout_s,
-            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
-        )
-        for ln in (r.stdout or "").splitlines()[-30:]:
-            log(f"  | {ln}")
-        log(f"rc={r.returncode}")
-        return r.returncode
+        out, _ = p.communicate(timeout=timeout_s)
     except subprocess.TimeoutExpired:
-        log("TIMEOUT")
+        import signal
+
+        try:
+            os.killpg(p.pid, signal.SIGKILL)
+        except ProcessLookupError:
+            pass
+        out, _ = p.communicate()
+        for ln in (out or "").splitlines()[-10:]:
+            log(f"  | {ln}")
+        log("TIMEOUT (process group killed)")
         return 124
+    for ln in (out or "").splitlines()[-30:]:
+        log(f"  | {ln}")
+    log(f"rc={p.returncode}")
+    return p.returncode
 
 
 def wait_for_relay(budget_s: float = 14400.0) -> bool:

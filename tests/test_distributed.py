@@ -145,9 +145,14 @@ def test_single_hostname_is_not_a_cluster(monkeypatch):
     assert not called
 
 
-def test_init_distributed_degrades_when_backend_already_up(monkeypatch):
-    """A genuine multi-host hostname list with an already-initialized XLA
-    backend degrades to single-process (warning) instead of raising."""
+def test_init_distributed_backend_already_up_stays_loud(monkeypatch):
+    """A genuine multi-host hostname list (>1 entries) with an
+    already-initialized XLA backend must raise, not silently degrade:
+    on a real slice every host degrading to single-process means N×
+    duplicate scans and racing label writes. The raised error carries
+    the actionable cause (init_distributed before any jax use)."""
+    import pytest
+
     import jax
 
     from audio_matcher_tpu.parallel import mesh as mesh_mod
@@ -163,7 +168,8 @@ def test_init_distributed_degrades_when_backend_already_up(monkeypatch):
         )
 
     monkeypatch.setattr(jax.distributed, "initialize", boom)
-    assert mesh_mod.init_distributed() is False
+    with pytest.raises(RuntimeError, match="before init_distributed"):
+        mesh_mod.init_distributed()
 
 
 def test_init_distributed_explicit_cluster_failure_stays_loud(monkeypatch):
