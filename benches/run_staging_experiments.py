@@ -117,18 +117,25 @@ def main() -> int:
             timeout_s=3600,
         )
 
-    # 3. single-pair latency (config #2): int16 vs mulaw8
-    for dtype in ("int16", "mulaw8"):
-        run(
-            [py, "-u", "bench.py"],
-            env_extra={
-                "BENCH_EPISODE_SECS": "3600",
-                "BENCH_EPISODES": "1",
-                "BENCH_QUERIES": "1",
-                "BENCH_TRANSFER_DTYPE": dtype,
-            },
-            timeout_s=3600,
-        )
+    # 3. single-pair latency (config #2): int16 vs mulaw8, median-of-5
+    # scan phase (one ~0.2 s sample otherwise; the relay swings 2x).
+    # The int16 run also A/Bs piecing the single 340 MB put (the
+    # config-#3 piece sweep in stage 2 runs at 10x this volume — a
+    # single put this small may sit on a different part of the relay's
+    # rate curve).
+    for dtype, cap_mb in (
+        ("int16", None), ("int16", 64), ("int16", 128), ("mulaw8", None),
+    ):
+        env = {
+            "BENCH_EPISODE_SECS": "3600",
+            "BENCH_EPISODES": "1",
+            "BENCH_QUERIES": "1",
+            "BENCH_TRANSFER_DTYPE": dtype,
+            "BENCH_REPEATS": "5",
+        }
+        if cap_mb is not None:
+            env["AUDIO_MATCHER_PUT_BYTES"] = str(cap_mb * 2**20)
+        run([py, "-u", "bench.py"], env_extra=env, timeout_s=3600)
 
     # 4. literal config-#3 shape: int16 vs mulaw8
     for dtype in ("int16", "mulaw8"):
