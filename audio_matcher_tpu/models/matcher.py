@@ -119,7 +119,7 @@ _WIRE_DTYPES = {
 
 # μ-law (μ=255) companding over the reference's ±0.5 full-scale PCM range
 _MU = 255.0
-_ULAW_ENC_LUT = None  # int16 wire value + 32768 → uint8
+_ULAW_ENC_LUT = None  # uint16 VIEW of the int16 wire value → uint8
 _ULAW_DEC_TABLE = None  # uint8 → f32 (reference PCM scale)
 
 
@@ -128,9 +128,15 @@ def _ulaw_tables():
     if _ULAW_ENC_LUT is None:
         w = np.arange(-32768, 32768, dtype=np.float64) / 32768.0
         f = np.sign(w) * np.log1p(_MU * np.abs(w)) / np.log1p(_MU)
-        _ULAW_ENC_LUT = np.clip(
+        enc_by_value = np.clip(
             np.round((f + 1.0) * 127.5), 0, 255
         ).astype(np.uint8)
+        # indexed by the UINT16 VIEW of the int16 wire (two's complement:
+        # v>=0 → v, v<0 → v+65536), so the hot encode is a single gather
+        # with no int32 temporary and no +32768 pass — on the 1-vCPU
+        # bench host the eliminated ~6 bytes/sample of memory traffic is
+        # a real slice of single-pair staging (PERF.md config #2)
+        _ULAW_ENC_LUT = np.roll(enc_by_value, -32768)
         b = np.arange(256, dtype=np.float64) / 127.5 - 1.0
         u = np.sign(b) * (np.expm1(np.abs(b) * np.log1p(_MU))) / _MU
         # wire grid value/65535 semantics: u spans ±1 of the ±32768 range
@@ -155,7 +161,7 @@ def quantize_wire(samples: np.ndarray, transfer_dtype: str) -> np.ndarray:
         return wire
     if transfer_dtype == "mulaw8":
         enc, _ = _ulaw_tables()
-        return enc[wire.astype(np.int32) + 32768]
+        return enc[np.ascontiguousarray(wire).view(np.uint16)]
     raise ValueError(f"unknown transfer_dtype {transfer_dtype!r}")
 
 
@@ -172,6 +178,20 @@ def wire_buffer(shape, transfer_dtype: str) -> np.ndarray:
     if fill == 0:
         return np.zeros(shape, dtype)
     return np.full(shape, fill, dtype)
+
+
+def wire_buffer_uninit(shape, transfer_dtype: str) -> np.ndarray:
+    """Host staging buffer for callers that overwrite the data region and
+    silence-fill only the pad TAIL themselves. For the zero-silence wires
+    (float32/int16) this is still ``np.zeros`` — calloc's untouched pages
+    cost nothing and stay lazily zero, which beats an explicit tail
+    write. For mulaw8 (silence code 128) it is ``np.empty``: the full
+    ``np.full`` pass the caller's overwrite would waste is skipped, but
+    the caller MUST fill every element beyond its data."""
+    dtype = _WIRE_DTYPES[transfer_dtype]
+    if wire_silence(transfer_dtype) == 0:
+        return np.zeros(shape, dtype)
+    return np.empty(shape, dtype)
 
 
 class StagingArena:
@@ -733,8 +753,10 @@ class SnippetMatcher:
         n_windows_pad = -(-n_windows // s) * s
         n_pad = n_windows_pad * self.chunk + self.overlap
         wire = quantize_wire(samples, self.config.transfer_dtype)
-        padded = wire_buffer(n_pad, self.config.transfer_dtype)
+        padded = wire_buffer_uninit(n_pad, self.config.transfer_dtype)
         padded[:n] = wire
+        if padded.dtype == np.uint8:  # mulaw8: empty buffer, fill the tail
+            padded[n:] = wire_silence(self.config.transfer_dtype)
         return _device_put_split(padded), n
 
     def stage_batch(
@@ -752,7 +774,11 @@ class SnippetMatcher:
         n_windows_pad = -(-n_windows // s) * s
         n_pad = n_windows_pad * self.chunk + self.overlap
         dtype = _WIRE_DTYPES[self.config.transfer_dtype]
-        buf = wire_buffer((len(episodes), n_pad), self.config.transfer_dtype)
+        buf = wire_buffer_uninit(
+            (len(episodes), n_pad), self.config.transfer_dtype
+        )
+        fill_tail = buf.dtype == np.uint8  # mulaw8: empty buffer
+        silence = wire_silence(self.config.transfer_dtype)
         for i, ep in enumerate(episodes):
             ep = np.asarray(ep)
             if ep.dtype == dtype:
@@ -763,6 +789,8 @@ class SnippetMatcher:
                 buf[i, : len(ep)] = quantize_wire(
                     ep, self.config.transfer_dtype
                 )
+            if fill_tail:
+                buf[i, len(ep):] = silence
         return _device_put_split(buf), ns
 
     def match(

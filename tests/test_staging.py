@@ -108,6 +108,51 @@ def test_mulaw_tables_roundtrip():
     assert np.max(np.abs(back[big] - x[big]) / np.abs(x[big])) < 0.03
 
 
+def test_mulaw_encode_lut_view_mapping():
+    """The hot encode gathers a pre-ROLLED LUT with the uint16 VIEW of the
+    int16 wire (no int32 temp, no +32768 pass) — pin it against the direct
+    per-value formula over the ENTIRE int16 range, including a
+    non-contiguous input view."""
+    import numpy as np
+
+    from audio_matcher_tpu.models.matcher import _MU, quantize_wire
+
+    wire = np.arange(-32768, 32768, dtype=np.int16)
+    w = wire.astype(np.float64) / 32768.0
+    f = np.sign(w) * np.log1p(_MU * np.abs(w)) / np.log1p(_MU)
+    want = np.clip(np.round((f + 1.0) * 127.5), 0, 255).astype(np.uint8)
+    np.testing.assert_array_equal(quantize_wire(wire, "mulaw8"), want)
+    np.testing.assert_array_equal(
+        quantize_wire(wire[::3], "mulaw8"), want[::3]
+    )
+
+
+def test_stage_tail_is_wire_silence():
+    """stage()/stage_batch() allocate UNINITIALIZED mulaw8 buffers and
+    fill pad tails themselves — every padded element beyond the data must
+    be the mu-law silence code (a stray value would correlate)."""
+    import numpy as np
+
+    from audio_matcher_tpu.models.matcher import _joined, wire_silence
+
+    snippet = (np.linspace(-0.2, 0.2, SR // 2)).astype(np.float32)
+    cfg = MatchConfig(
+        chunk_secs=10, distance_secs=30, slab=4, transfer_dtype="mulaw8"
+    )
+    m = SnippetMatcher(snippet, SR, cfg)
+    n = int(12.3 * SR)  # not a chunk multiple: real pad tail
+    ep = (np.ones(n) * 0.1).astype(np.float32)
+    staged, n_got = m.stage(ep)
+    flat = np.asarray(_joined(staged))
+    assert n_got == n and len(flat) > n
+    assert (flat[n:] == wire_silence("mulaw8")).all()
+
+    handle, ns = m.stage_batch([ep, ep[: n // 2]])
+    rows = np.asarray(_joined(handle, rows=2))
+    for i, n_i in enumerate(ns):
+        assert (rows[i, n_i:] == wire_silence("mulaw8")).all()
+
+
 def test_batch_scan_int16(fixture):
     snippet, episodes, offsets = fixture
     cfg = MatchConfig(
