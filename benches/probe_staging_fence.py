@@ -55,6 +55,14 @@ def run_variant(variant: str) -> None:
 
     from audio_matcher_tpu.models.matcher import put_bytes_cap
 
+    # untimed backend/session init WITHOUT any transfer: jax.devices()
+    # brings the relay session up (~10 s fixed cost) but puts no bytes
+    # and runs no program, so the pre-execution fast path is untouched.
+    # Without this the "nowarm" variant would pay session init inside
+    # its timed put phase — +10 s of noise on the one variant that
+    # tests whether the warmup put itself ends the fast path.
+    jax.devices()
+
     buf = make_buffer(SIZE_MB * 2**20)
     cap = put_bytes_cap()
     step = -(-buf.nbytes // cap)

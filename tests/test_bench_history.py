@@ -189,6 +189,38 @@ def test_bench_pcm_mode_end_to_end(tmp_path, monkeypatch, capsys):
     assert "mode" not in entry["fingerprint"]
 
 
+def test_bench_latency_ab_config_end_to_end(tmp_path, monkeypatch, capsys):
+    """The experiment runner's single-pair latency stage (VERDICT r3 #4)
+    runs bench.py with EPISODES=1 QUERIES=1, a mulaw8 wire, BENCH_REPEATS
+    medians, and a put-byte cap that splits the upload — exercise that
+    exact knob combination at a tiny shape so the unattended hardware
+    window can't be the first time it runs."""
+    monkeypatch.setenv("BENCH_EPISODE_SECS", "60")
+    monkeypatch.setenv("BENCH_EPISODES", "1")
+    monkeypatch.setenv("BENCH_QUERIES", "1")
+    monkeypatch.setenv("BENCH_TRANSFER_DTYPE", "mulaw8")
+    monkeypatch.setenv("BENCH_REPEATS", "3")
+    # tiny cap: the 60 s * 44.1 kHz uint8 wire (~2.6 MB) splits into
+    # several pieces, covering the piece-split staging path too
+    monkeypatch.setenv("AUDIO_MATCHER_PUT_BYTES", str(1 * 2**20))
+    monkeypatch.setenv("BENCH_FFT_IMPL", "xla_packed")
+    monkeypatch.setenv("BENCH_PEAKS_IMPL", "jnp")
+    hist = tmp_path / "history.jsonl"
+    monkeypatch.setenv("BENCH_HISTORY_PATH", str(hist))
+    mod = _bench_module()
+    monkeypatch.setattr(mod, "acquire_backend", lambda *a, **k: None)
+    assert mod.main() == 0
+    captured = capsys.readouterr()
+    out = json.loads(captured.out.strip().splitlines()[-1])
+    assert out["ok"] is True and out["value"] > 0
+    # the median-of-N methodology line must report, and repeats must not
+    # leak into the history fingerprint
+    assert "median of 3" in captured.err
+    (entry,) = _entries(hist)
+    assert entry["fingerprint"]["transfer_dtype"] == "mulaw8"
+    assert "repeats" not in entry["fingerprint"]
+
+
 def test_cpu_spectrogram_baseline_matches_device_semantics():
     """The scipy baseline pipeline must compute the SAME scores as the
     device path (ops.stft log_mel + fingerprint_scores) — otherwise
