@@ -755,8 +755,9 @@ class SnippetMatcher:
         wire = quantize_wire(samples, self.config.transfer_dtype)
         padded = wire_buffer_uninit(n_pad, self.config.transfer_dtype)
         padded[:n] = wire
-        if padded.dtype == np.uint8:  # mulaw8: empty buffer, fill the tail
-            padded[n:] = wire_silence(self.config.transfer_dtype)
+        silence = wire_silence(self.config.transfer_dtype)
+        if silence != 0:  # nonzero-silence wires get np.empty: fill the tail
+            padded[n:] = silence
         return _device_put_split(padded), n
 
     def stage_batch(
@@ -777,8 +778,8 @@ class SnippetMatcher:
         buf = wire_buffer_uninit(
             (len(episodes), n_pad), self.config.transfer_dtype
         )
-        fill_tail = buf.dtype == np.uint8  # mulaw8: empty buffer
         silence = wire_silence(self.config.transfer_dtype)
+        fill_tail = silence != 0  # nonzero-silence wires get np.empty
         for i, ep in enumerate(episodes):
             ep = np.asarray(ep)
             if ep.dtype == dtype:

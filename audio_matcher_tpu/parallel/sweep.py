@@ -351,11 +351,13 @@ def spectrogram_pad_width(
     compiled program. Deterministic in (n_max, n_fft) alone, so staging
     and scanning recompute the same width."""
     n = max(int(n_max), int(n_fft))
-    p = 1 << 18
     for b in (1 << 22, 1 << 21, 1 << 20, 1 << 19, 1 << 18):
         p = max(-(-n // b) * b, b)
         if p - n <= max_waste * n:
             return p
+    # none met the waste bound (tiny episode): the last iteration's
+    # 2^18-quantum width is the floor — bounded absolute waste, one
+    # shared compiled shape for every short clip
     return p
 
 

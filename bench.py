@@ -36,6 +36,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -122,7 +123,7 @@ def _measure_staged_scan(scanner, episode, transfer_dtype, n_episodes,
         t0 = time.perf_counter()
         results = scanner.scan_staged(staged, scale=True)
         times.append(time.perf_counter() - t0)
-    t_compute = sorted(times)[len(times) // 2]
+    t_compute = statistics.median(times)  # true median for even N too
     if repeats > 1:
         print(
             f"[bench] {label}scan repeats: median of {repeats} = "
@@ -496,6 +497,26 @@ def _fail_no_backend(budget_s: float) -> None:
     raise SystemExit(3)
 
 
+def probe_backend_once(timeout_s: float) -> bool:
+    """ONE bounded subprocess probe of the default backend (``import jax;
+    jax.devices()`` blocks forever in-process when the axon relay is
+    down, and a blocked init thread can't be retried — a subprocess
+    can). Shared by :func:`acquire_backend` and the experiment runner's
+    relay wait so the probe policy can't drift between them."""
+    import subprocess
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=max(timeout_s, 30.0),
+            stdout=subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL,
+        )
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def acquire_backend(per_attempt_s: float, budget_s: float) -> None:
     """Bounded backend acquisition with retry + backoff. When the axon
     relay is down, ``jax.devices()`` blocks forever inside the first
@@ -506,7 +527,6 @@ def acquire_backend(per_attempt_s: float, budget_s: float) -> None:
     in-process once a probe answers. A healthy relay answers in seconds;
     legit slow REMOTE COMPILES happen later and are not under this
     clock. Exits 3 with ``last_good`` history evidence on failure."""
-    import subprocess
     import threading
 
     t_end = time.monotonic() + budget_s
@@ -514,17 +534,8 @@ def acquire_backend(per_attempt_s: float, budget_s: float) -> None:
     while True:
         attempt += 1
         left = t_end - time.monotonic()
-        try:
-            r = subprocess.run(
-                [sys.executable, "-c", "import jax; jax.devices()"],
-                timeout=max(min(per_attempt_s, left), 30.0),
-                stdout=subprocess.DEVNULL,
-                stderr=subprocess.DEVNULL,
-            )
-            if r.returncode == 0:
-                break
-        except subprocess.TimeoutExpired:
-            pass
+        if probe_backend_once(min(per_attempt_s, left)):
+            break
         left = t_end - time.monotonic()
         if left <= 0:
             _fail_no_backend(budget_s)

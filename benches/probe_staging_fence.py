@@ -122,6 +122,9 @@ def run_variant(variant: str) -> None:
         ),
         flush=True,
     )
+    if not ok:
+        # a rate measured over bytes that did NOT round-trip is not data
+        sys.exit(2)
 
 
 def main() -> None:
@@ -131,6 +134,7 @@ def main() -> None:
     # here (not in the caller) kills the actual blocked process so no
     # orphan keeps ~SIZE_MB of host RAM pinned on the 1-vCPU bench box
     budget_s = float(os.environ.get("VARIANT_BUDGET", "900"))
+    worst = 0
     for variant in only.split(",") if only else VARIANTS:
         env = dict(os.environ, _PROBE_VARIANT=variant)
         try:
@@ -148,6 +152,10 @@ def main() -> None:
                 print("[probe] relay presumed dead; skipping the rest",
                       file=sys.stderr, flush=True)
                 sys.exit(124)
+            worst = max(worst, rc)
+    # failed variants (OOM, integrity mismatch, ...) must not read as a
+    # completed A/B to the experiment runner
+    sys.exit(worst)
 
 
 if __name__ == "__main__":

@@ -1,29 +1,49 @@
 """Driver for the round-4 hardware staging experiments (VERDICT r3 #3/#4).
 
-Waits for the axon relay (bounded probes), then runs, in order:
+Waits for the axon relay (bounded probes, shared with bench.py's
+``probe_backend_once`` so the probe policy can't drift), then runs the
+named stages below in order:
 
-  0. the canonical int16 bench — the round's headline capture comes
-     FIRST so hours of experiments can't hold it hostage
-  1. probe_staging_fence.py — the fence/warmup A/B at the literal
-     config-#3 byte volume (what ends the pre-execution fast path?)
-  2. a piece-size sweep on the nofence variant
-     (AUDIO_MATCHER_PUT_BYTES in {128, 256, 512} MB; 768 MB is the
-     default cap already covered by stage 1)
-  3. single-pair latency (BASELINE config #2): bench.py at
-     EPISODE_SECS=3600 EPISODES=1 QUERIES=1, int16 vs mulaw8 wire
-  4. the literal config-#3 shape (EPISODES=64 QUERIES=4
-     EPISODE_SECS=600), int16 vs mulaw8
-  5. spectrogram mode's first fingerprinted hardware history entry
-  6. the canonical batch shape on the mulaw8 wire
+  canonical-int16      the canonical bench — the round's headline capture
+                       comes FIRST so hours of experiments can't hold it
+                       hostage
+  fence-ab             probe_staging_fence.py — the fence/warmup A/B at
+                       the literal config-#3 byte volume (what ends the
+                       pre-execution fast path?)
+  pieces-{128,256,512} piece-size sweep on the nofence variant
+                       (AUDIO_MATCHER_PUT_BYTES; 768 MB default cap is
+                       covered by fence-ab)
+  latency-*            single-pair latency (BASELINE config #2):
+                       EPISODE_SECS=3600 EPISODES=1 QUERIES=1, int16 vs
+                       mulaw8 wire, plus 64/128 MB piece caps on int16
+  literal3-*           the literal config-#3 shape (EPISODES=64 QUERIES=4
+                       EPISODE_SECS=600), int16 vs mulaw8
+  spectrogram          spectrogram mode's first fingerprinted hardware
+                       history entry
+  canonical-mulaw8     the canonical batch shape on the mulaw8 wire
+
+Return-code policy (the supervisor restarts us only on rc=3):
+
+  - a stage rc of 3 (bench backend budget exhausted) or 124 (stage/probe
+    timeout) means the relay DIED mid-run: the remainder is skipped and
+    the runner exits 3 so benches/exp_supervisor.sh restarts it. Every
+    COMPLETED stage's name is recorded in benches/.exp_stages_done and
+    skipped on the rerun, so the loop converges instead of re-paying
+    finished stages.
+  - any other nonzero stage rc is a real experiment failure: logged,
+    remaining stages still run, and the runner exits 1 at the end (the
+    supervisor does NOT retry — rerunning a deterministic failure loops
+    forever; a session reads the log and fixes it).
 
 Appends everything to benches/staging_experiments.log (stdout lines are
 also mirrored) so a later session can read the results even if this one
-dies. Each stage is bounded; a dead relay mid-run skips the remainder
-rather than hanging. Run with python -u.
+dies. Run with python -u. Delete benches/.exp_stages_done to force a
+full rerun.
 """
 
 from __future__ import annotations
 
+import importlib.util
 import os
 import subprocess
 import sys
@@ -31,6 +51,14 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 LOG = os.path.join(REPO, "benches", "staging_experiments.log")
+DONE = os.path.join(REPO, "benches", ".exp_stages_done")
+
+_spec = importlib.util.spec_from_file_location(
+    "am_bench", os.path.join(REPO, "bench.py")
+)
+_bench = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(_bench)
+probe_backend_once = _bench.probe_backend_once
 
 
 def log(msg: str) -> None:
@@ -77,52 +105,36 @@ def wait_for_relay(budget_s: float = 14400.0) -> bool:
     attempt = 0
     while time.monotonic() < t_end:
         attempt += 1
-        try:
-            r = subprocess.run(
-                [sys.executable, "-c", "import jax; jax.devices()"],
-                timeout=180, stdout=subprocess.DEVNULL,
-                stderr=subprocess.DEVNULL,
-            )
-            if r.returncode == 0:
-                log(f"relay UP after {attempt} probe(s)")
-                return True
-        except subprocess.TimeoutExpired:
-            pass
+        if probe_backend_once(180.0):
+            log(f"relay UP after {attempt} probe(s)")
+            return True
         log(f"relay probe {attempt} failed")
         time.sleep(240)
     log("relay never answered within budget")
     return False
 
 
-def main() -> int:
-    if not wait_for_relay(float(os.environ.get("EXP_BUDGET", "14400"))):
-        return 3
+def stages():
+    """(name, argv, env_extra, timeout_s) in execution order."""
     py = sys.executable
-
-    # 0. canonical int16 bench FIRST — the round's headline capture must
-    # not be hostage to hours of experiments if the relay dies again
-    run([py, "-u", "bench.py"], timeout_s=5400)
-
-    # 1. fence/warmup A/B (fresh subprocess per variant inside)
-    run([py, "-u", "benches/probe_staging_fence.py"], timeout_s=5400)
-
-    # 2. piece-size sweep on the no-warmup-fence variant
+    out = [
+        ("canonical-int16", [py, "-u", "bench.py"], None, 5400),
+        ("fence-ab", [py, "-u", "benches/probe_staging_fence.py"],
+         None, 5400),
+    ]
     for cap_mb in (128, 256, 512):
-        run(
+        out.append((
+            f"pieces-{cap_mb}",
             [py, "-u", "benches/probe_staging_fence.py"],
-            env_extra={
-                "VARIANTS": "nofence",
-                "AUDIO_MATCHER_PUT_BYTES": str(cap_mb * 2**20),
-            },
-            timeout_s=3600,
-        )
-
-    # 3. single-pair latency (config #2): int16 vs mulaw8, median-of-5
-    # scan phase (one ~0.2 s sample otherwise; the relay swings 2x).
-    # The int16 run also A/Bs piecing the single 340 MB put (the
-    # config-#3 piece sweep in stage 2 runs at 10x this volume — a
-    # single put this small may sit on a different part of the relay's
-    # rate curve).
+            {"VARIANTS": "nofence",
+             "AUDIO_MATCHER_PUT_BYTES": str(cap_mb * 2**20)},
+            3600,
+        ))
+    # single-pair latency (config #2): int16 vs mulaw8, median-of-5 scan
+    # (one ~0.2 s sample otherwise; the relay swings 2x). The int16 runs
+    # also A/B piecing the single 340 MB put (the config-#3 piece sweep
+    # runs at 10x this volume — a put this small may sit on a different
+    # part of the relay's rate curve).
     for dtype, cap_mb in (
         ("int16", None), ("int16", 64), ("int16", 128), ("mulaw8", None),
     ):
@@ -135,36 +147,69 @@ def main() -> int:
         }
         if cap_mb is not None:
             env["AUDIO_MATCHER_PUT_BYTES"] = str(cap_mb * 2**20)
-        run([py, "-u", "bench.py"], env_extra=env, timeout_s=3600)
-
-    # 4. literal config-#3 shape: int16 vs mulaw8
+        out.append((
+            f"latency-{dtype}" + (f"-{cap_mb}mb" if cap_mb else ""),
+            [py, "-u", "bench.py"], env, 3600,
+        ))
     for dtype in ("int16", "mulaw8"):
-        run(
-            [py, "-u", "bench.py"],
-            env_extra={
-                "BENCH_EPISODE_SECS": "600",
-                "BENCH_EPISODES": "64",
-                "BENCH_QUERIES": "4",
-                "BENCH_TRANSFER_DTYPE": dtype,
-            },
-            timeout_s=5400,
-        )
-
-    # 5. spectrogram mode's first fingerprinted hardware history entry
-    # (VERDICT r3 #5) at the probe's measured shape
-    run(
-        [py, "-u", "bench.py"],
-        env_extra={"BENCH_MODE": "spectrogram"},
-        timeout_s=5400,
-    )
-
-    # 6. canonical batch shape, mulaw8 wire (halves the 635 MB stage; the
+        out.append((
+            f"literal3-{dtype}", [py, "-u", "bench.py"],
+            {"BENCH_EPISODE_SECS": "600", "BENCH_EPISODES": "64",
+             "BENCH_QUERIES": "4", "BENCH_TRANSFER_DTYPE": dtype},
+            5400,
+        ))
+    out.append((
+        "spectrogram", [py, "-u", "bench.py"],
+        {"BENCH_MODE": "spectrogram"}, 5400,
+    ))
+    # canonical batch shape, mulaw8 wire (halves the 635 MB stage; the
     # in-register mu-law expand may tax the fused forward kernel — A/B)
-    run(
-        [py, "-u", "bench.py"],
-        env_extra={"BENCH_TRANSFER_DTYPE": "mulaw8"},
-        timeout_s=5400,
-    )
+    out.append((
+        "canonical-mulaw8", [py, "-u", "bench.py"],
+        {"BENCH_TRANSFER_DTYPE": "mulaw8"}, 5400,
+    ))
+    return out
+
+
+def _done_stages() -> set[str]:
+    try:
+        with open(DONE) as f:
+            return {ln.strip() for ln in f if ln.strip()}
+    except FileNotFoundError:
+        return set()
+
+
+def _mark_done(name: str) -> None:
+    with open(DONE, "a") as f:
+        f.write(name + "\n")
+
+
+def main() -> int:
+    if not wait_for_relay(float(os.environ.get("EXP_BUDGET", "14400"))):
+        return 3
+    done = _done_stages()
+    failures = []
+    for name, cmd, env, timeout_s in stages():
+        if name in done:
+            log(f"stage {name}: already complete, skipping")
+            continue
+        rc = run(cmd, env_extra=env, timeout_s=timeout_s)
+        if rc in (3, 124):
+            # backend budget exhausted / stage timed out: the relay died
+            # mid-run — stop here and let the supervisor restart us; the
+            # done-file resumes at THIS stage once the relay answers
+            log(f"stage {name}: relay presumed dead (rc={rc}); "
+                "aborting remainder for supervisor restart")
+            return 3
+        if rc != 0:
+            failures.append((name, rc))
+            log(f"stage {name}: FAILED rc={rc} (continuing)")
+        else:
+            _mark_done(name)
+    if failures:
+        log(f"experiments complete with {len(failures)} failure(s): "
+            + ", ".join(f"{n}(rc={rc})" for n, rc in failures))
+        return 1
     log("experiments complete")
     return 0
 
