@@ -29,7 +29,9 @@ Return-code policy (the supervisor restarts us only on rc=3):
     the runner exits 3 so benches/exp_supervisor.sh restarts it. Every
     COMPLETED stage's name is recorded in benches/.exp_stages_done and
     skipped on the rerun, so the loop converges instead of re-paying
-    finished stages.
+    finished stages. A stage that dies this way MAX_STAGE_ATTEMPTS
+    times is permanently skipped — a DEGRADED relay (probes answer,
+    transfers hang) must not ping-pong restarts on one stage forever.
   - any other nonzero stage rc is a real experiment failure: logged,
     remaining stages still run, and the runner exits 1 at the end (the
     supervisor does NOT retry — rerunning a deterministic failure loops
@@ -171,12 +173,25 @@ def stages():
     return out
 
 
-def _done_stages() -> set[str]:
+def _done_file_lines() -> list[str]:
     try:
         with open(DONE) as f:
-            return {ln.strip() for ln in f if ln.strip()}
+            return [ln.strip() for ln in f if ln.strip()]
     except FileNotFoundError:
-        return set()
+        return []
+
+
+def _done_stages() -> set[str]:
+    return {ln for ln in _done_file_lines() if not ln.endswith("!fail")}
+
+
+def _fail_counts() -> dict[str, int]:
+    counts: dict[str, int] = {}
+    for ln in _done_file_lines():
+        if ln.endswith("!fail"):
+            name = ln[: -len("!fail")]
+            counts[name] = counts.get(name, 0) + 1
+    return counts
 
 
 def _mark_done(name: str) -> None:
@@ -184,20 +199,39 @@ def _mark_done(name: str) -> None:
         f.write(name + "\n")
 
 
+def _mark_failed(name: str) -> None:
+    with open(DONE, "a") as f:
+        f.write(name + "!fail\n")
+
+
+# a stage that died with a relay-ish rc this many times is permanently
+# skipped: a DEGRADED relay (probes answer, transfers hang) would
+# otherwise ping-pong supervisor restarts on the same stage forever
+MAX_STAGE_ATTEMPTS = 2
+
+
 def main() -> int:
     if not wait_for_relay(float(os.environ.get("EXP_BUDGET", "14400"))):
         return 3
     done = _done_stages()
+    fail_counts = _fail_counts()
     failures = []
     for name, cmd, env, timeout_s in stages():
         if name in done:
             log(f"stage {name}: already complete, skipping")
+            continue
+        if fail_counts.get(name, 0) >= MAX_STAGE_ATTEMPTS:
+            log(f"stage {name}: {fail_counts[name]} relay-death attempts "
+                "already — permanently skipped")
+            failures.append((name, "attempts-exhausted"))
             continue
         rc = run(cmd, env_extra=env, timeout_s=timeout_s)
         if rc in (3, 124):
             # backend budget exhausted / stage timed out: the relay died
             # mid-run — stop here and let the supervisor restart us; the
             # done-file resumes at THIS stage once the relay answers
+            # (unless it has now burned MAX_STAGE_ATTEMPTS on it)
+            _mark_failed(name)
             log(f"stage {name}: relay presumed dead (rc={rc}); "
                 "aborting remainder for supervisor restart")
             return 3
@@ -208,7 +242,7 @@ def main() -> int:
             _mark_done(name)
     if failures:
         log(f"experiments complete with {len(failures)} failure(s): "
-            + ", ".join(f"{n}(rc={rc})" for n, rc in failures))
+            + ", ".join(f"{n}({rc})" for n, rc in failures))
         return 1
     log("experiments complete")
     return 0
