@@ -875,7 +875,10 @@ class SnippetMatcher:
             fft_impl=self.fft_impl,
             peaks_impl=cfg.peaks_impl,
         )
-        pos, h, prom = np.asarray(pos), np.asarray(h), np.asarray(prom)
+        # one pytree fetch: device_get starts every copy async before
+        # blocking, so the relay's per-RPC round-trip floor is paid once,
+        # not three times (PERF.md single-pair latency)
+        pos, h, prom = jax.device_get((pos, h, prom))
         return self._extract_peaks(pos, h, prom, n_windows, progress)
 
     def _match_staged_live(
@@ -919,7 +922,7 @@ class SnippetMatcher:
                 episode_dev, np.int32(n), self._sample_f, inv_ac,
                 n_slabs=gg, base0=np.int32(a * B), **common,
             )
-            parts.append(tuple(np.asarray(x) for x in out))  # readback
+            parts.append(tuple(jax.device_get(out)))  # one async readback
             for k in range(w_lo, w_hi):
                 progress("finish", k)
         pos = np.concatenate([p[0] for p in parts])
@@ -960,7 +963,7 @@ class SnippetMatcher:
             fft_impl=self.fft_impl,
             peaks_impl=cfg.peaks_impl,
         )
-        pos, h, prom = np.asarray(pos), np.asarray(h), np.asarray(prom)
+        pos, h, prom = jax.device_get((pos, h, prom))
         out = []
         for e in range(len(ns)):
             n_windows = max(-(-int(ns[e]) // self.chunk), 1)

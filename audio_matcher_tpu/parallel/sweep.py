@@ -544,7 +544,7 @@ class ShardedSpectrogramScanner:
         """Block on a :meth:`scan_dispatch` handle → peaks[episode][query]."""
         (pos, h, prom), ns, n_real = dispatched
         cfg = self.config
-        pos, h, prom = np.asarray(pos), np.asarray(h), np.asarray(prom)
+        pos, h, prom = jax.device_get((pos, h, prom))
         out = []
         for e in range(n_real):
             per_query = []
@@ -977,7 +977,7 @@ class ShardedScanner:
         """Block on a :meth:`scan_dispatch` handle → peaks[episode][query]."""
         (pos, h, prom), ns, n_real = dispatched
         cfg = self.config
-        pos, h, prom = np.asarray(pos), np.asarray(h), np.asarray(prom)
+        pos, h, prom = jax.device_get((pos, h, prom))
         out = []
         for e in range(n_real):
             n_windows = max(-(-int(ns[e]) // self.chunk), 1)
@@ -1067,9 +1067,7 @@ class ShardedScanner:
             jnp.asarray(windows), self._sample_f, inv_ac,
             jnp.asarray(valid), self._m,
         )
-        pos = np.asarray(pos)
-        h = np.asarray(h)
-        prom = np.asarray(prom)
+        pos, h, prom = jax.device_get((pos, h, prom))
 
         out: list[list[list[Peak]]] = []
         for e in range(E):
