@@ -147,13 +147,55 @@ def resident_match_step(
                     windows, sample_f[0], sample_f[1], crop
                 )  # [B, Q, V] — matmul FFT, window+corr pair packing
             elif fft_impl == "xla_packed":
-                from ..ops.correlate import corr_slab_xla_packed
+                from ..ops.correlate import (
+                    corr_single_query_packed,
+                    corr_slab_xla_packed,
+                )
 
                 Q = inv_ac.shape[0]
-                c = corr_slab_xla_packed(windows, sample_f, crop)[:, :Q]
+                if Q == 1:
+                    # single query: WINDOW pairs pack each inverse — the
+                    # query-pair path would run one full complex inverse
+                    # per window against T = conj(S0) + i·0 (double the
+                    # work). packed_query_spectra's Q=1 row IS conj(S0).
+                    c = corr_single_query_packed(
+                        windows, sample_f[0], crop
+                    )[:, None, :]
+                else:
+                    c = corr_slab_xla_packed(windows, sample_f, crop)[:, :Q]
             elif fft_impl == "vpu":
                 Q = inv_ac.shape[0]
                 interpret = jax.default_backend() != "tpu"
+                if peaks_impl == "pallas" and Q == 1:
+                    # single query (BASELINE config #2 through the batch
+                    # scanner): window-pair packing halves the inverse
+                    # work vs padding the query axis to Q2=2. For Q=1 the
+                    # packed spectra row is conj(S0)/n + i·0 — exactly the
+                    # pack=False form the single-query kernel reads
+                    # (models/matcher.py _match_episode_resident mirror).
+                    from ..ops.pallas_fft import (
+                        corr_single_query_vpu_planes_wire,
+                    )
+                    from ..ops.peaks import pick_peaks_pallas_packed
+
+                    slab_b = windows.shape[0]
+                    yr, yi = corr_single_query_vpu_planes_wire(
+                        windows, sample_f[0], sample_f[1], crop,
+                        interpret=interpret,
+                    )
+                    L = 2 * yr.shape[0]  # logical rows incl. odd-slab pad
+                    vq = jnp.maximum(win_len - m[0] + 1, 0).astype(
+                        jnp.int32
+                    )
+                    pos, h, prom = pick_peaks_pallas_packed(
+                        yr, yi,
+                        jnp.broadcast_to(inv_ac[0], (L,)),
+                        jnp.pad(vq, (0, L - slab_b)),  # pads emit nothing
+                        distance, n_peaks, block, interpret=interpret,
+                    )
+                    return tuple(
+                        a[:slab_b][None] for a in (pos, h, prom)
+                    )  # [Q=1, B, S] triplets
                 if peaks_impl == "pallas":
                     # fully-fused fast path: the correlation volume never
                     # materializes — product folds into the inverse FFT's

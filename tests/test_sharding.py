@@ -282,6 +282,40 @@ def test_resident_sharded_vpu_packed_on_mesh(rng, snippets):
             assert g == w, (e, q)
 
 
+def test_resident_single_query_window_packed_paths(rng, snippets):
+    """Q=1 through the resident batch scanner takes the WINDOW-pair-packed
+    branches (vpu+pallas fused and xla_packed) instead of padding the
+    query axis — both must match the xla+jnp reference exactly at the
+    peak level (BASELINE config #2 runs this shape on the chip).
+    Chunk size chosen so fft_len >= 2^14 (no xla_packed fallback)."""
+    base = dict(chunk_secs=8.0, distance_secs=10.0, slab=2, block=256)
+    one = [snippets[0]]
+    episodes = []
+    for offsets in ([1.0, 12.0], [2.5], []):
+        ep = (rng.standard_normal(SR * 20) * 0.05).astype(np.float32)
+        for off in offsets:
+            i = int(off * SR)
+            ep[i : i + len(one[0])] = one[0]
+        episodes.append(ep)
+
+    ref = ShardedScanner(
+        one, SR, MatchConfig(fft_impl="xla", peaks_impl="jnp", **base),
+        mesh=make_mesh(1),
+    )
+    want = ref.scan_resident(episodes)
+    for impl, peaks in (("vpu", "pallas"), ("xla_packed", "jnp")):
+        got = ShardedScanner(
+            one, SR, MatchConfig(fft_impl=impl, peaks_impl=peaks, **base),
+            mesh=make_mesh(1),
+        ).scan_resident(episodes)
+        for e in range(len(episodes)):
+            g = [(p.position, round(p.height, 4)) for p in got[e][0]
+                 if p.height > 0.5]
+            w = [(p.position, round(p.height, 4)) for p in want[e][0]
+                 if p.height > 0.5]
+            assert g == w, (impl, e)
+
+
 def test_two_plants_within_distance_keep_one(rng, snippets):
     """Two equal-strength plants closer than the min-distance inside one
     window: suppression must keep exactly one (observed transiently
