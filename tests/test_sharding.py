@@ -303,17 +303,32 @@ def test_resident_single_query_window_packed_paths(rng, snippets):
         mesh=make_mesh(1),
     )
     want = ref.scan_resident(episodes)
-    for impl, peaks in (("vpu", "pallas"), ("xla_packed", "jnp")):
+    for impl, peaks, wire in (
+        ("vpu", "pallas", "float32"),
+        ("vpu", "pallas", "int16"),  # fused branch reads the wire direct
+        ("xla_packed", "jnp", "float32"),
+    ):
         got = ShardedScanner(
-            one, SR, MatchConfig(fft_impl=impl, peaks_impl=peaks, **base),
+            one, SR,
+            MatchConfig(
+                fft_impl=impl, peaks_impl=peaks, transfer_dtype=wire,
+                **base,
+            ),
             mesh=make_mesh(1),
         ).scan_resident(episodes)
         for e in range(len(episodes)):
-            g = [(p.position, round(p.height, 4)) for p in got[e][0]
-                 if p.height > 0.5]
-            w = [(p.position, round(p.height, 4)) for p in want[e][0]
-                 if p.height > 0.5]
-            assert g == w, (impl, e)
+            g = [p for p in got[e][0] if p.height > 0.5]
+            w = [p for p in want[e][0] if p.height > 0.5]
+            assert [p.position for p in g] == [p.position for p in w], (
+                impl, wire, e,
+            )
+            for a, b in zip(g, w):
+                # exact-wire impls match to float noise; the int16 wire
+                # shifts scores by its quantization grid (~1%)
+                tol = 1e-4 if wire == "float32" else 0.02
+                assert abs(a.height - b.height) <= tol * max(b.height, 1), (
+                    impl, wire, e, a.height, b.height,
+                )
 
 
 def test_two_plants_within_distance_keep_one(rng, snippets):
