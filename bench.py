@@ -669,7 +669,61 @@ def main_spectrogram() -> int:
     return 0
 
 
+_BENCH_LOCK_FH = None  # module-held: flock released on process exit
+
+
+def acquire_bench_lock() -> None:
+    """Advisory inter-process lock so two bench-class processes never
+    time device work on the one chip concurrently (the driver's
+    end-of-round ``python bench.py`` vs a running experiment-runner
+    stage would corrupt BOTH timings). Waits up to ``BENCH_LOCK_WAIT``
+    seconds (default 1800 — runner stages finish in minutes), then
+    PROCEEDS with a loud warning: a contended number beats no number.
+    ``BENCH_LOCK_WAIT=0`` disables. The lock dies with the process, so
+    a killed holder can't wedge later runs."""
+    global _BENCH_LOCK_FH
+    import fcntl
+    import tempfile
+
+    wait_s = float(os.environ.get("BENCH_LOCK_WAIT", "1800"))
+    if wait_s <= 0:
+        return
+    if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+        # CPU runs (tests, smoke probes) share no chip — and repeated
+        # bench mains inside ONE process would block on their own lock
+        # (flock treats each open() as a distinct holder)
+        return
+    path = os.path.join(tempfile.gettempdir(), "am_tpu_bench.lock")
+    fh = open(path, "a")
+    t_end = time.monotonic() + wait_s
+    warned = False
+    while True:
+        try:
+            fcntl.flock(fh, fcntl.LOCK_EX | fcntl.LOCK_NB)
+            _BENCH_LOCK_FH = fh
+            return
+        except OSError:
+            if time.monotonic() >= t_end:
+                print(
+                    "[bench] WARNING: bench lock still held after "
+                    f"{wait_s:.0f}s — proceeding; timings may be "
+                    "contended by another bench process",
+                    file=sys.stderr,
+                )
+                fh.close()
+                return
+            if not warned:
+                print(
+                    "[bench] another bench-class process holds the chip "
+                    "lock; waiting",
+                    file=sys.stderr,
+                )
+                warned = True
+            time.sleep(10.0)
+
+
 def main() -> int:
+    acquire_bench_lock()
     acquire_backend(
         float(os.environ.get("BENCH_BACKEND_TIMEOUT", "180")),
         float(os.environ.get("BENCH_BACKEND_BUDGET", "2400")),

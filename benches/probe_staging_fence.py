@@ -129,6 +129,17 @@ def run_variant(variant: str) -> None:
 
 def main() -> None:
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    # hold the inter-process chip lock across ALL variants (a concurrent
+    # bench.py would corrupt both sides' timings; bench.py's lock is
+    # CPU-disabled so smoke tests never wait)
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "am_bench", os.path.join(repo, "bench.py")
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    bench.acquire_bench_lock()
     only = os.environ.get("VARIANTS")
     # a dead relay mid-variant blocks device_put unboundedly; the bound
     # here (not in the caller) kills the actual blocked process so no
