@@ -331,6 +331,66 @@ def test_resident_single_query_window_packed_paths(rng, snippets):
                 )
 
 
+@pytest.mark.heavy
+def test_resident_cross_impl_fuzz_random_configs(rng):
+    """Differential fuzz of the RESIDENT batch program across impl pairs
+    and query counts (incl. Q=1's window-pair-packed branches and odd
+    slabs): every impl must agree with the xla+jnp reference on peak
+    positions for random shapes whose fft_len clears the VPU two-factor
+    minimum (chunk >= ~8 s at SR=1000 → fft 2^14)."""
+    from audio_matcher_tpu.parallel.sweep import ShardedScanner
+
+    sr = 1000
+    for trial in range(3):
+        n_q = int(rng.integers(1, 4))
+        snippets_t = [
+            (rng.standard_normal(int(rng.uniform(0.4, 0.9) * sr)) * 0.2)
+            .astype(np.float32)
+            for _ in range(n_q)
+        ]
+        episodes = []
+        plant_offsets = []
+        for _ in range(int(rng.integers(1, 4))):
+            secs = int(rng.integers(16, 28))
+            ep = (rng.standard_normal(sr * secs) * 0.05).astype(np.float32)
+            # one plant per query, far enough apart that suppression
+            # can't tie-break nondeterministically across impls
+            offs = {}
+            positions = rng.choice(
+                np.arange(1, secs - 2, 4), size=min(n_q, 3), replace=False
+            )
+            for q, off in enumerate(positions.tolist()):
+                i = int(off * sr)
+                ep[i : i + len(snippets_t[q])] = snippets_t[q]
+                offs[q] = i
+            episodes.append(ep)
+            plant_offsets.append(offs)
+        base = dict(
+            chunk_secs=float(rng.uniform(8.0, 11.0)),
+            distance_secs=2.0,
+            slab=int(rng.integers(2, 5)),  # odd slabs hit the pair pad
+            block=256,
+        )
+        ref = ShardedScanner(
+            snippets_t, sr,
+            MatchConfig(fft_impl="xla", peaks_impl="jnp", **base),
+            mesh=make_mesh(1),
+        ).scan_resident(episodes)
+        for impl, peaks in (("vpu", "pallas"), ("xla_packed", "jnp")):
+            got = ShardedScanner(
+                snippets_t, sr,
+                MatchConfig(fft_impl=impl, peaks_impl=peaks, **base),
+                mesh=make_mesh(1),
+            ).scan_resident(episodes)
+            for e in range(len(episodes)):
+                for q in range(n_q):
+                    g = [p.position for p in got[e][q] if p.height > 0.5]
+                    w = [p.position for p in ref[e][q] if p.height > 0.5]
+                    assert g == w, (trial, impl, e, q)
+                    if q in plant_offsets[e]:
+                        assert plant_offsets[e][q] in w, (trial, e, q)
+
+
 def test_two_plants_within_distance_keep_one(rng, snippets):
     """Two equal-strength plants closer than the min-distance inside one
     window: suppression must keep exactly one (observed transiently
