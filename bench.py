@@ -419,6 +419,11 @@ def expected_fingerprint_spec(config, backend: str = "tpu") -> dict:
         "hop": config.hop,
         "n_mels": config.n_mels,
         "transfer_dtype": config.transfer_dtype,
+        **(
+            {"put_cap": os.environ["AUDIO_MATCHER_PUT_BYTES"]}
+            if "AUDIO_MATCHER_PUT_BYTES" in os.environ
+            else {}
+        ),
     }
 
 
@@ -453,6 +458,15 @@ def expected_fingerprint(config, backend: str = "tpu") -> dict:
         "transfer_dtype": config.transfer_dtype,
         "fft_impl": config.fft_impl,
         "peaks_impl": config.peaks_impl,
+        # piece-cap A/Bs (runner latency stages) must not share a
+        # fingerprint with uncapped runs — the cap is exactly what moves
+        # the e2e number. Only present when explicitly set, so every
+        # pre-existing history entry keeps matching default runs.
+        **(
+            {"put_cap": os.environ["AUDIO_MATCHER_PUT_BYTES"]}
+            if "AUDIO_MATCHER_PUT_BYTES" in os.environ
+            else {}
+        ),
     }
 
 

@@ -132,14 +132,10 @@ def main() -> None:
     # hold the inter-process chip lock across ALL variants (a concurrent
     # bench.py would corrupt both sides' timings; bench.py's lock is
     # CPU-disabled so smoke tests never wait)
-    import importlib.util
+    sys.path.insert(0, os.path.join(repo, "benches"))
+    from exp_common import load_bench
 
-    spec = importlib.util.spec_from_file_location(
-        "am_bench", os.path.join(repo, "bench.py")
-    )
-    bench = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(bench)
-    bench.acquire_bench_lock()
+    load_bench().acquire_bench_lock()
     only = os.environ.get("VARIANTS")
     # a dead relay mid-variant blocks device_put unboundedly; the bound
     # here (not in the caller) kills the actual blocked process so no
@@ -163,7 +159,9 @@ def main() -> None:
                 print("[probe] relay presumed dead; skipping the rest",
                       file=sys.stderr, flush=True)
                 sys.exit(124)
-            worst = max(worst, rc)
+            # signal deaths (OOM-killer SIGKILL → negative rc) must
+            # surface as a POSITIVE exit, not max() to 0
+            worst = max(worst, rc if rc > 0 else 1)
     # failed variants (OOM, integrity mismatch, ...) must not read as a
     # completed A/B to the experiment runner
     sys.exit(worst)

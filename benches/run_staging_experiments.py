@@ -45,22 +45,19 @@ full rerun.
 
 from __future__ import annotations
 
-import importlib.util
 import os
 import subprocess
 import sys
 import time
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from exp_common import load_bench  # noqa: E402
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 LOG = os.path.join(REPO, "benches", "staging_experiments.log")
 DONE = os.path.join(REPO, "benches", ".exp_stages_done")
 
-_spec = importlib.util.spec_from_file_location(
-    "am_bench", os.path.join(REPO, "bench.py")
-)
-_bench = importlib.util.module_from_spec(_spec)
-_spec.loader.exec_module(_bench)
-probe_backend_once = _bench.probe_backend_once
+probe_backend_once = load_bench().probe_backend_once
 
 
 def log(msg: str) -> None:
@@ -182,7 +179,18 @@ def _done_file_lines() -> list[str]:
 
 
 def _done_stages() -> set[str]:
-    return {ln for ln in _done_file_lines() if not ln.endswith("!fail")}
+    return {
+        ln for ln in _done_file_lines()
+        if not ln.endswith("!fail") and not ln.endswith("!err")
+    }
+
+
+def _errored_stages() -> set[str]:
+    return {
+        ln[: -len("!err")]
+        for ln in _done_file_lines()
+        if ln.endswith("!err")
+    }
 
 
 def _fail_counts() -> dict[str, int]:
@@ -204,6 +212,11 @@ def _mark_failed(name: str) -> None:
         f.write(name + "!fail\n")
 
 
+def _mark_errored(name: str) -> None:
+    with open(DONE, "a") as f:
+        f.write(name + "!err\n")
+
+
 # a stage that died with a relay-ish rc this many times is permanently
 # skipped: a DEGRADED relay (probes answer, transfers hang) would
 # otherwise ping-pong supervisor restarts on the same stage forever
@@ -214,11 +227,20 @@ def main() -> int:
     if not wait_for_relay(float(os.environ.get("EXP_BUDGET", "14400"))):
         return 3
     done = _done_stages()
+    errored = _errored_stages()
     fail_counts = _fail_counts()
     failures = []
     for name, cmd, env, timeout_s in stages():
         if name in done:
             log(f"stage {name}: already complete, skipping")
+            continue
+        if name in errored:
+            # a deterministic failure (non-relay rc) from an earlier run:
+            # re-paying it on every supervisor restart would burn chip
+            # time on a known-bad stage
+            log(f"stage {name}: failed deterministically in an earlier "
+                "run — skipped (delete benches/.exp_stages_done to retry)")
+            failures.append((name, "errored-earlier"))
             continue
         if fail_counts.get(name, 0) >= MAX_STAGE_ATTEMPTS:
             log(f"stage {name}: {fail_counts[name]} relay-death attempts "
@@ -236,6 +258,7 @@ def main() -> int:
                 "aborting remainder for supervisor restart")
             return 3
         if rc != 0:
+            _mark_errored(name)  # deterministic failure: never re-paid
             failures.append((name, rc))
             log(f"stage {name}: FAILED rc={rc} (continuing)")
         else:

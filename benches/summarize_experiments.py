@@ -70,12 +70,14 @@ def bench_rows(recs, title, want):
     if not rows:
         return
     print(f"## {title}")
-    print(f"{'when':>16} {'dtype':>8} {'e2e p-h/s':>10} {'x base':>7} "
-          f"{'resident':>9} {'x base':>7}")
+    print(f"{'when':>16} {'dtype':>8} {'put_cap':>8} {'e2e p-h/s':>10} "
+          f"{'x base':>7} {'resident':>9} {'x base':>7}")
     for r in rows:
         res, fp = r.get("result", {}), r.get("fingerprint", {})
+        cap = fp.get("put_cap")
+        cap = f"{int(cap) // 2**20}MB" if cap else "-"
         print(f"{r.get('when', '?'):>16.16} "
-              f"{fp.get('transfer_dtype', '?'):>8} "
+              f"{fp.get('transfer_dtype', '?'):>8} {cap:>8} "
               f"{res.get('value', '?'):>10} "
               f"{res.get('vs_baseline', '?'):>7} "
               f"{res.get('device_resident_value', '?'):>9} "
