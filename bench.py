@@ -17,7 +17,10 @@ acquisition retries with backoff (relay outages observed run hours):
 per-attempt probe timeout BENCH_BACKEND_TIMEOUT (default 180 s), total
 budget BENCH_BACKEND_BUDGET (default 2400 s); on final failure the JSON
 line still carries "last_good" — the newest same-fingerprint
-benches/history.jsonl entry — so an outage can't erase the number.
+benches/history.jsonl entry — so an outage can't erase the number. The
+RUN phase is watchdog-bounded too (BENCH_RUN_BUDGET, default 2700 s):
+a relay that dies mid-run hangs device ops forever, and the watchdog
+emits the same evidence-carrying JSON before any outer timeout kill.
 Knobs: BENCH_EPISODE_SECS, BENCH_EPISODES, BENCH_QUERIES, BENCH_SLAB,
 BENCH_TRANSFER_DTYPE, BENCH_FFT_IMPL, BENCH_PEAKS_IMPL, BENCH_REPEATS
 (median-of-N scan phase — timing methodology, not part of the history
@@ -470,8 +473,8 @@ def expected_fingerprint(config, backend: str = "tpu") -> dict:
     }
 
 
-def _fail_no_backend(budget_s: float) -> None:
-    """Exit 3, but emit a JSON line that carries evidence: the newest
+def _print_failure_evidence(metric: str, error: str) -> None:
+    """Emit the failure JSON line that still carries evidence: the newest
     history entry with this run's fingerprint (``last_good``), so a relay
     outage at capture time can't erase the round's number (VERDICT r3 #2
     — round 3's 25.4/32.0 pair-h/s run sat in history while the artifact
@@ -494,21 +497,69 @@ def _fail_no_backend(budget_s: float) -> None:
                     last_good = rec
     except FileNotFoundError:
         pass
+    out = {
+        "metric": metric,
+        "ok": False,
+        "error": error,
+        "fingerprint": fingerprint,
+        "last_good": last_good,
+    }
+    print(json.dumps(out))
+
+
+def _fail_no_backend(budget_s: float) -> None:
+    """Exit 3 with ``last_good`` history evidence."""
     print(
         f"bench: no JAX backend within {budget_s:.0f}s "
         "(relay down?) — aborting instead of hanging. "
         "Set BENCH_BACKEND_BUDGET / BENCH_BACKEND_TIMEOUT to adjust.",
         file=sys.stderr,
     )
-    out = {
-        "metric": "no-backend failure (relay outage at capture time)",
-        "ok": False,
-        "error": f"no JAX backend within {budget_s:.0f}s",
-        "fingerprint": fingerprint,
-        "last_good": last_good,
-    }
-    print(json.dumps(out))
+    _print_failure_evidence(
+        "no-backend failure (relay outage at capture time)",
+        f"no JAX backend within {budget_s:.0f}s",
+    )
     raise SystemExit(3)
+
+
+def arm_run_watchdog() -> None:
+    """Bound the RUN phase too. Backend acquisition only proves the relay
+    answered a probe; if it dies mid-run the bench blocks forever inside
+    a device op (device_put / block_until_ready — the r3 MULTICHIP
+    artifact died rc=124 exactly this hang class) and the caller's
+    eventual timeout KILL records nothing. A daemon watchdog emits the
+    same evidence-carrying failure JSON and exits 3 first, so even a
+    degraded relay (probes answer, transfers hang) can't erase the
+    round's number. BENCH_RUN_BUDGET seconds (default 2700 — healthy
+    runs finish in minutes and first-process remote compiles in 5–10,
+    while the driver/runner stage bounds are ≥3600 so this exit wins the
+    race); <=0 disables. CPU runs (tests call main() in-process) are
+    exempt: nothing on that backend can hang on a relay."""
+    budget_s = float(os.environ.get("BENCH_RUN_BUDGET", "2700"))
+    if budget_s <= 0 or os.environ.get("JAX_PLATFORMS", "") == "cpu":
+        return
+    import threading
+
+    def fire():
+        time.sleep(budget_s)
+        # still alive at the deadline — the run is hung; a completed
+        # main() would have exited the process (daemon thread) already
+        print(
+            f"bench: run phase exceeded {budget_s:.0f}s after backend "
+            "acquisition (relay died mid-run?) — emitting last-good "
+            "evidence and aborting. Set BENCH_RUN_BUDGET to adjust.",
+            file=sys.stderr,
+        )
+        _print_failure_evidence(
+            "hung-run failure (relay died mid-run?)",
+            f"run phase exceeded {budget_s:.0f}s after backend "
+            "acquisition",
+        )
+        sys.stdout.flush()
+        sys.stderr.flush()
+        os._exit(3)
+
+    threading.Thread(target=fire, daemon=True).start()
 
 
 def probe_backend_once(timeout_s: float) -> bool:
@@ -742,6 +793,7 @@ def main() -> int:
         float(os.environ.get("BENCH_BACKEND_TIMEOUT", "180")),
         float(os.environ.get("BENCH_BACKEND_BUDGET", "2400")),
     )
+    arm_run_watchdog()
     if os.environ.get("BENCH_MODE", "pcm") == "spectrogram":
         return main_spectrogram()
     n_episodes = int(os.environ.get("BENCH_EPISODES", "4"))

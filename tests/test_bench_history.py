@@ -298,3 +298,62 @@ def test_acquire_backend_fails_with_evidence_after_budget(
     assert exc.value.code == 3
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["ok"] is False and "last_good" in out
+
+
+def test_run_watchdog_emits_evidence_on_hung_run(tmp_path):
+    """A relay that answers the acquisition probe but dies MID-RUN leaves
+    the bench blocked in a device op; the run watchdog must emit the
+    evidence-carrying failure JSON and exit 3 before any outer timeout
+    KILL erases it (the r3 MULTICHIP artifact died rc=124 to exactly this
+    hang class). Simulated in a subprocess: arm the watchdog with a tiny
+    budget, then hang — the watchdog never touches a JAX backend."""
+    import os
+    import subprocess
+
+    hist = tmp_path / "history.jsonl"
+    hist.write_text(
+        json.dumps(
+            {
+                "tag": "bench",
+                "fingerprint": {"probe": 1},
+                "device_resident_value": 32.0,
+            }
+        )
+        + "\n"
+    )
+    code = (
+        "import importlib.util, time;"
+        "spec = importlib.util.spec_from_file_location('bench', 'bench.py');"
+        "m = importlib.util.module_from_spec(spec);"
+        "spec.loader.exec_module(m);"
+        "m.current_fingerprint = lambda *a, **k: {'probe': 1};"
+        "m.arm_run_watchdog();"
+        "time.sleep(120);"
+        "print('WATCHDOG DID NOT FIRE')"
+    )
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)  # the watchdog is CPU-exempt
+    env["BENCH_RUN_BUDGET"] = "2"
+    env["BENCH_HISTORY_PATH"] = str(hist)
+    r = subprocess.run(
+        [sys.executable, "-c", code], cwd=REPO, env=env,
+        capture_output=True, text=True, timeout=90,
+    )
+    assert r.returncode == 3, r.stderr
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    assert out["ok"] is False
+    assert "run phase exceeded" in out["error"]
+    assert out["last_good"]["device_resident_value"] == 32.0
+
+
+def test_run_watchdog_disabled_on_cpu(monkeypatch):
+    """Tests call main() in-process on the CPU backend; an armed watchdog
+    there would os._exit the whole pytest run minutes later."""
+    mod = _bench_module()
+    monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+    monkeypatch.setenv("BENCH_RUN_BUDGET", "1")
+    import threading
+
+    before = threading.active_count()
+    mod.arm_run_watchdog()
+    assert threading.active_count() == before
