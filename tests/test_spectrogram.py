@@ -70,6 +70,60 @@ def test_tiled_ncc_equals_single_shot(rng):
     assert np.max(np.abs(got - want)) < 2e-4
 
 
+@pytest.mark.heavy
+def test_tiled_ncc_fuzz_random_shapes(rng):
+    """Property fuzz for the overlap-save ZNCC (the bench-gated
+    spectrogram mode's memory-bounding core): random frame counts, mel
+    widths, and tile sizes — including the delegation branch
+    (valid <= tile), exact tile multiples, off-by-one remainders, and
+    degenerate t_s=1 / M=1 shapes — must all equal the single-shot
+    scores (reference parity anchor: audio_matcher.rs has no spectrogram
+    mode; the oracle is our own ncc_frames_core, scipy-checked in
+    test_tiled_ncc_equals_single_shot)."""
+    import jax.numpy as jnp
+
+    from audio_matcher_tpu.ops.stft import (
+        fft_length,
+        ncc_frames_core,
+        ncc_frames_tiled_core,
+    )
+
+    cases = []
+    for _ in range(10):
+        t_s = int(rng.integers(1, 200))
+        t_e = t_s + int(rng.integers(0, 1800))
+        M = int(rng.integers(1, 32))
+        tile = int(rng.integers(16, 700))
+        cases.append((t_e, t_s, M, tile))
+    # deliberate edges: delegation, exact multiple, remainder 1, t_s=1, M=1
+    cases += [
+        (500, 100, 8, 512),   # valid 401 <= tile → single-shot branch
+        (611, 100, 8, 256),   # valid 512 = 2 tiles exactly
+        (612, 100, 8, 256),   # valid 513 → remainder-1 tail tile
+        (900, 1, 4, 128),     # t_s=1: halo-free tiling
+        (700, 150, 1, 128),   # single mel bin
+    ]
+    for t_e, t_s, M, tile in cases:
+        ep = rng.standard_normal((t_e, M)).astype(np.float32)
+        sn = rng.standard_normal((t_s, M)).astype(np.float32)
+        L = fft_length(t_e + t_s - 1)
+        want = np.asarray(
+            ncc_frames_core(jnp.asarray(ep), jnp.asarray(sn), L, t_s)
+        )
+        got = np.asarray(
+            ncc_frames_tiled_core(
+                jnp.asarray(ep), jnp.asarray(sn), t_s, tile=tile
+            )
+        )
+        assert got.shape == want.shape, (t_e, t_s, M, tile)
+        # tiny patches (t_s·M) lose more bits to cancellation in the
+        # window-variance norm (Σe² − (Σe)²/N over few terms) and the two
+        # paths evaluate it at different FFT lengths — scores still live
+        # in [-1, 1], so 2e-3 absolute is last-bit jitter, not drift
+        tol = 2e-4 if t_s * M >= 32 else 2e-3
+        assert np.max(np.abs(got - want)) < tol, (t_e, t_s, M, tile)
+
+
 def test_sharded_spectrogram_scanner_multi_episode(rng):
     """Mesh-sharded spectrogram batch scan (BASELINE config #4 at archive
     scale): per-episode matches equal the single-episode matcher."""
