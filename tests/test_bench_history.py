@@ -357,3 +357,76 @@ def test_run_watchdog_disabled_on_cpu(monkeypatch):
     before = threading.active_count()
     mod.arm_run_watchdog()
     assert threading.active_count() == before
+
+
+def _digest_module():
+    spec = importlib.util.spec_from_file_location(
+        "summarize_experiments", REPO / "benches" / "summarize_experiments.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_experiment_digest_parses_mirrored_log_and_history(
+    tmp_path, capsys
+):
+    """The post-outage analysis reads results through
+    benches/summarize_experiments.py — its recovery of JSON from the
+    runner's '[HH:MM:SS]   | {...}' mirror prefix and its fingerprint
+    selectors (tpu-only, put_cap rendering) must not drift from the
+    runner/bench formats they parse."""
+    mod = _digest_module()
+
+    # exactly what run_staging_experiments.run() writes: chatter + a
+    # mirrored fence-probe JSON line + a bare JSON line + junk JSON
+    probe = {
+        "variant": "nofence", "size_mb": 3392, "pieces": 5,
+        "warmup_s": 0.1, "put_s": 4.9, "fence_s": 50.0, "mbps": 61.8,
+        "dispatch_mbps": 692.2, "integrity_ok": True,
+    }
+    log_lines = [
+        "[12:00:00] RUN python -u benches/probe_staging_fence.py env=None",
+        "[12:00:05]   | " + json.dumps(probe),
+        json.dumps({"variant": "bench", "size_mb": 3392, "pieces": 5,
+                    "put_s": 55.0, "fence_s": 0.2, "mbps": 61.0,
+                    "dispatch_mbps": 61.7, "integrity_ok": False}),
+        "[12:00:06]   | not json {",
+        "[12:00:07] rc=0",
+    ]
+    log_path = tmp_path / "staging_experiments.log"
+    log_path.write_text("\n".join(log_lines) + "\n")
+    recs = mod._json_lines(str(log_path))
+    assert [r.get("variant") for r in recs] == ["nofence", "bench"]
+
+    mod.fence_rows(recs)
+    out = capsys.readouterr().out
+    assert "nofence" in out and "692.2" in out
+    assert " Y" in out and " N" in out  # integrity column both ways
+
+    # history selectors: cpu rows skipped, put_cap renders in MB, the
+    # latency selector must not pick up the literal-#3 shape
+    hist = [
+        {"when": "2026-08-18T10:00", "tag": "bench",
+         "fingerprint": {"backend": "cpu", "episodes": 1, "queries": 1,
+                         "transfer_dtype": "int16"},
+         "result": {"value": 0.001}},
+        {"when": "2026-08-18T11:00", "tag": "bench",
+         "fingerprint": {"backend": "tpu", "episodes": 1, "queries": 1,
+                         "transfer_dtype": "mulaw8",
+                         "put_cap": 64 * 2**20},
+         "result": {"value": 2.1, "vs_baseline": 20.0,
+                    "device_resident_value": 5.0,
+                    "device_resident_vs_baseline": 47.0}},
+        {"when": "2026-08-18T12:00", "tag": "bench",
+         "fingerprint": {"backend": "tpu", "episodes": 64, "queries": 4,
+                         "transfer_dtype": "int16"},
+         "result": {"value": 0.9, "vs_baseline": 9.0,
+                    "device_resident_value": 17.9,
+                    "device_resident_vs_baseline": 180.0}},
+    ]
+    mod.bench_rows(hist, "single-pair latency (config #2)",
+                   {"episodes": 1, "queries": 1})
+    out = capsys.readouterr().out
+    assert "mulaw8" in out and "64MB" in out
+    assert "cpu" not in out and "17.9" not in out
