@@ -681,7 +681,8 @@ class SnippetMatcher:
                 cfg.distance_secs, per_chunk, cfg.max_peaks_per_chunk,
             )
         # computed lazily: keeps construction free of device execution so a
-        # batch of episodes can be staged on the pre-execution fast path
+        # batch of episodes can be staged before the first execution
+        # (staging after any execution drops to the ~21 MB/s cliff)
         self._sample_f_cache: jax.Array | None = None
 
     @property

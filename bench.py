@@ -100,10 +100,13 @@ def _measure_staged_scan(scanner, episode, transfer_dtype, n_episodes,
     staged = scanner.stage_resident([episode_wire] * n_episodes)
     chunks = staged[0] if isinstance(staged[0], tuple) else (staged[0],)
     # block_until_ready is a valid fence for TRANSFERS (measured stage
-    # rates track byte volume / the link rate: 682 MB→1.04 s, 3.4 GB→
-    # 49–56 s — a lying fence would return ~instantly); the readback-only
-    # fencing rule (CLAUDE.md) is about fencing EXECUTIONS, and a
-    # readback here would pay a timed per-shape slice compile instead
+    # times track byte volume at the link's regime rate — sub-700 MB
+    # pre-execution swings 0.04–1.2 GB/s run to run, multi-GB runs
+    # ~50–135 MB/s regardless of fencing, post-execution is the ~21 MB/s
+    # cliff (PERF.md "Round-4 fence/warmup A/B"); a lying fence would
+    # return ~instantly at any volume). The readback-only fencing rule
+    # (CLAUDE.md) is about fencing EXECUTIONS, and a readback here would
+    # pay a timed per-shape slice compile instead
     for c in chunks:
         c.block_until_ready()
     t_stage = time.perf_counter() - t_stage0
@@ -146,7 +149,19 @@ def _measure_staged_scan(scanner, episode, transfer_dtype, n_episodes,
         f"{t_compute / n_pairs * 1e3:.0f} ms)",
         file=sys.stderr,
     )
-    return ((t_stage + t_compute) / n_pairs, t_compute / n_pairs), peaks
+    # staging-weather annotation (VERDICT r4 #6): the relay's stage rate
+    # swings >10x run-to-run, and e2e inherits it — record the measured
+    # rate so same-fingerprint e2e outliers in history.jsonl are
+    # self-explaining (5.98 vs 25.3 pair-h/s was a 17.4 s vs 1.1 s stage)
+    extras = {
+        "stage_secs": round(t_stage, 3),
+        "staged_mb": round(staged_bytes / 1e6, 1),
+        "stage_mb_s": round(staged_bytes / 1e6 / t_stage, 1)
+        if t_stage > 0
+        else None,
+        "scan_secs": round(t_compute, 4),
+    }
+    return ((t_stage + t_compute) / n_pairs, t_compute / n_pairs), extras, peaks
 
 
 def measure_tpu(episode, snippets, config, n_episodes=None):
@@ -690,7 +705,7 @@ def main_spectrogram() -> int:
     snippets, offsets, episode = make_bench_inputs(n_queries)
     config = make_spec_config()
 
-    (per_pair, per_pair_scan), peaks = measure_tpu_spectrogram(
+    (per_pair, per_pair_scan), extras, peaks = measure_tpu_spectrogram(
         episode, snippets, config, n_episodes
     )
     hours = EPISODE_SECS / 3600.0
@@ -720,6 +735,7 @@ def main_spectrogram() -> int:
         "vs_baseline": round(value / baseline, 2),
         "device_resident_value": round(value_scan, 4),
         "device_resident_vs_baseline": round(value_scan / baseline, 2),
+        **extras,
     }
     import jax
 
@@ -802,7 +818,9 @@ def main() -> int:
 
     config = make_config()
 
-    (per_pair, per_pair_scan), peaks = measure_tpu(episode, snippets, config)
+    (per_pair, per_pair_scan), extras, peaks = measure_tpu(
+        episode, snippets, config
+    )
     hours = EPISODE_SECS / 3600.0
     value = hours / per_pair  # pair audio-hours per second
     value_scan = hours / per_pair_scan  # device-resident (staging excluded)
@@ -828,6 +846,7 @@ def main() -> int:
         "vs_baseline": round(value / baseline, 2),
         "device_resident_value": round(value_scan, 4),
         "device_resident_vs_baseline": round(value_scan / baseline, 2),
+        **extras,
     }
     import jax
 

@@ -71,17 +71,24 @@ def bench_rows(recs, title, want):
         return
     print(f"## {title}")
     print(f"{'when':>16} {'dtype':>8} {'put_cap':>8} {'e2e p-h/s':>10} "
-          f"{'x base':>7} {'resident':>9} {'x base':>7}")
+          f"{'x base':>7} {'resident':>9} {'x base':>7} "
+          f"{'stage_s':>8} {'stg MB/s':>8}")
     for r in rows:
         res, fp = r.get("result", {}), r.get("fingerprint", {})
         cap = fp.get("put_cap")
         cap = f"{int(cap) // 2**20}MB" if cap else "-"
+        # staging-weather columns (entries before r5 lack them): an e2e
+        # outlier next to a ~20 MB/s stage rate is relay weather, not a
+        # regression
+        stage_s = res.get("stage_secs", "-")
+        stage_rate = res.get("stage_mb_s", "-")
         print(f"{r.get('when', '?'):>16.16} "
               f"{fp.get('transfer_dtype', '?'):>8} {cap:>8} "
               f"{res.get('value', '?'):>10} "
               f"{res.get('vs_baseline', '?'):>7} "
               f"{res.get('device_resident_value', '?'):>9} "
-              f"{res.get('device_resident_vs_baseline', '?'):>7}")
+              f"{res.get('device_resident_vs_baseline', '?'):>7} "
+              f"{stage_s:>8} {stage_rate:>8}")
     print()
 
 
@@ -101,11 +108,18 @@ def main():
     if os.path.exists(done):
         with open(done) as f:
             lines = [ln.strip() for ln in f if ln.strip()]
-        ok = [ln for ln in lines if not ln.endswith("!fail")]
+        markers = ("!fail", "!err", "!slow")
+        ok = [ln for ln in lines if not ln.endswith(markers)]
         fails = [ln for ln in lines if ln.endswith("!fail")]
+        errs = [ln for ln in lines if ln.endswith("!err")]
+        slows = [ln for ln in lines if ln.endswith("!slow")]
         print(f"stages complete: {len(ok)} ({', '.join(ok)})")
         if fails:
             print(f"relay-death attempts: {', '.join(fails)}")
+        if slows:
+            print(f"over-budget (live relay) attempts: {', '.join(slows)}")
+        if errs:
+            print(f"deterministic failures: {', '.join(errs)}")
 
 
 if __name__ == "__main__":

@@ -187,6 +187,11 @@ def test_bench_pcm_mode_end_to_end(tmp_path, monkeypatch, capsys):
     (entry,) = _entries(hist)
     assert entry["fingerprint"]["fft_impl"] == "xla_packed"
     assert "mode" not in entry["fingerprint"]
+    # staging-weather annotation (VERDICT r4 #6): every history entry
+    # must be able to self-explain an e2e outlier
+    res = entry["result"]
+    assert res["stage_secs"] > 0 and res["staged_mb"] > 0
+    assert res["stage_mb_s"] > 0 and res["scan_secs"] > 0
 
 
 def test_bench_latency_ab_config_end_to_end(tmp_path, monkeypatch, capsys):
@@ -417,7 +422,8 @@ def test_experiment_digest_parses_mirrored_log_and_history(
                          "put_cap": 64 * 2**20},
          "result": {"value": 2.1, "vs_baseline": 20.0,
                     "device_resident_value": 5.0,
-                    "device_resident_vs_baseline": 47.0}},
+                    "device_resident_vs_baseline": 47.0,
+                    "stage_secs": 17.4, "stage_mb_s": 39.2}},
         {"when": "2026-08-18T12:00", "tag": "bench",
          "fingerprint": {"backend": "tpu", "episodes": 64, "queries": 4,
                          "transfer_dtype": "int16"},
@@ -430,3 +436,9 @@ def test_experiment_digest_parses_mirrored_log_and_history(
     out = capsys.readouterr().out
     assert "mulaw8" in out and "64MB" in out
     assert "cpu" not in out and "17.9" not in out
+    # staging-weather columns render, and pre-r5 entries without the
+    # fields render as '-'
+    assert "17.4" in out and "39.2" in out
+    mod.bench_rows(hist, "literal config #3 (64x10min x 4q)",
+                   {"episodes": 64, "queries": 4})
+    assert " - " in capsys.readouterr().out
