@@ -345,12 +345,33 @@ def put_bytes_cap() -> int:
     return cap if cap > 0 else (1 << 62)
 
 
+def stage_fence_policy() -> str:
+    """How :func:`_device_put_split` paces multi-piece staging
+    (``AUDIO_MATCHER_STAGE_FENCE``): ``batch`` (default) dispatches all
+    pieces and lets the caller fence afterwards; ``serial`` fences each
+    piece before dispatching the next (put+fence per piece). Round 4's
+    single-sample fence A/B measured serial at 134.6 vs batch 50.7 MB/s
+    on a 3.4 GB stage — within the relay's claimed run-to-run swing, so
+    the default only flips on the repeated interleaved A/B's verdict
+    (benches/run_staging_experiments.py ``serial-ab-*`` stages)."""
+    import os
+
+    policy = os.environ.get("AUDIO_MATCHER_STAGE_FENCE", "batch")
+    if policy not in ("batch", "serial"):
+        raise ValueError(
+            f"AUDIO_MATCHER_STAGE_FENCE must be 'batch' or 'serial', "
+            f"got {policy!r}"
+        )
+    return policy
+
+
 def _device_put_split(padded: np.ndarray):
     """``device_put`` a wire buffer, split into ≤-cap pieces when it
     exceeds :func:`put_bytes_cap`. 2-D batch buffers flatten first so
     the split is element-granular (a single row can exceed the cap);
     the match paths re-join with ONE on-device concat (+ reshape) —
     staging itself stays execution-free for stage-ahead callers.
+    Piece pacing follows :func:`stage_fence_policy`.
     Returns a device array, or a tuple of flat piece arrays."""
     cap = put_bytes_cap()
     if padded.nbytes <= cap:
@@ -358,10 +379,16 @@ def _device_put_split(padded: np.ndarray):
     flat = padded.reshape(-1)  # view: C-contiguous staging buffers
     n_pieces = -(-padded.nbytes // cap)
     step = -(-len(flat) // n_pieces)
-    return tuple(
-        jax.device_put(flat[i : i + step])
-        for i in range(0, len(flat), step)
-    )
+    serial = stage_fence_policy() == "serial"
+    pieces = []
+    for i in range(0, len(flat), step):
+        d = jax.device_put(flat[i : i + step])
+        if serial:
+            # put+fence per piece: a transfer fence, not an execution
+            # (the execution-free staging contract holds either way)
+            d.block_until_ready()
+        pieces.append(d)
+    return tuple(pieces)
 
 
 def _joined(episode_dev, rows: int | None = None):

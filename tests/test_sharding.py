@@ -688,6 +688,33 @@ def test_put_cap_validation(monkeypatch):
     assert not isinstance(_device_put_split(buf), tuple)
 
 
+def test_stage_fence_policy(monkeypatch):
+    """AUDIO_MATCHER_STAGE_FENCE selects the split pacing: 'serial'
+    fences each piece (the round-4 A/B candidate), 'batch' (default)
+    dispatches all and leaves fencing to the caller — identical pieces
+    and bytes either way; junk values fail loudly."""
+    import pytest
+
+    from audio_matcher_tpu.models.matcher import (
+        _device_put_split, stage_fence_policy,
+    )
+
+    assert stage_fence_policy() == "batch"
+    buf = (np.arange(8 * 1024, dtype=np.int16) * 3).reshape(4, -1)
+    monkeypatch.setenv("AUDIO_MATCHER_PUT_BYTES", str(buf.nbytes // 3))
+    batch = _device_put_split(buf)
+    monkeypatch.setenv("AUDIO_MATCHER_STAGE_FENCE", "serial")
+    assert stage_fence_policy() == "serial"
+    serial = _device_put_split(buf)
+    assert isinstance(batch, tuple) and isinstance(serial, tuple)
+    assert len(batch) == len(serial)
+    for b, s in zip(batch, serial):
+        np.testing.assert_array_equal(np.asarray(b), np.asarray(s))
+    monkeypatch.setenv("AUDIO_MATCHER_STAGE_FENCE", "sometimes")
+    with pytest.raises(ValueError, match="STAGE_FENCE"):
+        stage_fence_policy()
+
+
 def test_chunked_staging_matches_monolithic(rng, snippets, monkeypatch):
     """Buffers over AUDIO_MATCHER_PUT_BYTES stage as equal ≤-cap flat
     pieces (the relay collapses on monolithic multi-GB transfers,
