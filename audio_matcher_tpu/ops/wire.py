@@ -24,7 +24,10 @@ def dequant_to_f32(x):
     if x.dtype == jnp.int16:
         return x.astype(jnp.float32) * jnp.float32(1.0 / 65535.0)
     if x.dtype == jnp.uint8:
-        b = x.astype(jnp.float32) * jnp.float32(1.0 / 127.5) - 1.0
+        # Mosaic can't lower uint8->f32 directly (r5: latency-mulaw8 died
+        # with "Unsupported cast: uint8 -> float32"); hop through int32,
+        # which is exact for 0..255 and lowers on every backend.
+        b = x.astype(jnp.int32).astype(jnp.float32) * jnp.float32(1.0 / 127.5) - 1.0
         u = jnp.sign(b) * jnp.expm1(
             jnp.abs(b) * jnp.float32(np.log1p(MU))
         ) * jnp.float32(1.0 / MU)
