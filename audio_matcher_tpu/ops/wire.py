@@ -24,12 +24,15 @@ def dequant_to_f32(x):
     if x.dtype == jnp.int16:
         return x.astype(jnp.float32) * jnp.float32(1.0 / 65535.0)
     if x.dtype == jnp.uint8:
-        # Mosaic can't lower uint8->f32 directly (r5: latency-mulaw8 died
-        # with "Unsupported cast: uint8 -> float32"); hop through int32,
-        # which is exact for 0..255 and lowers on every backend.
+        # Mosaic lowering gaps, hit live on the chip (r5 campaign):
+        # uint8->f32 convert and expm1 are both unimplemented for TC
+        # kernels. Hop through int32 (exact for 0..255) and expand with
+        # exp()-1: the smallest nonzero |b|*ln(1+mu) the wire grid can
+        # produce is ln(256)/255 ~= 0.0217, where exp()-1 keeps ~5e-6
+        # relative accuracy — three orders inside mu-law's own ~2%
+        # companding step. tests/test_staging.py pins the jaxpr.
         b = x.astype(jnp.int32).astype(jnp.float32) * jnp.float32(1.0 / 127.5) - 1.0
-        u = jnp.sign(b) * jnp.expm1(
-            jnp.abs(b) * jnp.float32(np.log1p(MU))
-        ) * jnp.float32(1.0 / MU)
+        mag = jnp.exp(jnp.abs(b) * jnp.float32(np.log1p(MU))) - 1.0
+        u = jnp.where(b >= 0, mag, -mag) * jnp.float32(1.0 / MU)
         return u * jnp.float32(32768.0 / 65535.0)
     return x.astype(jnp.float32)

@@ -960,3 +960,69 @@ def test_sweep_tail_pad_not_sticky_after_byte_flush(
     for p in paths:
         got = [pk.position for pk in results[str(p)][0] if pk.height > 0.5]
         assert got == [want[str(p)]], p
+
+@pytest.mark.parametrize("wire", ["float32", "int16", "mulaw8"])
+def test_production_scan_lowers_for_mosaic(monkeypatch, wire):
+    """Cross-platform AOT lowering of the PRODUCTION resident scan
+    program (fft_impl=vpu + peaks_impl=pallas, interpret=False) through
+    the real Mosaic TPU pipeline, from the CPU backend — no chip needed.
+
+    Pallas kernels lower to Mosaic MLIR client-side, so unsupported
+    primitives surface here exactly as they would on hardware. Round 5's
+    campaign lost two chip attempts to this class of bug (uint8->f32
+    convert, then expm1, both unimplemented for Mosaic TC kernels and
+    both invisible to the interpret-mode CPU tests); this pins every
+    wire dtype's fused program as Mosaic-lowerable."""
+    import jax
+    import jax.numpy as jnp
+
+    from audio_matcher_tpu.parallel import sweep as S
+
+    cfg = MatchConfig(
+        fft_impl="vpu", peaks_impl="pallas", transfer_dtype=wire,
+        chunk_secs=8.0, distance_secs=2.0, slab=2, block=256,
+    )
+    snips = [np.zeros(SR // 2, np.float32), np.zeros(SR // 4, np.float32)]
+    sc = ShardedScanner(snips, SR, cfg, mesh=make_mesh(1))
+    sample_f = sc._sample_f_resident  # computed on CPU, pre-patch
+    n_slabs = 2
+    n_pad = n_slabs * cfg.slab * sc.chunk + sc.overlap
+    dtype = {
+        "float32": jnp.float32, "int16": jnp.int16, "mulaw8": jnp.uint8,
+    }[wire]
+
+    # resident_match_step picks interpret from the default backend —
+    # pretend we're on the chip so the pallas_calls lower via Mosaic
+    monkeypatch.setattr(S.jax, "default_backend", lambda: "tpu")
+    step = S.resident_match_step(
+        sc.chunk, sc.window, sc.fft_len, sc.valid, sc.distance_samples,
+        sc.n_peaks, cfg.block, cfg.slab, n_slabs, "vpu", "pallas",
+    )[0]
+    E, Q = 2, 2
+    step.trace(
+        jax.ShapeDtypeStruct((E, n_pad), dtype),
+        jax.ShapeDtypeStruct((E,), jnp.int32),
+        sample_f,
+        jax.ShapeDtypeStruct((Q,), jnp.float32),
+        jax.ShapeDtypeStruct((Q,), jnp.int32),
+    ).lower(lowering_platforms=("tpu",))
+
+    # Q=1 takes the window-pair-packed branches (the config-#2 latency
+    # path — exactly where the mulaw8 campaign stages died)
+    monkeypatch.setattr(S.jax, "default_backend", lambda: "cpu")
+    sc1 = ShardedScanner(snips[:1], SR, cfg, mesh=make_mesh(1))
+    sample_f1 = sc1._sample_f_resident
+    monkeypatch.setattr(S.jax, "default_backend", lambda: "tpu")
+    step1 = S.resident_match_step(
+        sc1.chunk, sc1.window, sc1.fft_len, sc1.valid,
+        sc1.distance_samples, sc1.n_peaks, cfg.block, cfg.slab, n_slabs,
+        "vpu", "pallas",
+    )[0]
+    n_pad1 = n_slabs * cfg.slab * sc1.chunk + sc1.overlap
+    step1.trace(
+        jax.ShapeDtypeStruct((1, n_pad1), dtype),
+        jax.ShapeDtypeStruct((1,), jnp.int32),
+        sample_f1,
+        jax.ShapeDtypeStruct((1,), jnp.float32),
+        jax.ShapeDtypeStruct((1,), jnp.int32),
+    ).lower(lowering_platforms=("tpu",))

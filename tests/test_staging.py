@@ -299,3 +299,33 @@ def test_mulaw_pad_is_silence():
     # int16/float32 pads stay zero
     p16 = pad_wire_on_device(jnp.full(4, 7, jnp.int16), 12)
     assert np.asarray(p16[4:] == 0).all()
+
+def test_wire_decode_has_no_narrow_to_float_convert():
+    """Mosaic can't lower uint8->f32 (or other sub-32-bit int -> float)
+    convert_element_type inside a Pallas kernel — the fused wire-reading
+    forward traced dequant_to_f32 and died on the chip with
+    'Unsupported cast: uint8 -> float32' (round 5; int16->f32 lowers
+    fine — the int16 leg ran on the chip). Pin the contract: no 8-bit
+    int -> float convert in the traced decode; uint8 widens to int32
+    first."""
+    import jax
+    import jax.numpy as jnp
+
+    from audio_matcher_tpu.ops.wire import dequant_to_f32
+
+    for wire_dtype in (jnp.uint8, jnp.int16):
+        jaxpr = jax.make_jaxpr(dequant_to_f32)(
+            jax.ShapeDtypeStruct((8, 128), wire_dtype)
+        )
+        for eqn in jaxpr.jaxpr.eqns:
+            if eqn.primitive.name != "convert_element_type":
+                continue
+            src = eqn.invars[0].aval.dtype
+            dst = eqn.outvars[0].aval.dtype
+            if jnp.issubdtype(src, jnp.integer) and jnp.issubdtype(
+                dst, jnp.floating
+            ):
+                assert jnp.dtype(src).itemsize >= 2, (
+                    f"8-bit int->float convert {src}->{dst} would fail "
+                    "Mosaic lowering on TPU"
+                )
