@@ -1026,3 +1026,38 @@ def test_production_scan_lowers_for_mosaic(monkeypatch, wire):
         jax.ShapeDtypeStruct((1,), jnp.float32),
         jax.ShapeDtypeStruct((1,), jnp.int32),
     ).lower(lowering_platforms=("tpu",))
+
+def test_sharded_resident_scan_lowers_for_mosaic(monkeypatch):
+    """Same Mosaic cross-platform lowering pin for the MULTI-CHIP
+    resident program (shard_map over the 8-device mesh): the dryrun
+    exercises it interpret-mode on CPU, so without this no Mosaic
+    lowering of the sharded path ever happens before real multi-chip
+    hardware."""
+    import jax
+    import jax.numpy as jnp
+
+    from audio_matcher_tpu.parallel import sweep as S
+
+    cfg = MatchConfig(
+        fft_impl="vpu", peaks_impl="pallas", transfer_dtype="mulaw8",
+        chunk_secs=8.0, distance_secs=2.0, slab=2, block=256,
+    )
+    snips = [np.zeros(SR // 2, np.float32), np.zeros(SR // 4, np.float32)]
+    mesh = make_mesh(8)
+    sc = ShardedScanner(snips, SR, cfg, mesh=mesh)
+    sample_f = sc._sample_f_resident
+    n_slabs = 2
+    n_pad = n_slabs * cfg.slab * sc.chunk + sc.overlap
+    monkeypatch.setattr(S.jax, "default_backend", lambda: "tpu")
+    step = S.resident_sharded_step(
+        mesh, sc.chunk, sc.window, sc.fft_len, sc.valid,
+        sc.distance_samples, sc.n_peaks, cfg.block, cfg.slab, n_slabs,
+        "vpu", "pallas",
+    )
+    step.trace(
+        jax.ShapeDtypeStruct((8, n_pad), jnp.uint8),
+        jax.ShapeDtypeStruct((8,), jnp.int32),
+        sample_f,
+        jax.ShapeDtypeStruct((2,), jnp.float32),
+        jax.ShapeDtypeStruct((2,), jnp.int32),
+    ).lower(lowering_platforms=("tpu",))
