@@ -329,3 +329,39 @@ def test_wire_decode_has_no_narrow_to_float_convert():
                     f"8-bit int->float convert {src}->{dst} would fail "
                     "Mosaic lowering on TPU"
                 )
+
+def test_matcher_batch_program_lowers_for_mosaic(monkeypatch):
+    """Mosaic cross-platform lowering pin for SnippetMatcher's resident
+    batch program (the matcher CLI's TPU path) on the mulaw8 wire with
+    the production fused impls — same class of guard as
+    tests/test_sharding.py's scanner pins."""
+    import jax
+    import jax.numpy as jnp
+
+    from audio_matcher_tpu.models import matcher as M
+
+    sr = 1000
+    snippet = np.zeros(sr // 2, np.float32)
+    snippet[10] = 0.3  # nonzero autocorrelation
+    cfg = MatchConfig(
+        chunk_secs=8.0, distance_secs=2.0, slab=2, block=256,
+        transfer_dtype="mulaw8", fft_impl="vpu", peaks_impl="pallas",
+    )
+    m = SnippetMatcher(snippet, sr, cfg)
+    sample_f = m._sample_f  # computed on CPU, pre-patch
+    n_slabs = 2
+    n_pad = n_slabs * cfg.slab * m.chunk + m.overlap
+
+    monkeypatch.setattr(M.jax, "default_backend", lambda: "tpu")
+    E = 2
+    M._match_batch_resident.trace(
+        jax.ShapeDtypeStruct((E, n_pad), jnp.uint8),
+        jax.ShapeDtypeStruct((E,), jnp.int32),
+        sample_f,
+        np.float32(1.0),
+        chunk=m.chunk, window=m.window, m=m.snippet.m,
+        fft_len=m.fft_len, valid_max=m.valid,
+        distance=m.distance_samples, n_peaks=m.n_peaks, block=cfg.block,
+        slab=cfg.slab, n_slabs=n_slabs, fft_impl="vpu",
+        peaks_impl="pallas",
+    ).lower(lowering_platforms=("tpu",))
