@@ -349,11 +349,12 @@ def stage_fence_policy() -> str:
     """How :func:`_device_put_split` paces multi-piece staging
     (``AUDIO_MATCHER_STAGE_FENCE``): ``batch`` (default) dispatches all
     pieces and lets the caller fence afterwards; ``serial`` fences each
-    piece before dispatching the next (put+fence per piece). Round 4's
-    single-sample fence A/B measured serial at 134.6 vs batch 50.7 MB/s
-    on a 3.4 GB stage — within the relay's claimed run-to-run swing, so
-    the default only flips on the repeated interleaved A/B's verdict
-    (benches/run_staging_experiments.py ``serial-ab-*`` stages)."""
+    piece before dispatching the next (put+fence per piece). Round 5's
+    interleaved repeats settled it (PERF.md "Round-5 serial-fence
+    repeats"): serial does NOT win — medians 471 vs batch's 932 MB/s at
+    3.4 GB, 920-973 vs 1065-1126 at 682 MB; round 4's one-sample 2.7x
+    "win" was relay weather. ``batch`` stays the default; ``serial``
+    remains a probe knob."""
     import os
 
     policy = os.environ.get("AUDIO_MATCHER_STAGE_FENCE", "batch")

@@ -100,10 +100,10 @@ def _measure_staged_scan(scanner, episode, transfer_dtype, n_episodes,
     staged = scanner.stage_resident([episode_wire] * n_episodes)
     chunks = staged[0] if isinstance(staged[0], tuple) else (staged[0],)
     # block_until_ready is a valid fence for TRANSFERS (measured stage
-    # times track byte volume at the link's regime rate — sub-700 MB
-    # pre-execution swings 0.04–1.2 GB/s run to run, multi-GB runs
-    # ~50–135 MB/s regardless of fencing, post-execution is the ~21 MB/s
-    # cliff (PERF.md "Round-4 fence/warmup A/B"); a lying fence would
+    # times track byte volume at the link's regime rate — weather at
+    # all volumes, 8.7 MB/s–1.2 GB/s observed for the same 3.4 GB
+    # stage; post-execution is the one reliably-slow mode (PERF.md
+    # "Round-5 serial-fence repeats"); a lying fence would
     # return ~instantly at any volume). The readback-only fencing rule
     # (CLAUDE.md) is about fencing EXECUTIONS, and a readback here would
     # pay a timed per-shape slice compile instead
