@@ -24,7 +24,11 @@ emits the same evidence-carrying JSON before any outer timeout kill.
 Knobs: BENCH_EPISODE_SECS, BENCH_EPISODES, BENCH_QUERIES, BENCH_SLAB,
 BENCH_TRANSFER_DTYPE, BENCH_FFT_IMPL, BENCH_PEAKS_IMPL, BENCH_REPEATS
 (median-of-N scan phase — timing methodology, not part of the history
-fingerprint).
+fingerprint). The pcm bench's wire default is mulaw8 — the recommended
+production wire on relay-class hosts (PERF.md "Wire recommendation";
+positions sample-exact, bench-verified) — while the sweep CLI keeps the
+lossless int16 default; BENCH_TRANSFER_DTYPE=int16 reproduces the older
+canonical entries.
 
 BENCH_MODE=spectrogram benches the second model family instead
 (BASELINE config #4: log-mel fingerprints + tiled multi-query ZNCC,
@@ -395,7 +399,12 @@ def make_config():
         # an explicit BENCH_SLAB pins the slab for A/Bs; otherwise the
         # production adaptive pick (pick_slab) applies
         slab_auto="BENCH_SLAB" not in os.environ,
-        transfer_dtype=os.environ.get("BENCH_TRANSFER_DTYPE", "int16"),
+        # the bench defaults to the measured-best production wire for
+        # relay-class hosts (PERF.md "Wire recommendation": mulaw8 is
+        # 29.1 vs 25.3 pair-h/s e2e at this shape, positions sample-
+        # exact, half the staged bytes = half the weather exposure);
+        # the sweep CLI's default stays int16 — the lossless contract
+        transfer_dtype=os.environ.get("BENCH_TRANSFER_DTYPE", "mulaw8"),
         # measured winners on v5e (benches/probe_pallas_fft.py + bench A/B):
         # the pallas VPU FFT (9.81 pair-h/s e2e vs 9.18 with xla_packed)
         # + the single-pass pallas peak kernel
