@@ -442,3 +442,27 @@ def test_experiment_digest_parses_mirrored_log_and_history(
     mod.bench_rows(hist, "literal config #3 (64x10min x 4q)",
                    {"episodes": 64, "queries": 4})
     assert " - " in capsys.readouterr().out
+
+
+def test_default_wire_contract(monkeypatch):
+    """The bench defaults to the recommended relay-class production wire
+    (mulaw8 — PERF.md "Wire recommendation"), while the user-facing
+    surfaces keep the LOSSLESS contract: sweep CLI defaults int16,
+    matcher CLI float32, MatchConfig float32. Guards an accidental flip
+    of the lossy wire into a default that promises losslessness."""
+    for var in ("BENCH_TRANSFER_DTYPE", "BENCH_SLAB"):
+        monkeypatch.delenv(var, raising=False)
+    mod = _bench_module()
+    assert mod.make_config().transfer_dtype == "mulaw8"
+    # spectrogram mode keeps int16 so its single-fingerprint history
+    # (and the gate comparing against it) stays continuous
+    assert mod.make_spec_config().transfer_dtype == "int16"
+
+    from audio_matcher_tpu.cli import matcher_cli, sweep_cli
+    from audio_matcher_tpu.models.matcher import MatchConfig
+
+    assert MatchConfig().transfer_dtype == "float32"
+    m = matcher_cli.build_parser().parse_args(["ep.mp3", "--snippet", "s.mp3"])
+    assert m.transfer == "float32"
+    s = sweep_cli.build_parser().parse_args(["*.mp3", "--snippet", "s.mp3"])
+    assert s.transfer == "int16"
