@@ -110,7 +110,9 @@ def resample_poly_device_padded(
     up, down = sr_to // g, sr_from // g
     n_out = -(-n * up // down)
     n_b = _bucket_len(n)
-    if n_b != n:  # host-side pad keeps the upload on the relay fast path
+    if n_b != n:  # host-side pad keeps staging execution-free (a device
+        # pad would be an execution — later uploads then run in the
+        # relay's post-execution ~21 MB/s mode; PERF.md)
         x = np.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, n_b - n)])
     n_out_b = -(-n_b * up // down)
     h = jnp.asarray(_poly_filter(up, down))

@@ -944,10 +944,12 @@ class ShardedScanner:
         episode count falls short. ``"host"`` (default) keeps staging
         strictly execution-free like SnippetMatcher.stage_batch — silence
         rows ride the wire, so staging several batches ahead of the first
-        scan preserves the relay's fast host→device path. ``"device"``
-        uploads only the real rows and pads on device — fewest wire
-        bytes, but the pad IS a device program, which on the axon relay
-        ends the fast-path for every later upload in the process; the
+        scan stays out of the relay's post-execution staging mode.
+        ``"device"`` uploads only the real rows and pads on device —
+        fewest wire bytes, but the pad IS a device program, which on the
+        axon relay drops every later upload in the process into the
+        post-execution ~21 MB/s mode (PERF.md — the one reliably slow
+        staging regime; pre-execution rates are weather); the
         scan paths (scan_resident, sweep_archive) opt into it because
         they execute between stages anyway."""
         ns = np.array([len(e) for e in episodes], np.int32)

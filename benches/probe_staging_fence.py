@@ -1,5 +1,15 @@
 """Probe 19: what ends the relay's pre-execution fast path during staging?
 
+ANSWERED (round-4 A/B + round-5 interleaved repeats, PERF.md "Round-5
+serial-fence repeats"): nothing does, because there is no reliable fast
+path to end — host→device rate is weather at ALL volumes (the same
+3.4 GB stage measured 8.7 MB/s to 1.19 GB/s within 35 min); suspect (c)
+was closest but even "intrinsic to this size" was wrong. The two
+reliable effects are monolithic >GB single puts (~8 MB/s — the splitter
+stays) and the post-execution mode (~21 MB/s, `postexec` variant below).
+The hypothesis framing is kept verbatim so the variant set documents
+what the probe was built to separate.
+
 PERF.md's "Relay upload throughput vs transfer size" measured chunked
 puts at ~41-56 MB/s WITH per-put readback fences and hypothesized an
 execution-free chunked stage "should ride the ~0.7 GB/s fast path" —

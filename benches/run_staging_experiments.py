@@ -20,8 +20,10 @@ high-value stages behind a 17 GB fence sweep):
   literal3-*           the literal config-#3 shape (EPISODES=64 QUERIES=4
                        EPISODE_SECS=600), mulaw8 then int16
   fence-ab             probe_staging_fence.py — the fence/warmup A/B at
-                       the literal config-#3 byte volume (what ends the
-                       pre-execution fast path?)
+                       the literal config-#3 byte volume (asked "what
+                       ends the pre-execution fast path?"; answered:
+                       nothing — rate is weather, see the probe's
+                       docstring)
   serial-ab-{3392,682} the serial-fence question (VERDICT r4 #2): 3
                        interleaved serial/bench rounds per byte volume —
                        round 4's single-sample 134.6 vs 50.7 MB/s spread
