@@ -126,8 +126,10 @@ def _measure_staged_scan(scanner, episode, transfer_dtype, n_episodes,
     # relay's run-to-run swing is ~2x and small shapes (the single-pair
     # latency capture, BASELINE config #2) are one ~0.2 s sample
     # otherwise. Repeats are timing methodology, not configuration: they
-    # do NOT enter the history fingerprint.
-    repeats = max(int(os.environ.get("BENCH_REPEATS", "1")), 1)
+    # do NOT enter the history fingerprint. Default 3: the canonical
+    # scan is ~4 s, so the median costs ~8 s and keeps a one-off relay
+    # hiccup out of the gated device-resident number.
+    repeats = max(int(os.environ.get("BENCH_REPEATS", "3")), 1)
     times = []
     for _ in range(repeats):
         t0 = time.perf_counter()
