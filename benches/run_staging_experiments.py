@@ -142,7 +142,12 @@ def stages():
     """
     py = sys.executable
     out = [
-        ("canonical-int16", [py, "-u", "bench.py"], None, 5400, 682),
+        # bench.py's DEFAULT wire is now mulaw8 (PERF.md wire
+        # recommendation) — this stage must pin int16 explicitly or it
+        # would silently duplicate canonical-mulaw8 and starve the
+        # int16 lineage's regression gate
+        ("canonical-int16", [py, "-u", "bench.py"],
+         {"BENCH_TRANSFER_DTYPE": "int16"}, 5400, 682),
         ("spectrogram", [py, "-u", "bench.py"],
          {"BENCH_MODE": "spectrogram"}, 5400, 682),
     ]
@@ -352,9 +357,16 @@ def main() -> int:
                 # (possibly before a supervisor restart): byte-scaled
                 # budget from the start
                 eff_timeout = overbudget_timeout(bytes_mb, timeout_s)
-                if "VARIANT_BUDGET" in eff_env:
+                if "VARIANT_BUDGET" in eff_env or any(
+                    "probe_staging_fence" in c for c in cmd
+                ):
+                    # scale the probe's INNER per-variant budget too — a
+                    # fence-probe stage with no explicit VARIANT_BUDGET
+                    # (fence-ab) would otherwise retry into the probe's
+                    # own 900 s default and hit the identical rc=124
+                    base_vb = float(eff_env.get("VARIANT_BUDGET", "900"))
                     eff_env["VARIANT_BUDGET"] = str(
-                        int(float(eff_env["VARIANT_BUDGET"]) * 2**slow_n)
+                        int(base_vb * 2**slow_n)
                     )
                 log(f"stage {name}: over-budget retry {slow_n} — "
                     f"timeout {eff_timeout:.0f}s")

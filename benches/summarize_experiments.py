@@ -77,11 +77,14 @@ def bench_rows(recs, title, want):
         res, fp = r.get("result", {}), r.get("fingerprint", {})
         cap = fp.get("put_cap")
         cap = f"{int(cap) // 2**20}MB" if cap else "-"
-        # staging-weather columns (entries before r5 lack them): an e2e
-        # outlier next to a ~20 MB/s stage rate is relay weather, not a
-        # regression
-        stage_s = res.get("stage_secs", "-")
-        stage_rate = res.get("stage_mb_s", "-")
+        # staging-weather columns (entries before r5 lack the fields,
+        # and bench.py writes stage_mb_s: null when t_stage == 0): an
+        # e2e outlier next to a ~20 MB/s stage rate is relay weather,
+        # not a regression
+        stage_s = res.get("stage_secs")
+        stage_s = "-" if stage_s is None else stage_s
+        stage_rate = res.get("stage_mb_s")
+        stage_rate = "-" if stage_rate is None else stage_rate
         print(f"{r.get('when', '?'):>16.16} "
               f"{fp.get('transfer_dtype', '?'):>8} {cap:>8} "
               f"{res.get('value', '?'):>10} "

@@ -466,3 +466,28 @@ def test_default_wire_contract(monkeypatch):
     assert m.transfer == "float32"
     s = sweep_cli.build_parser().parse_args(["*.mp3", "--snippet", "s.mp3"])
     assert s.transfer == "int16"
+
+
+def test_digest_bench_rows_tolerate_null_stage_rate(capsys):
+    """bench.py writes stage_mb_s: null when t_stage rounds to 0 — the
+    digest must render '-' instead of crashing on None.__format__."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "summarize_experiments",
+        REPO / "benches" / "summarize_experiments.py",
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    hist = [
+        {"when": "2026-08-19T20:00", "tag": "bench",
+         "fingerprint": {"backend": "tpu", "episodes": 1, "queries": 1,
+                         "transfer_dtype": "mulaw8"},
+         "result": {"value": 2.1, "vs_baseline": 20.0,
+                    "device_resident_value": 5.0,
+                    "device_resident_vs_baseline": 47.0,
+                    "stage_secs": 0.0, "stage_mb_s": None}},
+    ]
+    mod.bench_rows(hist, "null stage rate", {"episodes": 1, "queries": 1})
+    out = capsys.readouterr().out
+    assert "2.1" in out and " - " in out

@@ -174,3 +174,45 @@ def test_stage_order_puts_evidence_before_sweeps():
     assert s3392[2]["VARIANTS"].split(",") == ["serial", "bench"] * 3
     # every stage carries a positive byte-volume hint
     assert all(s[4] > 0 for s in mod.stages())
+
+
+def test_canonical_int16_stage_pins_the_wire():
+    """bench.py's default wire is mulaw8 (PERF.md wire recommendation) —
+    the canonical-int16 stage must pin int16 explicitly or it silently
+    duplicates canonical-mulaw8 and the int16 lineage's regression gate
+    never gets a new entry."""
+    mod = _runner_module()
+    (stage,) = [s for s in mod.stages() if s[0] == "canonical-int16"]
+    assert (stage[2] or {}).get("BENCH_TRANSFER_DTYPE") == "int16"
+    # every other wire-named bench stage pins its wire too
+    for name, _, env, _, _ in mod.stages():
+        for wire in ("int16", "mulaw8"):
+            if name.endswith(wire) or f"-{wire}-" in name:
+                assert (env or {}).get("BENCH_TRANSFER_DTYPE") == wire, name
+
+
+def test_overbudget_retry_scales_probe_variant_budget(tmp_path, monkeypatch):
+    """A fence-probe stage with NO explicit VARIANT_BUDGET (fence-ab)
+    must get one on its over-budget retry — otherwise the retry re-runs
+    into the probe's own 900 s per-variant default and hits the
+    identical rc=124."""
+    mod = _runner_module()
+    done = tmp_path / ".done"
+    done.write_text("f!slow\n")
+    monkeypatch.setattr(mod, "DONE", str(done))
+    _silence_log(mod, monkeypatch, [])
+    monkeypatch.setattr(mod, "wait_for_relay", lambda *a, **k: True)
+    monkeypatch.setattr(
+        mod, "stages",
+        lambda: [("f", ["py", "benches/probe_staging_fence.py"],
+                  None, 600, 400)],
+    )
+    envs = []
+
+    def fake_run(cmd, env_extra=None, timeout_s=None):
+        envs.append(env_extra)
+        return 0
+
+    monkeypatch.setattr(mod, "run", fake_run)
+    assert mod.main() == 0
+    assert envs[0]["VARIANT_BUDGET"] == str(int(900 * 2))
