@@ -195,9 +195,10 @@ def test_hour_long_episode_tiled_ncc(rng):
         assert abs(p.position - at) <= cfg.hop
 
 
-def test_sharded_spectrogram_int16_staging(rng):
-    """int16 wire staging yields the same matches (NCC is scale-invariant
-    and the fingerprint is insensitive to the 16-bit grid)."""
+def test_sharded_spectrogram_compact_wire_staging(rng):
+    """int16 AND mulaw8 wire staging yield the same matches (NCC is
+    scale-invariant; the fingerprint treats the 16-bit grid and mu-law's
+    companding distortion as mild noise — measured deltas ~2e-3)."""
     from audio_matcher_tpu.parallel.mesh import make_mesh
     from audio_matcher_tpu.parallel.sweep import ShardedSpectrogramScanner
 
@@ -207,16 +208,17 @@ def test_sharded_spectrogram_int16_staging(rng):
     ep[at : at + len(snippet)] += snippet
 
     outs = {}
-    for dtype in ("float32", "int16"):
+    for dtype in ("float32", "int16", "mulaw8"):
         cfg = SpectrogramConfig(distance_secs=10.0, transfer_dtype=dtype)
         sc = ShardedSpectrogramScanner([snippet], SR, cfg, make_mesh(2))
         peaks = sc.scan_resident([ep, ep])[0][0]
         best = max(peaks, key=lambda p: p.height)
         outs[dtype] = best
-    assert outs["int16"].position == outs["float32"].position
-    # the log compresses low-energy frames, amplifying the 16-bit
-    # grid noise slightly: scores shift <1%, positions are identical
-    assert abs(outs["int16"].height - outs["float32"].height) < 2e-2
+    for dtype in ("int16", "mulaw8"):
+        assert outs[dtype].position == outs["float32"].position
+        # the log compresses low-energy frames, amplifying the wire
+        # grid noise slightly: scores shift <1%, positions identical
+        assert abs(outs[dtype].height - outs["float32"].height) < 2e-2
     assert abs(outs["float32"].position - at) <= 256
 
 
