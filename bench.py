@@ -391,6 +391,57 @@ def record_history(result: dict, fingerprint: dict, path: str | None = None) -> 
         f.write(json.dumps(entry) + "\n")
 
 
+def historical_best_baseline(
+    fingerprint: dict, path: str | None = None
+) -> float | None:
+    """Fastest CPU-baseline showing ever recorded for this fingerprint,
+    recovered from prior entries' device_resident_value /
+    device_resident_vs_baseline ratio. The 1-vCPU bench host shares its
+    core with the relay process: a starved ``measure_cpu_baseline`` run
+    inflates vs_baseline (history holds 272x and 614x for near-identical
+    absolute pair-h/s at the canonical shape). Clamping the denominator
+    to the least-starved baseline ever measured for the same fingerprint
+    keeps the multiplier conservative and comparable across host
+    weather; absolute pair-h/s values are never touched."""
+    if path is None:
+        path = _history_path()
+    best = None
+    try:
+        with open(path) as f:
+            for line in f:
+                try:
+                    rec = json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+                if rec.get("tag") != "bench" or rec.get("fingerprint") != fingerprint:
+                    continue
+                res = rec.get("result", {})
+                val = res.get("device_resident_value")
+                vs = res.get("device_resident_vs_baseline")
+                if val and vs and val > 0 and vs > 0:
+                    b = val / vs
+                    if best is None or b > best:
+                        best = b
+    except FileNotFoundError:
+        pass
+    return best
+
+
+def clamped_baseline(measured: float, fingerprint: dict) -> float:
+    """max(measured, historical best) — see historical_best_baseline."""
+    hist = historical_best_baseline(fingerprint)
+    if hist is not None and hist > measured:
+        print(
+            f"[bench] cpu baseline measured {measured:.4f} pair-h/s is "
+            f"below this fingerprint's least-starved showing "
+            f"({hist:.4f}); using the historical best so vs_baseline "
+            "stays conservative under host contention",
+            file=sys.stderr,
+        )
+        return hist
+    return measured
+
+
 def make_config():
     """The bench's MatchConfig from env knobs (shared by the run and the
     failure path's fingerprint lookup)."""
@@ -728,7 +779,13 @@ def main_spectrogram() -> int:
         peaks, offsets, config.distance_secs, config.hop, "spectrogram, "
     )
 
-    baseline = measure_cpu_baseline_spectrogram(episode, snippets[0], config)
+    import jax
+
+    fingerprint = expected_fingerprint_spec(config, backend=jax.default_backend())
+    baseline = clamped_baseline(
+        measure_cpu_baseline_spectrogram(episode, snippets[0], config),
+        fingerprint,
+    )
     print(
         f"[bench] spectrogram: {hours:.2f} pair-hours per {per_pair:.2f}s "
         f"({value:.3f} pair-h/s end-to-end, {value_scan:.3f} "
@@ -748,15 +805,10 @@ def main_spectrogram() -> int:
         "device_resident_vs_baseline": round(value_scan / baseline, 2),
         **extras,
     }
-    import jax
-
     if not ok:
         print(json.dumps(result))
         return 2
-    record_history(
-        result,
-        expected_fingerprint_spec(config, backend=jax.default_backend()),
-    )
+    record_history(result, fingerprint)
     print(json.dumps(result))
     return 0
 
@@ -839,7 +891,12 @@ def main() -> int:
     # sample-exact matching → tolerance 1
     ok = check_plants(peaks, offsets, config.distance_secs, 1)
 
-    baseline = measure_cpu_baseline(episode, snippets[0], config)
+    import jax
+
+    fingerprint = expected_fingerprint(config, backend=jax.default_backend())
+    baseline = clamped_baseline(
+        measure_cpu_baseline(episode, snippets[0], config), fingerprint
+    )
     print(
         f"[bench] {hours:.2f} pair-hours per {per_pair:.2f}s "
         f"({value:.3f} pair-h/s end-to-end, {value_scan:.3f} pair-h/s "
@@ -859,8 +916,6 @@ def main() -> int:
         "device_resident_vs_baseline": round(value_scan / baseline, 2),
         **extras,
     }
-    import jax
-
     if not ok:
         # a wrong-but-fast run must not become the rolling best the
         # regression gate compares against, and callers reading the JSON
@@ -868,9 +923,7 @@ def main() -> int:
         print(json.dumps(result))
         return 2
 
-    record_history(
-        result, expected_fingerprint(config, backend=jax.default_backend())
-    )
+    record_history(result, fingerprint)
     print(json.dumps(result))
     return 0
 
