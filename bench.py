@@ -427,6 +427,19 @@ def historical_best_baseline(
     return best
 
 
+def baseline_provenance(baseline: float, measured: float) -> dict:
+    """History-entry fields recording where vs_baseline's denominator
+    came from: empty when the fresh measurement was used verbatim, the
+    measured-vs-used pair when the clamp replaced a starved measurement
+    (so forensics never need the stderr log)."""
+    if baseline == measured:
+        return {}
+    return {
+        "cpu_baseline": round(baseline, 4),
+        "cpu_baseline_measured": round(measured, 4),
+    }
+
+
 def clamped_baseline(measured: float, fingerprint: dict) -> float:
     """max(measured, historical best) — see historical_best_baseline."""
     hist = historical_best_baseline(fingerprint)
@@ -782,10 +795,10 @@ def main_spectrogram() -> int:
     import jax
 
     fingerprint = expected_fingerprint_spec(config, backend=jax.default_backend())
-    baseline = clamped_baseline(
-        measure_cpu_baseline_spectrogram(episode, snippets[0], config),
-        fingerprint,
+    baseline_measured = measure_cpu_baseline_spectrogram(
+        episode, snippets[0], config
     )
+    baseline = clamped_baseline(baseline_measured, fingerprint)
     print(
         f"[bench] spectrogram: {hours:.2f} pair-hours per {per_pair:.2f}s "
         f"({value:.3f} pair-h/s end-to-end, {value_scan:.3f} "
@@ -803,6 +816,7 @@ def main_spectrogram() -> int:
         "vs_baseline": round(value / baseline, 2),
         "device_resident_value": round(value_scan, 4),
         "device_resident_vs_baseline": round(value_scan / baseline, 2),
+        **baseline_provenance(baseline, baseline_measured),
         **extras,
     }
     if not ok:
@@ -894,9 +908,8 @@ def main() -> int:
     import jax
 
     fingerprint = expected_fingerprint(config, backend=jax.default_backend())
-    baseline = clamped_baseline(
-        measure_cpu_baseline(episode, snippets[0], config), fingerprint
-    )
+    baseline_measured = measure_cpu_baseline(episode, snippets[0], config)
+    baseline = clamped_baseline(baseline_measured, fingerprint)
     print(
         f"[bench] {hours:.2f} pair-hours per {per_pair:.2f}s "
         f"({value:.3f} pair-h/s end-to-end, {value_scan:.3f} pair-h/s "
@@ -914,6 +927,7 @@ def main() -> int:
         "vs_baseline": round(value / baseline, 2),
         "device_resident_value": round(value_scan, 4),
         "device_resident_vs_baseline": round(value_scan / baseline, 2),
+        **baseline_provenance(baseline, baseline_measured),
         **extras,
     }
     if not ok:

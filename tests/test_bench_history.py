@@ -572,3 +572,9 @@ def test_baseline_clamp_reaches_emitted_vs_baseline(tmp_path, monkeypatch, capsy
     assert out["ok"] is True
     assert out["vs_baseline"] < 0.01
     assert out["device_resident_vs_baseline"] < 0.01
+    # clamp provenance self-documents in the result (and thus history):
+    # the used denominator and the starved measurement it replaced
+    assert out["cpu_baseline"] == 1e6
+    assert 0 < out["cpu_baseline_measured"] < 1e6
+    entry = _entries(hist)[-1]
+    assert entry["result"]["cpu_baseline"] == 1e6
