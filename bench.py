@@ -23,8 +23,10 @@ a relay that dies mid-run hangs device ops forever, and the watchdog
 emits the same evidence-carrying JSON before any outer timeout kill.
 Knobs: BENCH_EPISODE_SECS, BENCH_EPISODES, BENCH_QUERIES, BENCH_SLAB,
 BENCH_TRANSFER_DTYPE, BENCH_FFT_IMPL, BENCH_PEAKS_IMPL, BENCH_REPEATS
-(median-of-N scan phase — timing methodology, not part of the history
-fingerprint). The pcm bench's wire default is mulaw8 — the recommended
+(median-of-N scan phase), BENCH_STAGE_RETRY_MBS / BENCH_STAGE_ATTEMPTS
+(best-of-N pre-execution staging when a draw lands under the rate
+floor) — the last three are timing methodology, not part of the
+history fingerprint. The pcm bench's wire default is mulaw8 — the recommended
 production wire on relay-class hosts (PERF.md "Wire recommendation";
 positions sample-exact, bench-verified) — while the sweep CLI keeps the
 lossless int16 default; BENCH_TRANSFER_DTYPE=int16 reproduces the older
