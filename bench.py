@@ -122,29 +122,29 @@ def _measure_staged_scan(scanner, episode, transfer_dtype, n_episodes,
     # fastest attempt, and record every attempt's rate in the history
     # entry (stage_attempts_mb_s) so best-of-N runs are self-labeled.
     # This measures the framework's staging path, not the relay's
-    # worst mood; losing attempts' buffers are freed before retrying.
+    # worst mood. Every attempt stages byte-identical data, so the
+    # PREVIOUS attempt's buffers are freed BEFORE re-staging (never two
+    # copies resident — a batch near half of HBM would otherwise OOM on
+    # retry) and the loop keeps the newest buffers + the best TIME.
     retry_floor = float(os.environ.get("BENCH_STAGE_RETRY_MBS", "250"))
     attempts_max = max(int(os.environ.get("BENCH_STAGE_ATTEMPTS", "3")), 1)
     attempt_rates: list[float] = []
-    best = None  # (t_stage, staged, chunks, staged_bytes)
+    staged = None
+    t_stage = float("inf")
     for attempt in range(attempts_max):
+        if staged is not None:
+            for c in chunks:
+                c.delete()
         t_stage0 = time.perf_counter()
         staged = scanner.stage_resident([episode_wire] * n_episodes)
         chunks = staged[0] if isinstance(staged[0], tuple) else (staged[0],)
         for c in chunks:
             c.block_until_ready()
-        t_stage = time.perf_counter() - t_stage0
+        t_attempt = time.perf_counter() - t_stage0
+        t_stage = min(t_stage, t_attempt)
         staged_bytes = sum(c.nbytes for c in chunks)
-        rate = staged_bytes / 1e6 / t_stage if t_stage > 0 else float("inf")
+        rate = staged_bytes / 1e6 / t_attempt if t_attempt > 0 else float("inf")
         attempt_rates.append(round(rate, 1))
-        if best is None or t_stage < best[0]:
-            if best is not None:
-                for c in best[2]:
-                    c.delete()
-            best = (t_stage, staged, chunks, staged_bytes)
-        else:
-            for c in chunks:
-                c.delete()
         if retry_floor <= 0 or rate >= retry_floor:
             break
         if attempt + 1 < attempts_max:
@@ -154,7 +154,6 @@ def _measure_staged_scan(scanner, episode, transfer_dtype, n_episodes,
                 "re-staging (still pre-execution)",
                 file=sys.stderr,
             )
-    t_stage, staged, chunks, staged_bytes = best
 
     # untimed: compile + first run of the batch program
     scanner.scan_staged(staged, scale=True)
@@ -438,15 +437,21 @@ def record_history(result: dict, fingerprint: dict, path: str | None = None) -> 
 def historical_best_baseline(
     fingerprint: dict, path: str | None = None
 ) -> float | None:
-    """Fastest CPU-baseline showing ever recorded for this fingerprint,
-    recovered from prior entries' device_resident_value /
-    device_resident_vs_baseline ratio. The 1-vCPU bench host shares its
-    core with the relay process: a starved ``measure_cpu_baseline`` run
-    inflates vs_baseline (history holds 272x and 614x for near-identical
-    absolute pair-h/s at the canonical shape). Clamping the denominator
-    to the least-starved baseline ever measured for the same fingerprint
-    keeps the multiplier conservative and comparable across host
-    weather; absolute pair-h/s values are never touched."""
+    """Fastest CPU-baseline showing ever recorded for this fingerprint.
+    The 1-vCPU bench host shares its core with the relay process: a
+    starved ``measure_cpu_baseline`` run inflates vs_baseline (history
+    holds 272x and 614x for near-identical absolute pair-h/s at the
+    canonical shape). Clamping the denominator to the least-starved
+    baseline ever measured for the same fingerprint keeps the multiplier
+    conservative and comparable across host weather; absolute pair-h/s
+    values are never touched.
+
+    Entries written since the clamp shipped carry the denominator
+    verbatim (``cpu_baseline``) — read it directly. Older entries fall
+    back to the device_resident value/vs ratio, whose round(,4)/round(,2)
+    fields reconstruct the baseline to only ~2e-5 relative; preferring
+    the exact field stops that rounding error from ratcheting upward
+    through max() generation after generation."""
     if path is None:
         path = _history_path()
     best = None
@@ -460,28 +465,31 @@ def historical_best_baseline(
                 if rec.get("tag") != "bench" or rec.get("fingerprint") != fingerprint:
                     continue
                 res = rec.get("result", {})
-                val = res.get("device_resident_value")
-                vs = res.get("device_resident_vs_baseline")
-                if val and vs and val > 0 and vs > 0:
+                b = res.get("cpu_baseline")
+                if not b or b <= 0:
+                    val = res.get("device_resident_value")
+                    vs = res.get("device_resident_vs_baseline")
+                    if not (val and vs and val > 0 and vs > 0):
+                        continue
                     b = val / vs
-                    if best is None or b > best:
-                        best = b
+                if best is None or b > best:
+                    best = b
     except FileNotFoundError:
         pass
     return best
 
 
 def baseline_provenance(baseline: float, measured: float) -> dict:
-    """History-entry fields recording where vs_baseline's denominator
-    came from: empty when the fresh measurement was used verbatim, the
-    measured-vs-used pair when the clamp replaced a starved measurement
-    (so forensics never need the stderr log)."""
-    if baseline == measured:
-        return {}
-    return {
-        "cpu_baseline": round(baseline, 4),
-        "cpu_baseline_measured": round(measured, 4),
-    }
+    """History-entry fields recording vs_baseline's denominator:
+    ``cpu_baseline`` is always written (at 6 decimals — the exact value
+    ``historical_best_baseline`` reads back, so the clamp never has to
+    reconstruct it from rounded value/vs ratios), plus
+    ``cpu_baseline_measured`` when the clamp replaced a starved
+    measurement (so forensics never need the stderr log)."""
+    fields = {"cpu_baseline": round(baseline, 6)}
+    if baseline != measured:
+        fields["cpu_baseline_measured"] = round(measured, 6)
+    return fields
 
 
 def clamped_baseline(measured: float, fingerprint: dict) -> float:

@@ -189,8 +189,12 @@ def stages():
             5400, mb,
         ))
     out.append((
+        # VARIANT_BUDGET made explicit (it matches the probe's own
+        # default): the over-budget retry path scales the inner
+        # per-variant budget for every stage that declares one — the
+        # declaration IS the detection (no argv sniffing to go stale)
         "fence-ab", [py, "-u", "benches/probe_staging_fence.py"],
-        None, 5400, 5 * 3392,
+        {"VARIANT_BUDGET": "900"}, 5400, 5 * 3392,
     ))
     # serial-fence repeats (VERDICT r4 #2): 3 INTERLEAVED rounds per
     # variant — serial (put+fence per piece) vs bench (today's
@@ -317,6 +321,38 @@ def overbudget_timeout(bytes_mb: float, base_s: float) -> float:
     return base_s + bytes_mb / DEGRADED_MBPS
 
 
+# probe subprocess spawn + buffer synth + integrity readback slack, on
+# top of the variants' combined inner allowance, when sizing the outer
+# timeout of a VARIANT_BUDGET-honoring stage
+PROBE_SETUP_S = 600.0
+
+# probe_staging_fence.VARIANTS when a stage sets no VARIANTS env
+# (pinned by tests/test_experiment_runner.py against the probe module)
+N_DEFAULT_PROBE_VARIANTS = 5
+
+
+def scaled_probe_budgets(
+    env: dict, slow_n: int, outer_timeout_s: float
+) -> tuple[dict, float]:
+    """Inner/outer budget pair for an over-budget retry of a
+    VARIANT_BUDGET-honoring probe stage. The inner per-variant budget
+    doubles per over-budget attempt (the stage already proved slower
+    than its base budget with a LIVE relay), and the OUTER timeout is
+    raised to dominate every variant running to its inner allowance —
+    otherwise the retry promises the variants more time than the outer
+    timeout permits, gets SIGKILLed mid-variant, and burns the stage's
+    second over-budget attempt without ever violating its own budget."""
+    inner = float(env["VARIANT_BUDGET"]) * 2**slow_n
+    env = dict(env)
+    env["VARIANT_BUDGET"] = str(int(inner))
+    n_var = (
+        len([v for v in env["VARIANTS"].split(",") if v])
+        if env.get("VARIANTS")
+        else N_DEFAULT_PROBE_VARIANTS
+    )
+    return env, max(outer_timeout_s, n_var * inner + PROBE_SETUP_S)
+
+
 def main() -> int:
     if not wait_for_relay(float(os.environ.get("EXP_BUDGET", "14400"))):
         return 3
@@ -357,16 +393,13 @@ def main() -> int:
                 # (possibly before a supervisor restart): byte-scaled
                 # budget from the start
                 eff_timeout = overbudget_timeout(bytes_mb, timeout_s)
-                if "VARIANT_BUDGET" in eff_env or any(
-                    "probe_staging_fence" in c for c in cmd
-                ):
-                    # scale the probe's INNER per-variant budget too — a
-                    # fence-probe stage with no explicit VARIANT_BUDGET
-                    # (fence-ab) would otherwise retry into the probe's
-                    # own 900 s default and hit the identical rc=124
-                    base_vb = float(eff_env.get("VARIANT_BUDGET", "900"))
-                    eff_env["VARIANT_BUDGET"] = str(
-                        int(base_vb * 2**slow_n)
+                if "VARIANT_BUDGET" in eff_env:
+                    # a probe stage declares its inner per-variant
+                    # budget: double it (it would otherwise retry into
+                    # the identical rc=124) and keep the outer timeout
+                    # dominating the variants' combined allowance
+                    eff_env, eff_timeout = scaled_probe_budgets(
+                        eff_env, slow_n, eff_timeout
                     )
                 log(f"stage {name}: over-budget retry {slow_n} — "
                     f"timeout {eff_timeout:.0f}s")

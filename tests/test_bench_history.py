@@ -192,6 +192,11 @@ def test_bench_pcm_mode_end_to_end(tmp_path, monkeypatch, capsys):
     res = entry["result"]
     assert res["stage_secs"] > 0 and res["staged_mb"] > 0
     assert res["stage_mb_s"] > 0 and res["scan_secs"] > 0
+    # every entry (clamped or not) records its exact denominator so
+    # future clamps read it back instead of reconstructing from rounded
+    # value/vs ratios; unclamped entries omit the *_measured twin
+    assert res["cpu_baseline"] > 0
+    assert "cpu_baseline_measured" not in res
 
 
 class _FakeStageScanner:
@@ -201,15 +206,21 @@ class _FakeStageScanner:
 
     def __init__(self):
         self.stage_calls = 0
+        self.live_at_stage = []  # live prior buffers when each stage starts
+        self._devs = []
 
     def stage_resident(self, episodes):
         import jax
         import numpy as np
 
         self.stage_calls += 1
+        self.live_at_stage.append(
+            sum(1 for d in self._devs if not d.is_deleted())
+        )
         dev = jax.device_put(
             np.full(1024, self.stage_calls, np.int16)
         )
+        self._devs.append(dev)
         return dev, np.array([1024] * len(episodes)), len(episodes)
 
     def scan_staged(self, staged, scale=True):
@@ -239,6 +250,11 @@ def test_stage_weather_retry_keeps_best_attempt(monkeypatch):
     assert len(extras["stage_attempts_mb_s"]) == 3
     assert extras["stage_mb_s"] > 0
     assert len(peaks) == 2
+    # no double-residency: each retry frees the previous attempt's
+    # buffers BEFORE re-staging (a batch near half of HBM would
+    # otherwise OOM on retry — attempts stage byte-identical data, so
+    # only the best TIME needs keeping, not the earliest buffer)
+    assert scanner.live_at_stage == [0, 0, 0]
 
 
 def test_stage_weather_retry_disabled_by_floor_zero(monkeypatch):
@@ -589,6 +605,20 @@ def test_baseline_clamp_uses_least_starved_history(tmp_path, capsys):
     )
     best = mod.historical_best_baseline(fp, path=str(hist))
     assert abs(best - 32.5036 / 302.07) < 1e-9
+
+    # entries that carry the exact denominator (cpu_baseline, written by
+    # baseline_provenance since r5) are read verbatim — the rounded
+    # value/vs ratio would reconstruct it with ~2e-5 relative error that
+    # max() only ever ratchets upward
+    exact = {"tag": "bench", "fingerprint": fp,
+             "result": {"cpu_baseline": 0.114919,
+                        "device_resident_value": 32.2646,
+                        "device_resident_vs_baseline": 280.76}}
+    hist.write_text(
+        hist.read_text() + json.dumps(exact) + "\n"
+    )
+    best = mod.historical_best_baseline(fp, path=str(hist))
+    assert best == 0.114919
 
     import os
 

@@ -81,10 +81,12 @@ def test_overbudget_stage_retries_then_reports(tmp_path, monkeypatch):
 
     monkeypatch.setattr(mod, "run", fake_run)
     assert mod.main() == 1
-    # attempt 1: base budget; attempt 2: byte-scaled + doubled inner
-    # variant budget
+    # attempt 1: base budget; attempt 2: doubled inner variant budget
+    # with the outer timeout raised to dominate the variants' combined
+    # inner allowance (5 default variants × 1800 s + setup slack beats
+    # the byte-scaled 2400 + 3392/4 estimate)
     assert calls[0][1] == 2400
-    assert calls[1][1] == 2400 + 3392 / 4.0
+    assert calls[1][1] == 5 * 1800 + mod.PROBE_SETUP_S
     assert calls[1][0]["VARIANT_BUDGET"] == "1800"
     assert len(calls) == 2
     # reported reason is over-budget, not attempts-exhausted/relay-death
@@ -192,10 +194,13 @@ def test_canonical_int16_stage_pins_the_wire():
 
 
 def test_overbudget_retry_scales_probe_variant_budget(tmp_path, monkeypatch):
-    """A fence-probe stage with NO explicit VARIANT_BUDGET (fence-ab)
-    must get one on its over-budget retry — otherwise the retry re-runs
-    into the probe's own 900 s per-variant default and hits the
-    identical rc=124."""
+    """A stage that declares VARIANT_BUDGET must have it doubled on its
+    over-budget retry — otherwise the retry re-runs into the same inner
+    per-variant budget and hits the identical rc=124 — and the OUTER
+    timeout must dominate the variants' combined inner allowance, or the
+    retry promises the variants more time than the outer timeout permits
+    and gets SIGKILLed mid-variant despite never violating its own
+    budget (burning the stage's second over-budget attempt)."""
     mod = _runner_module()
     done = tmp_path / ".done"
     done.write_text("f!slow\n")
@@ -205,14 +210,74 @@ def test_overbudget_retry_scales_probe_variant_budget(tmp_path, monkeypatch):
     monkeypatch.setattr(
         mod, "stages",
         lambda: [("f", ["py", "benches/probe_staging_fence.py"],
-                  None, 600, 400)],
+                  {"VARIANT_BUDGET": "900"}, 600, 400)],
     )
-    envs = []
+    envs, timeouts = [], []
 
     def fake_run(cmd, env_extra=None, timeout_s=None):
         envs.append(env_extra)
+        timeouts.append(timeout_s)
         return 0
 
     monkeypatch.setattr(mod, "run", fake_run)
     assert mod.main() == 0
     assert envs[0]["VARIANT_BUDGET"] == str(int(900 * 2))
+    # 5 default variants each allowed 1800 s inner: the outer timeout
+    # must cover all of them plus setup slack, not just the byte-scaled
+    # estimate (600 + 400/4 = 700 s here)
+    assert timeouts[0] >= 5 * 1800 + mod.PROBE_SETUP_S
+
+
+def test_scaled_probe_budgets_coherence():
+    """Inner × variant-count + setup slack never exceeds the returned
+    outer timeout, for explicit VARIANTS lists and the probe default."""
+    mod = _runner_module()
+    # explicit 6-variant list at slow_n=1: inner 1200→2400
+    env, outer = mod.scaled_probe_budgets(
+        {"VARIANT_BUDGET": "1200", "VARIANTS": ",".join(["a", "b"] * 3)},
+        1, 5223,
+    )
+    assert env["VARIANT_BUDGET"] == "2400"
+    assert outer >= 6 * 2400 + mod.PROBE_SETUP_S
+    # no VARIANTS env: the probe's own default set runs
+    env, outer = mod.scaled_probe_budgets({"VARIANT_BUDGET": "900"}, 1, 700)
+    assert env["VARIANT_BUDGET"] == "1800"
+    assert outer >= mod.N_DEFAULT_PROBE_VARIANTS * 1800 + mod.PROBE_SETUP_S
+    # an already-generous outer timeout is kept verbatim
+    env, outer = mod.scaled_probe_budgets(
+        {"VARIANT_BUDGET": "10", "VARIANTS": "a"}, 1, 99999,
+    )
+    assert outer == 99999
+    # every REAL stage's retry stays coherent at both over-budget depths
+    for name, _, env, timeout_s, bytes_mb in mod.stages():
+        if not env or "VARIANT_BUDGET" not in env:
+            continue
+        for slow_n in (1, 2):
+            base = mod.overbudget_timeout(bytes_mb, timeout_s)
+            scaled_env, outer = mod.scaled_probe_budgets(env, slow_n, base)
+            inner = float(scaled_env["VARIANT_BUDGET"])
+            n_var = (
+                len(env["VARIANTS"].split(","))
+                if env.get("VARIANTS")
+                else mod.N_DEFAULT_PROBE_VARIANTS
+            )
+            assert outer >= n_var * inner + mod.PROBE_SETUP_S, name
+
+
+def test_probe_stages_declare_variant_budget():
+    """The over-budget retry path detects probe stages by their
+    VARIANT_BUDGET declaration (no argv sniffing): every stage whose
+    argv targets a probe script must declare one, and the hardcoded
+    default-variant count must match the probe module's VARIANTS."""
+    mod = _runner_module()
+    for name, cmd, env, _, _ in mod.stages():
+        if any("probe_" in c for c in cmd):
+            assert env and "VARIANT_BUDGET" in env, name
+
+    spec = importlib.util.spec_from_file_location(
+        "probe_staging_fence",
+        REPO / "benches" / "probe_staging_fence.py",
+    )
+    probe = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(probe)
+    assert mod.N_DEFAULT_PROBE_VARIANTS == len(probe.VARIANTS)
